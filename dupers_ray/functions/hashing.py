@@ -1,0 +1,99 @@
+"""Deterministic hashing kernels (no PYTHONHASHSEED dependence anywhere).
+
+The reference hashes whole file contents with SHA-256 through a 1 MiB buffer
+(pkg/dupe/parse/parse.go:217-231). Here SHA-256 of the row's content bytes is
+the exact-dup digest; a uint64 prefix of it is the uniform shuffle key
+(replacing the separate xxhash the design sketched — one hash pass, zero
+extra cost, uniform by construction).
+
+All other hashing (token/shingle/node ids, hash mixing) is numpy-vectorized
+uint64 arithmetic with natural mod-2^64 wraparound, so signatures are
+byte-identical across processes, parallelism levels and runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterable, Sequence
+
+import numpy as np
+
+# splitmix64 constants — public-domain mixer (Steele et al.), standard for
+# turning sequential/low-entropy ints into uniform 64-bit values.
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+# Mersenne prime 2^61 - 1 for the universal-hash family used by MinHash.
+MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def sha256_hex_many(items: Iterable[bytes]) -> list[str]:
+    """SHA-256 hex per item. hashlib releases the GIL per call and runs at
+    C speed; the per-row Python loop is unavoidable and not the bottleneck
+    (the digest itself dominates)."""
+    sha = hashlib.sha256
+    return [sha(b).hexdigest() for b in items]
+
+
+def hex_prefix_u64(hex_digests: Sequence[str]) -> np.ndarray:
+    """First 8 bytes of each hex digest as uint64 (big-endian) — the shuffle
+    key. Uniform because SHA-256 output is."""
+    return np.array([int(h[:16], 16) for h in hex_digests], dtype=np.uint64)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _SM_GAMMA
+        x ^= x >> np.uint64(30)
+        x *= _SM_M1
+        x ^= x >> np.uint64(27)
+        x *= _SM_M2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_str_u64(values: Sequence[str]) -> np.ndarray:
+    """Deterministic 64-bit hash of strings: crc32 of utf-8 (C speed) mixed
+    with length, finalized by splitmix64. Used for token hashing and stable
+    node ids where cryptographic strength is unneeded."""
+    crc = zlib.crc32
+    lo = np.fromiter(
+        (crc(v.encode("utf-8", "surrogatepass")) for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+    ln = np.fromiter((len(v) for v in values), dtype=np.uint64, count=len(values))
+    with np.errstate(over="ignore"):
+        mixed = lo + (ln << np.uint64(32))
+    return splitmix64(mixed)
+
+
+def node_ids(urls: Sequence[str]) -> np.ndarray:
+    """Stable uint64 node id per url for graph stages. Derived from SHA-256
+    (prefix) so collisions are birthday-bound only; at 10^12 docs a 64-bit id
+    admits ~1e4 expected collisions — acceptable for clustering recall,
+    documented as the precision tradeoff (upgrade path: 128-bit ids)."""
+    sha = hashlib.sha256
+    return np.array(
+        [int.from_bytes(sha(u.encode()).digest()[:8], "big") for u in urls],
+        dtype=np.uint64,
+    )
+
+
+def mix_rows_u64(mat: np.ndarray) -> np.ndarray:
+    """Combine each row of a (n, r) uint64 matrix into one uint64 (order-
+    sensitive polynomial mix + splitmix64 finalize). Used for LSH band keys."""
+    acc = np.zeros(mat.shape[0], dtype=np.uint64)
+    mult = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            acc = acc * mult + mat[:, j]
+        return splitmix64(acc)

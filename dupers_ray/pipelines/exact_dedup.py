@@ -1,0 +1,100 @@
+"""Exact content dedup — dupers' ``dupe`` core, Ray-Data-first.
+
+Reference semantics (pkg/dupe/dupe.go:919-931 ``lookupOne`` +
+pkg/dupe/parse/parse.go:31 digest-keyed ``Checksums``): two rows are exact
+dups iff their SHA-256 digests match; per digest only the *first* path is
+kept as the match target (docs/README.md:198-201). Walk order is replaced by
+the deterministic canonical choice min(url).
+
+Instead of materializing a global digest→path map in RAM (the reference's
+``Compare`` index, parse.go:101-117), the engine hash-partitions by
+``digest_u64`` — ONE all-to-all shuffle — and resolves groups independently:
+
+    digest_dataset(ds)  →  groupby(digest_u64)  →  map_groups:
+        per full digest: canonical = min(url); emit pairs (canonical, other)
+
+The uint64 key keeps shuffle payloads small; full-hex equality is re-checked
+inside the group so a u64 prefix collision can never produce a false pair.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+from dupers_ray.stages.digest import digest_dataset
+
+
+def _group_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Within one digest_u64 partition: split by full digest, emit
+    (canonical, dup) pairs for groups of size >= 2. Output columns are
+    ``(id_col, match_<id_col>)`` — e.g. (url, match_url)."""
+    out_canon: list = []
+    out_match: list = []
+    for _, sub in g.groupby("digest", sort=False):
+        if len(sub) < 2:
+            continue
+        ids = sorted(sub[id_col].tolist())
+        canon = ids[0]
+        out_canon.extend([canon] * (len(ids) - 1))
+        out_match.extend(ids[1:])
+    dt = g[id_col].dtype  # keep schema stable even when a group emits 0 pairs
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(out_canon, dtype=dt),
+            f"match_{id_col}": pd.Series(out_match, dtype=dt),
+        }
+    )
+
+
+def _group_canonical(g: pd.DataFrame, id_col: str, keep_cols: list[str]) -> pd.DataFrame:
+    """Within one digest_u64 partition: one row per full digest, id = min."""
+    rows = []
+    for digest, sub in g.groupby("digest", sort=False):
+        sub = sub.sort_values(id_col, kind="mergesort")
+        r = sub.iloc[0]
+        rows.append(
+            {id_col: r[id_col], "digest": digest, "n_dups": len(sub),
+             **{c: r[c] for c in keep_cols}}
+        )
+    return pd.DataFrame(
+        rows, columns=[id_col, "digest", "n_dups", *keep_cols]
+    )
+
+
+def exact_dupe_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    content_col: str = "text",
+    has_digests: bool = False,
+) -> "ray.data.Dataset":
+    """(canonical url, match_url) pairs — the `dupe` report (J1/D1 parity)."""
+    if not has_digests:
+        ds = digest_dataset(ds, content_col=content_col)
+    ds = ds.select_columns([id_col, "digest", "digest_u64"])
+    return ds.groupby("digest_u64").map_groups(
+        _group_pairs, fn_kwargs={"id_col": id_col}, batch_format="pandas"
+    )
+
+
+def exact_canonical(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    content_col: str = "text",
+    keep_cols: list[str] | None = None,
+    has_digests: bool = False,
+) -> "ray.data.Dataset":
+    """DISTINCT ON (digest): one canonical row (min id) per content digest,
+    with the group size as ``n_dups`` (A5 parity)."""
+    keep_cols = keep_cols or []
+    if not has_digests:
+        ds = digest_dataset(ds, content_col=content_col)
+    ds = ds.select_columns([id_col, "digest", "digest_u64", *keep_cols])
+    return ds.groupby("digest_u64").map_groups(
+        _group_canonical,
+        fn_kwargs={"id_col": id_col, "keep_cols": keep_cols},
+        batch_format="pandas",
+    )

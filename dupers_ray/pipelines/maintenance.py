@@ -1,0 +1,155 @@
+"""Index maintenance verbs — dupers' ``up / clean / ls / db / mv / rm``.
+
+Reference citations:
+- counts/info:  pkg/database/bucket/bucket.go:171-208 (Count),
+  :283-308 (Total), pkg/database/database.go:536-666 (Info)
+- incremental refresh (`up`): pkg/dupe/dupe.go:940-966 (walkCompare —
+  already-stored rows skip hashing) → left-ANTI-join new corpus vs index
+- clean: pkg/database/database.go:141-169 — index rows whose file no longer
+  exists → ANTI-join index vs live corpus
+- mv/rm: pkg/database/database.go:693-716 (Rename), :719-729 (Remove)
+
+Anti-joins are implemented with a broadcast key set when the index side's
+keys fit comfortably in an object-store blob (``ray.put`` once, read per
+actor), because dedup-maintenance key sets (urls) are tiny next to page
+payloads. For key sets too large to broadcast, ``anti_join_shuffle`` does a
+hash-partitioned co-group — both paths share semantics and tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def counts_by_bucket(ds: "ray.data.Dataset", *, bucket_col: str = "bucket",
+                     size_col: str | None = None) -> "ray.data.Dataset":
+    """Per-bucket row count (+ byte size when size_col given) — A1/A2/A3.
+
+    Pre-aggregates inside map_batches (one partial row per bucket per batch)
+    so the groupby shuffles partials, not rows."""
+    aggs = [Count(alias_name="n")]
+    cols = {bucket_col: "first"}
+    if size_col:
+        aggs.append(Sum(size_col, alias_name="total_bytes"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        gb = df.groupby(bucket_col, sort=False)
+        out = gb.size().rename("n").to_frame()
+        if size_col:
+            out["total_bytes"] = gb[size_col].sum()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs2 = [Sum("n", alias_name="n")]
+    if size_col:
+        aggs2.append(Sum("total_bytes", alias_name="total_bytes"))
+    return partials.groupby(bucket_col).aggregate(*aggs2)
+
+
+def anti_join_broadcast(
+    ds: "ray.data.Dataset",
+    keys,
+    *,
+    key_col: str,
+    invert: bool = False,
+) -> "ray.data.Dataset":
+    """Rows of ``ds`` whose ``key_col`` is NOT in ``keys`` (anti); with
+    invert=True, rows that ARE (semi). ``keys`` is a python/np/arrow array
+    small enough to broadcast — shipped to the object store ONCE via
+    ray.put, not re-pickled per batch."""
+    arr = pa.array(pd.unique(np.asarray(keys)))
+    ref = ray.put(arr)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(key_col), value_set=self.keys)
+            if not invert:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def anti_join_shuffle(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key_col: str,
+    right_key_col: str | None = None,
+    semi: bool = False,
+) -> "ray.data.Dataset":
+    """Hash-partitioned anti (or semi) join for large right sides: tag both
+    sides, union, co-group by key hash, filter left rows by presence of a
+    right row with equal key. One all-to-all shuffle."""
+    rkey = right_key_col or key_col
+    left_cols = list(left.schema().names)
+
+    def tag(side: str, key_from: str):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_from).cast(pa.string())
+            h = pa.array(
+                (hash_str_keys(keys) % np.uint64(1 << 16)).astype(np.int64)
+            )
+            cols = {"__key": keys, "__h": h, "__side": pa.array([side] * len(batch))}
+            if side == "L":
+                for c in left_cols:
+                    cols[c] = batch.column(c)
+            return pa.table(cols)
+        return f
+
+    l = left.map_batches(tag("L", key_col), batch_format="pyarrow")
+    r = right.select_columns([rkey]).map_batches(tag("R", rkey), batch_format="pyarrow")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        rights = set(g.loc[g["__side"] == "R", "__key"])
+        lrows = g[g["__side"] == "L"]
+        keep = lrows["__key"].isin(rights)
+        if not semi:
+            keep = ~keep
+        return lrows.loc[keep, left_cols]
+
+    return l.union(r).groupby("__h").map_groups(resolve, batch_format="pandas")
+
+
+def hash_str_keys(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 partitioning hash of a string array (full-string
+    crc32 + length, splitmix64-finalized — functions.hashing). Equal keys →
+    equal hash; quality only affects balance, not correctness."""
+    from dupers_ray.functions.hashing import hash_str_u64
+
+    vals = arr.to_pylist()
+    return hash_str_u64(["" if v is None else v for v in vals])
+
+
+def rename_bucket(ds: "ray.data.Dataset", old: str, new: str,
+                  *, bucket_col: str = "bucket") -> "ray.data.Dataset":
+    """`mv` — remap a bucket label (reference Rename, database.go:693-716)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(bucket_col)
+        out = pc.if_else(pc.equal(col, old), pa.scalar(new), col)
+        return batch.set_column(batch.column_names.index(bucket_col), bucket_col, out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_bucket(ds: "ray.data.Dataset", bucket: str,
+                  *, bucket_col: str = "bucket") -> "ray.data.Dataset":
+    """`rm` — drop a bucket (reference Remove, database.go:719-729)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column(bucket_col), bucket))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,201 @@
+"""Deterministic synthetic ``pages`` corpus (FIXTURES.md §1).
+
+Seeded, self-contained generator of Common-Crawl-style web pages matching
+BASELINE.json:input_hint — (url, warc_ts, html, text, lang) — with planted
+ground truth:
+
+- exact-dup clusters (~10% of rows, sizes 2-5): identical html/text bytes,
+  distinct urls
+- near-dup clusters (~10%, sizes 2-4): shared template with a controlled
+  token-edit rate (2-10%)
+- boilerplate rows (~2%): one large shared template block + tiny unique tail
+  (exercises LSH hot-band skew)
+- uniques: independent token sequences
+- edge rows: empty, whitespace-only, non-ASCII, very long
+
+``html`` is built so that ``extract.extract_text_one(html) == text`` exactly
+(the parity invariant). Ground-truth cluster membership is returned alongside
+so tests can compute recall without an external oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.stages.extract import extract_text_one
+
+_WORDS = (
+    "data batch stream shard block shuffle merge index digest token page "
+    "crawl fetch parse render cache store query scan filter group sort join "
+    "hash band row column table value key count total byte file path url "
+    "node edge graph label round phase stage write read spill limit slice "
+    "web text corpus near exact dup clean fast slow small large wide tall"
+).split()
+
+
+@dataclass
+class SynthResult:
+    pages: pa.Table          # (url, warc_ts, html, text, lang)
+    truth: pa.Table          # (url, cluster_id, kind) — kind in {exact, near, boiler, unique, edge}
+
+
+def _sentence(rng: np.random.Generator, n: int) -> list[str]:
+    return [_WORDS[i] for i in rng.integers(0, len(_WORDS), n)]
+
+
+def _html_wrap(text: str, title: str) -> bytes:
+    # extract_text_one strips tags/scripts and collapses whitespace; the title
+    # becomes leading tokens, so include it in `text` computation by re-running
+    # the extractor on the wrapped bytes (callers use the returned text).
+    body = (
+        f"<html><head><title>{title}</title>"
+        f"<script>var x = 1;</script><style>p {{color: red}}</style></head>"
+        f"<body><!-- gen --><p>{text}</p></body></html>"
+    )
+    return body.encode("utf-8")
+
+
+def synth_pages(
+    n: int = 2000,
+    seed: int = 42,
+    *,
+    exact_frac: float = 0.10,
+    near_frac: float = 0.10,
+    boiler_frac: float = 0.02,
+    edit_rate_lo: float = 0.02,
+    edit_rate_hi: float = 0.10,
+    doc_len: int = 220,
+) -> SynthResult:
+    rng = np.random.default_rng(seed)
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    tss: list[int] = []
+    cluster_ids: list[int] = []
+    kinds: list[str] = []
+
+    base_ts = 1_700_000_000_000_000  # fixed epoch micros; no wall clock
+    cluster_seq = 0
+    row = 0
+
+    def add(tokens_or_text, kind: str, cid: int, lang: str = "en") -> None:
+        nonlocal row
+        text_src = (
+            " ".join(tokens_or_text) if isinstance(tokens_or_text, list) else tokens_or_text
+        )
+        url = f"https://site{cid % 97:02d}.example.com/{kind}/{row:07d}.html"
+        title = f"{kind} {cid}"
+        html = _html_wrap(text_src, title)
+        urls.append(url)
+        htmls.append(html)
+        texts.append(extract_text_one(html))
+        langs.append(lang)
+        tss.append(base_ts + row * 1_000_000)
+        cluster_ids.append(cid)
+        kinds.append(kind)
+        row += 1
+
+    n_exact_rows = int(n * exact_frac)
+    n_near_rows = int(n * near_frac)
+    n_boiler_rows = int(n * boiler_frac)
+    n_edge = 6 if n >= 100 else 0
+    n_unique = max(0, n - n_exact_rows - n_near_rows - n_boiler_rows - n_edge)
+
+    # exact-dup clusters: identical token sequence (and identical html ⇒
+    # identical text bytes), distinct urls
+    made = 0
+    while made < n_exact_rows:
+        size = int(rng.integers(2, 6))
+        size = max(2, min(size, n_exact_rows - made))
+        toks = _sentence(rng, doc_len)
+        cluster_seq += 1
+        for _ in range(size):
+            add(toks, "exact", cluster_seq)
+        made += size
+
+    # near-dup clusters: template + per-member token edits at a controlled rate
+    made = 0
+    while made < n_near_rows:
+        size = int(rng.integers(2, 5))
+        size = max(2, min(size, n_near_rows - made))
+        template = _sentence(rng, doc_len)
+        cluster_seq += 1
+        add(template, "near", cluster_seq)
+        for _ in range(size - 1):
+            rate = rng.uniform(edit_rate_lo, edit_rate_hi)
+            toks = list(template)
+            n_edits = max(1, int(len(toks) * rate))
+            pos = rng.choice(len(toks), size=n_edits, replace=False)
+            for p in pos:
+                toks[p] = _WORDS[int(rng.integers(0, len(_WORDS)))]
+            add(toks, "near", cluster_seq)
+        made += size
+
+    # boilerplate: one big shared block + tiny unique tail (hot LSH bands,
+    # but NOT near-dups of each other at Jaccard >= threshold necessarily)
+    boiler_block = _sentence(rng, doc_len * 2)
+    for _ in range(n_boiler_rows):
+        cluster_seq += 1
+        tail = _sentence(rng, max(4, doc_len // 8))
+        add(boiler_block + tail, "boiler", cluster_seq)
+
+    # uniques
+    for _ in range(n_unique):
+        cluster_seq += 1
+        add(_sentence(rng, doc_len), "unique", cluster_seq)
+
+    # edge rows: empty, whitespace-only html body, non-ascii, very long
+    if n_edge:
+        cluster_seq += 1
+        add("", "edge", cluster_seq)
+        cluster_seq += 1
+        urls.append(f"https://edge.example.com/ws/{row:07d}.html")
+        htmls.append(b"<html><body>   \n\t  </body></html>")
+        texts.append(extract_text_one(htmls[-1]))
+        langs.append("en")
+        tss.append(base_ts + row * 1_000_000)
+        cluster_ids.append(cluster_seq)
+        kinds.append("edge")
+        row += 1
+        cluster_seq += 1
+        add("díaçrítics straße 東京 ناتج データ " * 30, "edge", cluster_seq, lang="ja")
+        cluster_seq += 1
+        add(_sentence(rng, doc_len * 40), "edge", cluster_seq)  # very long
+        cluster_seq += 1
+        add(_sentence(rng, 3), "edge", cluster_seq)  # very short
+        cluster_seq += 1
+        add("&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "edge", cluster_seq)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    truth = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "cluster_id": pa.array(cluster_ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )
+    return SynthResult(pages=pages, truth=truth)
+
+
+def write_pages_parquet(path: str, n: int = 2000, seed: int = 42, **kw) -> SynthResult:
+    """Synthesize and persist (pages.parquet + truth.parquet) under ``path``."""
+    import os
+    import pyarrow.parquet as pq
+
+    res = synth_pages(n=n, seed=seed, **kw)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(res.pages, os.path.join(path, "pages.parquet"))
+    pq.write_table(res.truth, os.path.join(path, "truth.parquet"))
+    return res
