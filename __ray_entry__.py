@@ -24,12 +24,15 @@ def _tbl(sf_dir: str, name: str) -> "rd.Dataset":
 
 
 def entry() -> Any:
-    """Flagship: dupers `dupe` analogue over the sf0.001 documents corpus —
-    digest every doc, group by digest, emit canonical rows + dup counts."""
-    from dupers_ray.pipelines.exact_dedup import exact_canonical
+    """Flagship: full dupe pipeline (exact digests + MinHash/LSH near-dup +
+    connected components) over the sf0.001 documents corpus → one cluster
+    assignment per doc (BASELINE.json:north_rule shape)."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
 
     docs = _tbl("/root/testdata/sf0.001", "documents")
-    return exact_canonical(docs, id_col="doc_id", content_col="text")
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return dupe_clusters(docs, cfg, concurrency=(1, 4))
 
 
 # ---------------------------------------------------------------- queries
@@ -135,6 +138,17 @@ def _q_refresh_anti_shuffle(sf_dir: str):
     )
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """MinHash/LSH + components clusters over documents. Not SQL-expressible
+    (iterative graph algorithm) → rows-only driver check; value conformance
+    is covered by tests/test_near_dedup.py recall >= 0.99 vs planted truth."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return dupe_clusters(_tbl(sf_dir, "documents"), cfg, concurrency=(1, 4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -149,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_text_nocase": _q_search_text_nocase,
         "refresh_anti_broadcast": _q_refresh_anti_broadcast,
         "refresh_anti_shuffle": _q_refresh_anti_shuffle,
+        "near_dup_clusters": _q_near_dup_clusters,
     }
 
 

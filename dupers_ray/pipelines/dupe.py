@@ -1,0 +1,143 @@
+"""Flagship pipeline — the engine's ``dupers dupe`` at web scale.
+
+Logical DAG (SURVEY.md §3.1 "engine shape"):
+
+    read pages → [extract_text → drop html] → digest →
+        exact edges   (groupby digest_u64 → star pairs)            [shuffle 1]
+        near edges    (MinHash actor pool → LSH bucket groupby →
+                       verify joins)                               [shuffles 2-4]
+    → union edge lists → connected components → (url, cluster_id)
+
+Every input row gets a cluster assignment; rows in no dup relation keep
+their own node id as cluster_id (singleton cluster). cluster_id is the
+minimum node id in the component — the deterministic replacement for the
+reference's walk-order "first match" (docs/README.md:198-201).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dupers_ray.config import DedupConfig
+from dupers_ray.functions.hashing import node_ids
+from dupers_ray.pipelines.components import components
+from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
+from dupers_ray.pipelines.joins import hash_join
+from dupers_ray.pipelines.near_dedup import near_dup_edges
+
+
+def _url_to_node(batch: pa.Table, *, id_col: str) -> pa.Table:
+    ids = [str(v) for v in batch.column(id_col).to_pylist()]
+    return pa.table(
+        {id_col: batch.column(id_col), "node": pa.array(node_ids(ids))}
+    )
+
+
+def dupe_clusters(
+    ds: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    include_exact: bool = True,
+    components_strategy: str = "auto",
+    concurrency=(2, 8),
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(id_col, cluster_id) for EVERY input row with non-null id."""
+    cfg = cfg or DedupConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+
+    near_edges, _sigs = near_dup_edges(
+        ds, shingle=cfg.shingle, minhash=cfg.minhash,
+        id_col=id_col, text_col=text_col, concurrency=concurrency,
+    )
+    edges = near_edges.select_columns(["src", "dst"])
+
+    if include_exact:
+        # exact pairs in url space → node space (cheap insurance for docs the
+        # MinHash stage skips, e.g. whitespace-only or sub-shingle content)
+        ex = exact_dupe_pairs(ds, id_col=id_col, content_col=text_col)
+
+        def to_nodes(t: pa.Table) -> pa.Table:
+            a = [str(v) for v in t.column(id_col).to_pylist()]
+            b = [str(v) for v in t.column(f"match_{id_col}").to_pylist()]
+            return pa.table(
+                {"src": pa.array(node_ids(a)), "dst": pa.array(node_ids(b))}
+            )
+
+        edges = edges.union(ex.map_batches(to_nodes, batch_format="pyarrow"))
+
+    assign = components(edges, strategy=components_strategy)
+    if isinstance(assign, pa.Table):
+        assign_ds = ray.data.from_arrow(assign)
+        n_assigned = assign.num_rows
+    else:
+        assign_ds = assign.materialize()
+        n_assigned = assign_ds.count()
+
+    mapping = ds.map_batches(
+        _url_to_node, fn_kwargs={"id_col": id_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    if n_assigned <= broadcast_limit:
+        # assignment is small (only nodes that belong to some dup cluster):
+        # broadcast once via ray.put, look up per batch — no shuffle
+        if isinstance(assign, pa.Table):
+            at = assign
+        else:
+            refs = assign_ds.to_arrow_refs()
+            at = (
+                pa.concat_tables([ray.get(r) for r in refs])
+                if refs
+                else pa.table({"node": pa.array([], pa.uint64()),
+                               "cluster_id": pa.array([], pa.uint64())})
+            )
+        keys = np.asarray(at.column("node"), dtype=np.uint64)
+        vals = np.asarray(at.column("cluster_id"), dtype=np.uint64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        class Assign:
+            def __init__(self):
+                self.keys, self.vals = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                nodes = np.asarray(t.column("node"), dtype=np.uint64)
+                pos = np.searchsorted(self.keys, nodes)
+                pos = np.clip(pos, 0, len(self.keys) - 1) if len(self.keys) else pos
+                hit = (
+                    (self.keys[pos] == nodes) if len(self.keys) else np.zeros(len(nodes), bool)
+                )
+                cid = np.where(hit, self.vals[pos] if len(self.keys) else 0, nodes)
+                return pa.table(
+                    {
+                        id_col: t.column(id_col),
+                        "cluster_id": pa.array(cid.astype(np.uint64)),
+                    }
+                )
+
+        return mapping.map_batches(
+            Assign, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+
+    # large assignment: left-outer hash join, fill singletons with own node
+    joined = hash_join(
+        mapping, assign_ds, on="node", right_on="node",
+        join_type="left_outer", num_partitions=64,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        node = t.column("node").cast(pa.uint64())
+        cid = t.column("cluster_id").cast(pa.uint64())
+        filled = pc.if_else(pc.is_null(cid), node, cid)
+        return pa.table({id_col: t.column(id_col), "cluster_id": filled})
+
+    return joined.map_batches(fill, batch_format="pyarrow")

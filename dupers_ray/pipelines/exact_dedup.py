@@ -25,6 +25,22 @@ import ray.data
 
 from dupers_ray.stages.digest import digest_dataset
 
+# Coarse shuffle-partition count: groups are resolved per PARTITION (the
+# group fns sub-group by full digest with a vectorized pandas groupby), so
+# Ray never pays a per-distinct-digest map_groups call — at 10^12 docs a
+# per-digest callback would mean 10^12 Python invocations.
+DEFAULT_PARTITIONS = 256
+
+
+def _add_digest_part(batch, *, p: int):
+    import numpy as np
+    import pyarrow as pa
+
+    v = np.asarray(batch.column("digest_u64"), dtype=np.uint64)
+    return batch.append_column(
+        "__part", pa.array((v % np.uint64(p)).astype(np.int64))
+    )
+
 
 def _group_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     """Within one digest_u64 partition: split by full digest, emit
@@ -73,8 +89,11 @@ def exact_dupe_pairs(
     """(canonical url, match_url) pairs — the `dupe` report (J1/D1 parity)."""
     if not has_digests:
         ds = digest_dataset(ds, content_col=content_col)
-    ds = ds.select_columns([id_col, "digest", "digest_u64"])
-    return ds.groupby("digest_u64").map_groups(
+    ds = ds.select_columns([id_col, "digest", "digest_u64"]).map_batches(
+        _add_digest_part, fn_kwargs={"p": DEFAULT_PARTITIONS},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("__part").map_groups(
         _group_pairs, fn_kwargs={"id_col": id_col}, batch_format="pandas"
     )
 
@@ -92,8 +111,11 @@ def exact_canonical(
     keep_cols = keep_cols or []
     if not has_digests:
         ds = digest_dataset(ds, content_col=content_col)
-    ds = ds.select_columns([id_col, "digest", "digest_u64", *keep_cols])
-    return ds.groupby("digest_u64").map_groups(
+    ds = ds.select_columns([id_col, "digest", "digest_u64", *keep_cols]).map_batches(
+        _add_digest_part, fn_kwargs={"p": DEFAULT_PARTITIONS},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby("__part").map_groups(
         _group_canonical,
         fn_kwargs={"id_col": id_col, "keep_cols": keep_cols},
         batch_format="pandas",

@@ -55,8 +55,8 @@ CLUSTERS_SCHEMA = pa.schema(
 MINHASH_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
-        ("node", pa.uint64()),              # stable 64-bit id of url
-        ("sig", pa.list_(pa.uint64())),     # MinHash signature (num_perm values)
+        ("node", pa.uint64()),          # stable 64-bit id of url
+        ("sig", pa.binary()),           # num_perm little-endian uint32s
         ("n_shingles", pa.int64()),
     ]
 )

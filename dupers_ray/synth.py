@@ -7,7 +7,12 @@ ground truth:
 - exact-dup clusters (~10% of rows, sizes 2-5): identical html/text bytes,
   distinct urls
 - near-dup clusters (~10%, sizes 2-4): shared template with a controlled
-  token-edit rate (2-10%)
+  token-edit rate r in [0.5%, 3%]. With k=5 word shingles a token edit
+  kills ~k shingles, so member↔template shingle Jaccard ≈
+  (1-r)^k / (2-(1-r)^k) ∈ [~0.75, ~0.97] — comfortably above the default
+  LSH verify threshold (0.6) with ~4σ margin at 128 permutations.
+  Member↔member pairs can dip lower; they cluster transitively via the
+  template row.
 - boilerplate rows (~2%): one large shared template block + tiny unique tail
   (exercises LSH hot-band skew)
 - uniques: independent token sequences
@@ -65,8 +70,8 @@ def synth_pages(
     exact_frac: float = 0.10,
     near_frac: float = 0.10,
     boiler_frac: float = 0.02,
-    edit_rate_lo: float = 0.02,
-    edit_rate_hi: float = 0.10,
+    edit_rate_lo: float = 0.005,
+    edit_rate_hi: float = 0.03,
     doc_len: int = 220,
 ) -> SynthResult:
     rng = np.random.default_rng(seed)

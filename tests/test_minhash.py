@@ -1,0 +1,97 @@
+"""MinHash signature unit tests: determinism, Jaccard estimation accuracy,
+shingle semantics, band explode shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.config import MinHashConfig, ShingleConfig
+from dupers_ray.stages.minhash import MinHasher, explode_bands, signature_jaccard
+
+
+def _mk(num_perm=128, bands=32, rows=4, k=3):
+    return MinHasher(
+        shingle=ShingleConfig(k=k),
+        minhash=MinHashConfig(num_perm=num_perm, bands=bands, rows=rows),
+    )
+
+
+def test_signature_deterministic():
+    mh1, mh2 = _mk(), _mk()
+    texts = ["the quick brown fox jumps over the lazy dog " * 5]
+    s1, n1 = mh1.signatures(texts)
+    s2, n2 = mh2.signatures(texts)
+    assert (s1 == s2).all() and (n1 == n2).all()
+
+
+def test_identical_texts_identical_sigs():
+    mh = _mk()
+    s, _ = mh.signatures(["a b c d e f g h"] * 3)
+    assert (s[0] == s[1]).all() and (s[0] == s[2]).all()
+
+
+def test_jaccard_estimate_tracks_truth():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    base = list(rng.choice(words, 300))
+    # 10% token edits
+    edited = list(base)
+    for p in rng.choice(len(edited), 30, replace=False):
+        edited[p] = f"x{p}"
+    mh = _mk(num_perm=256, bands=64, rows=4)
+    s, _ = mh.signatures([" ".join(base), " ".join(edited)])
+    est = signature_jaccard(s[0], s[1])
+
+    # true shingle jaccard
+    def sh(toks, k=3):
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    a, b = sh(base), sh(edited)
+    true_j = len(a & b) / len(a | b)
+    assert abs(est - true_j) < 0.12  # 256 perms → s.e. ~ sqrt(j(1-j)/256) ~ 0.03
+
+
+def test_disjoint_texts_low_jaccard():
+    mh = _mk()
+    s, _ = mh.signatures(["aa bb cc dd ee ff gg hh", "ii jj kk ll mm nn oo pp"])
+    assert signature_jaccard(s[0], s[1]) < 0.1
+
+
+def test_short_and_empty_docs():
+    mh = _mk(k=5)
+    s, n = mh.signatures(["one two", "", "   ", "single"])
+    # "one two" → 1 shingle (whole doc), "" and "   " → none, "single" → 1
+    assert list(n) == [1, 0, 0, 1]
+    assert s.shape == (2, 128)
+
+
+def test_call_emits_rows_only_for_content():
+    mh = _mk()
+    t = pa.table({"url": ["u1", "u2", "u3"], "text": ["a b c d", "", "x y z w"]})
+    out = mh(t)
+    assert out.column("url").to_pylist() == ["u1", "u3"]
+    assert out.column("node").type == pa.uint64()
+    assert len(out.column("sig")[0].as_py()) == 128 * 4  # binary: uint32 LE each
+
+
+def test_explode_bands_shape_and_salt():
+    mh = _mk(num_perm=8, bands=4, rows=2)
+    t = pa.table({"url": ["u1", "u2"], "text": ["a b c d e", "a b c d e"]})
+    sig_t = mh(t)
+    out = explode_bands(sig_t, bands=4, rows=2)
+    assert len(out) == 8  # 2 docs × 4 bands
+    assert out.column("band_id").to_pylist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    # identical docs → identical band hashes per band
+    bh = out.column("band_hash").to_pylist()
+    assert bh[:4] == bh[4:]
+    # different bands of same doc get different hashes (salted) — overwhelmingly
+    assert len(set(bh[:4])) > 1
+
+
+def test_explode_bands_empty():
+    mh = _mk()
+    empty = mh(pa.table({"url": pa.array([], pa.string()), "text": pa.array([], pa.string())}))
+    out = explode_bands(empty, bands=32, rows=4)
+    assert len(out) == 0
+    assert out.column_names == ["band_id", "band_hash", "url", "node"]

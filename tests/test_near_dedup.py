@@ -1,0 +1,143 @@
+"""Near-dedup end-to-end: recall vs planted ground truth, components
+equivalence (driver vs distributed), determinism across partitioning.
+
+Conformance target: dup-pair recall >= 0.99 (BASELINE.json:metric) on the
+synthetic corpus at the default shingle/signature config.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dupers_ray.config import DedupConfig
+from dupers_ray.pipelines.components import (
+    components_distributed,
+    components_driver,
+)
+from dupers_ray.pipelines.dupe import dupe_clusters
+from dupers_ray.pipelines.near_dedup import near_dup_edges
+
+
+def _truth_pairs(truth: pa.Table) -> set[tuple[str, str]]:
+    """All same-cluster url pairs for planted exact+near clusters."""
+    by_cluster = defaultdict(list)
+    for url, cid, kind in zip(
+        truth["url"].to_pylist(), truth["cluster_id"].to_pylist(), truth["kind"].to_pylist()
+    ):
+        if kind in ("exact", "near"):
+            by_cluster[cid].append(url)
+    pairs = set()
+    for urls in by_cluster.values():
+        urls = sorted(urls)
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                pairs.add((urls[i], urls[j]))
+    return pairs
+
+
+def test_cluster_recall(pages_small):
+    ds = rd.from_arrow(pages_small.pages).repartition(8)
+    clusters = dupe_clusters(ds, DedupConfig()).to_pandas()
+    cid = dict(zip(clusters["url"], clusters["cluster_id"]))
+
+    expected = _truth_pairs(pages_small.truth)
+    assert expected, "corpus must plant dup pairs"
+    found = sum(1 for a, b in expected if cid.get(a) == cid.get(b))
+    recall = found / len(expected)
+    assert recall >= 0.99, f"recall {recall:.3f} < 0.99 ({found}/{len(expected)})"
+
+    # precision guard: unique docs must NOT collapse together
+    uniq_urls = [
+        u
+        for u, k in zip(
+            pages_small.truth["url"].to_pylist(), pages_small.truth["kind"].to_pylist()
+        )
+        if k == "unique"
+    ]
+    uniq_cids = [cid[u] for u in uniq_urls if u in cid]
+    assert len(set(uniq_cids)) == len(uniq_cids), "unique docs merged spuriously"
+
+    # every input row got an assignment
+    assert len(clusters) == pages_small.pages.num_rows
+
+
+def test_components_driver_vs_distributed():
+    edges = rd.from_items(
+        [
+            {"src": 10, "dst": 20},
+            {"src": 20, "dst": 30},   # chain: {10,20,30}
+            {"src": 50, "dst": 40},   # {40,50}
+            {"src": 100, "dst": 100},  # self loop
+            {"src": 7, "dst": 30},    # joins 7 into first comp
+        ]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src").cast(pa.uint64()),
+                "dst": t.column("dst").cast(pa.uint64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    drv = components_driver(edges)
+    dist = components_distributed(edges, num_partitions=4).to_pandas()
+
+    d1 = dict(zip(drv["node"].to_pylist(), drv["cluster_id"].to_pylist()))
+    d2 = dict(zip(dist["node"].astype(np.uint64), dist["cluster_id"].astype(np.uint64)))
+    assert d1 == d2
+    assert d1[7] == d1[10] == d1[20] == d1[30] == 7
+    assert d1[40] == d1[50] == 40
+
+
+def test_edges_deterministic_across_partitioning(pages_small):
+    cfg = DedupConfig()
+    res = []
+    for parts in (3, 11):
+        ds = rd.from_arrow(pages_small.pages).repartition(parts)
+        edges, _ = near_dup_edges(
+            ds, shingle=cfg.shingle, minhash=cfg.minhash
+        )
+        df = (
+            edges.to_pandas()[["src", "dst"]]
+            .astype(np.uint64)
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        res.append(df)
+    pd.testing.assert_frame_equal(res[0], res[1])
+
+
+def test_near_edges_find_near_not_just_exact(pages_small):
+    cfg = DedupConfig()
+    ds = rd.from_arrow(pages_small.pages)
+    edges, sigs = near_dup_edges(ds, shingle=cfg.shingle, minhash=cfg.minhash)
+    e = edges.to_pandas()
+    assert (e["jaccard"] <= 1.0).all() and (e["jaccard"] >= cfg.minhash.jaccard_threshold).all()
+    # map node→kind; near pairs must appear with jaccard < 1 (edited docs)
+    s = sigs.select_columns(["url", "node"]).to_pandas()
+    node_kind = dict(
+        zip(
+            s["node"].astype(np.uint64),
+            pd.Series(
+                dict(
+                    zip(
+                        pages_small.truth["url"].to_pylist(),
+                        pages_small.truth["kind"].to_pylist(),
+                    )
+                )
+            )[s["url"]].tolist(),
+        )
+    )
+    near_edge = [
+        j
+        for srcn, dstn, j in zip(
+            e["src"].astype(np.uint64), e["dst"].astype(np.uint64), e["jaccard"]
+        )
+        if node_kind.get(srcn) == "near" and node_kind.get(dstn) == "near" and j < 0.999
+    ]
+    assert near_edge, "no strictly-near (non-exact) edges found"
