@@ -32,7 +32,7 @@ def entry() -> Any:
 
     docs = _tbl("/root/testdata/sf0.001", "documents")
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return dupe_clusters(docs, cfg, concurrency=(1, 4))
+    return dupe_clusters(docs, cfg)
 
 
 # ---------------------------------------------------------------- queries
@@ -146,7 +146,7 @@ def _q_near_dup_clusters(sf_dir: str):
     from dupers_ray.pipelines.dupe import dupe_clusters
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return dupe_clusters(_tbl(sf_dir, "documents"), cfg, concurrency=(1, 4))
+    return dupe_clusters(_tbl(sf_dir, "documents"), cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

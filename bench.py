@@ -1,0 +1,154 @@
+"""Benchmark harness. Prints ONE JSON line with the headline time and
+per-query timings.
+
+  python bench.py                # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                 # ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+  python bench.py --scaling      # same pipeline at 8 and 32 CPUs in fresh
+                                 # processes → throughputs + scaling efficiency
+
+Headline: the flagship dupe pipeline (extract-parity corpus → digests +
+MinHash/LSH → verified edges → connected components → cluster per doc)
+over a deterministic synthetic pages corpus (seed 42, n=$GRAFT_BENCH_DOCS
+or 50_000), cached as parquet under /tmp so every run measures the
+pipeline, not the generator. The same corpus is reused verbatim at both
+CPU levels for the scaling criterion (FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+SEED = 42
+CACHE_ROOT = "/tmp/dupers_ray_bench"
+
+
+def ensure_pages_corpus() -> str:
+    path = os.path.join(CACHE_ROOT, f"pages_n{BENCH_DOCS}_seed{SEED}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        from dupers_ray.synth import write_pages_parquet
+
+        write_pages_parquet(path, n=BENCH_DOCS, seed=SEED, files=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(path, "pages")
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    ctx.execution_options.preserve_order = False  # cluster order is unordered
+
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.exact_dedup import exact_canonical, exact_dupe_pairs
+    from dupers_ray.pipelines.maintenance import counts_by_bucket
+    from dupers_ray.pipelines.near_dedup import near_dup_edges
+    from dupers_ray.pipelines.search import search
+
+    pages_path = ensure_pages_corpus()
+
+    # warm OS page cache (untimed) so we measure compute+shuffle, not cold disk
+    rd.read_parquet(pages_path).count()
+
+    queries: dict[str, float] = {}
+    n_docs = 0
+
+    def timed(name: str, fn):
+        nonlocal n_docs
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # headline: full dupe pipeline over the pages corpus
+    def headline():
+        ds = rd.read_parquet(pages_path)
+        return dupe_clusters(ds, DedupConfig()).count()
+
+    n_docs = timed("dupe_pages", headline)
+
+    # secondary pipelines over the driver tables
+    doc_path = os.path.join(SF_DIR, "documents.parquet")
+    timed("exact_canonical_docs", lambda: exact_canonical(
+        rd.read_parquet(doc_path), id_col="doc_id", content_col="text").count())
+    timed("exact_pairs_docs", lambda: exact_dupe_pairs(
+        rd.read_parquet(doc_path), id_col="doc_id", content_col="text").count())
+    timed("search_docs", lambda: search(
+        rd.read_parquet(doc_path), "join", column="text",
+        keep_cols=["doc_id", "source"]).count())
+    timed("counts_docs", lambda: counts_by_bucket(
+        rd.read_parquet(doc_path), bucket_col="source", size_col="n_chars").count())
+    timed("near_edges_pages", lambda: near_dup_edges(
+        rd.read_parquet(pages_path))[0].count())
+
+    headline_sec = queries["dupe_pages"]
+    result = {
+        "metric": "dupe_pipeline_pages_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": BENCH_DOCS,
+        "docs_assigned": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    ensure_pages_corpus()  # build once; both runs read identical bytes
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    # efficiency of 8→32 CPUs: ideal speedup 4×
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": lo["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

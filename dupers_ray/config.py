@@ -42,12 +42,21 @@ class MinHashConfig:
     seed: int = 42
     jaccard_threshold: float = 0.6   # signature-estimated Jaccard to keep a pair
     max_bucket_size: int = 500       # cap on docs per LSH bucket (skew guard); drops logged
+    # "oph": one-permutation MinHash with rotation densification (one pass
+    # over shingles — ~50x faster than num_perm universal hashes; published
+    # method: Li/Owen/Zhang 2012, Shrivastava&Li 2014). "universal": classic
+    # (a*x+b) mod 2^31-1 family, kept as the cross-validation reference.
+    method: str = "oph"
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:
             raise ValueError(
                 f"bands*rows must equal num_perm ({self.bands}*{self.rows} != {self.num_perm})"
             )
+        if self.method == "oph" and (self.num_perm & (self.num_perm - 1)) != 0:
+            raise ValueError("oph requires num_perm to be a power of two")
+        if self.method not in ("oph", "universal"):
+            raise ValueError(f"unknown minhash method {self.method!r}")
 
 
 @dataclass(frozen=True)

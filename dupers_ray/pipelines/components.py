@@ -137,11 +137,14 @@ def components_distributed(
 
     labels = _init_labels(sym, num_partitions).materialize()
 
+    edge_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
+    label_schema = pa.schema([("node", pa.uint64()), ("label", pa.uint64())])
     for rnd in range(max_rounds):
         # messages: neighbor labels flowing along edges
         msgs = hash_join(sym, labels.select_columns(["node", "label"]),
                          on="src", right_on="node",
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         left_schema=edge_schema, right_schema=label_schema)
         msgs = msgs.map_batches(
             lambda t: pa.table({"node": t.column("dst").cast(pa.uint64()),
                                 "label": t.column("label").cast(pa.uint64()),

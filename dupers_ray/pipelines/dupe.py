@@ -44,7 +44,7 @@ def dupe_clusters(
     *,
     include_exact: bool = True,
     components_strategy: str = "auto",
-    concurrency=(2, 8),
+    concurrency=None,
     broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """(id_col, cluster_id) for EVERY input row with non-null id."""
@@ -71,6 +71,10 @@ def dupe_clusters(
 
         edges = edges.union(ex.map_batches(to_nodes, batch_format="pyarrow"))
 
+    # materialize the (small) edge list once: components consumes it several
+    # times (count for strategy choice + iteration); without this each
+    # consumption re-executes the whole LSH sub-DAG
+    edges = edges.materialize()
     assign = components(edges, strategy=components_strategy)
     if isinstance(assign, pa.Table):
         assign_ds = ray.data.from_arrow(assign)
@@ -79,7 +83,7 @@ def dupe_clusters(
         assign_ds = assign.materialize()
         n_assigned = assign_ds.count()
 
-    mapping = ds.map_batches(
+    mapping = ds.select_columns([id_col]).map_batches(
         _url_to_node, fn_kwargs={"id_col": id_col},
         batch_format="pyarrow", zero_copy_batch=True,
     )

@@ -24,12 +24,18 @@ def hash_join(
     num_partitions: int = 32,
     join_type: str = "inner",
     impl: str = "cogroup",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Default impl is the cogroup join: the native JoinOperator in this Ray
     release RESERVES num-CPUs-worth of resources per join operator, so a DAG
     with two chained joins deadlocks on small clusters (observed: two joins
     each 'requiring 4 CPUs' on a 4-CPU local cluster → starved executor).
-    The cogroup path shares the normal task pool and streams."""
+    The cogroup path shares the normal task pool and streams.
+
+    Pass ``left_schema``/``right_schema`` when known: calling .schema() on a
+    lazy Dataset EXECUTES its sub-DAG to infer types, which serializes the
+    pipeline and double-runs shuffles."""
     right_on = right_on or on
     if impl == "native":
         return left.join(
@@ -44,7 +50,15 @@ def hash_join(
     return cogroup_join(
         left, right, on=on, right_on=right_on, num_partitions=num_partitions,
         how="inner" if join_type == "inner" else "left",
+        left_schema=left_schema, right_schema=right_schema,
     )
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Dataset schema as a pyarrow.Schema (may execute a lazy sub-DAG —
+    prefer passing schemas explicitly on hot paths)."""
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
 
 
 def cogroup_join(
@@ -55,13 +69,15 @@ def cogroup_join(
     right_on: str | None = None,
     num_partitions: int = 32,
     how: str = "inner",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Inner/left join via tagged union + groupby(hash(key) % P) + per-group
-    pandas merge. Keys must be integer-typed (the engine joins on uint64
+    Arrow join. Keys must be integer-typed (the engine joins on uint64
     node ids / hashes)."""
     right_on = right_on or on
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lcols = list(lschema.names)
     rcols = [c for c in rschema.names if c != right_on]
     # union() needs one schema: pad each side with nulls for the other's cols

@@ -40,6 +40,23 @@ from dupers_ray.stages.minhash import MinHasher, explode_bands
 logger = logging.getLogger(__name__)
 
 
+# Per-worker-process MinHasher cache for the stateless-task path: state
+# (perm params + compiled tokenizer) builds in ~1 ms, so tasks beat an actor
+# pool (no pool spin-up latency, fully elastic) as long as construction is
+# amortized per process — which this cache does. The actor-pool path remains
+# for configs with genuinely heavy state (e.g. model-based shingling).
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_batch(batch, *, shingle, minhash, id_col, text_col):
+    key = (shingle, minhash, id_col, text_col)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = MinHasher(shingle=shingle, minhash=minhash, id_col=id_col, text_col=text_col)
+        _MINHASHER_CACHE[key] = mh
+    return mh(batch)
+
+
 def minhash_signatures(
     ds: "ray.data.Dataset",
     *,
@@ -48,11 +65,27 @@ def minhash_signatures(
     id_col: str = "url",
     text_col: str = "text",
     batch_size: int = 1024,
-    concurrency=(2, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
+    shingle = shingle or ShingleConfig()
+    minhash = minhash or MinHashConfig()
+    if concurrency is not None:
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs={
+                "shingle": shingle,
+                "minhash": minhash,
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
+        _minhash_batch,
+        fn_kwargs={
             "shingle": shingle,
             "minhash": minhash,
             "id_col": id_col,
@@ -61,7 +94,6 @@ def minhash_signatures(
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 
@@ -161,16 +193,23 @@ def verify_pairs(
     cfg = minhash or MinHashConfig()
     sigs = signatures.select_columns(["node", "sig"])
 
+    pairs_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
+    sig_schema = pa.schema([("node", pa.uint64()), ("sig", pa.binary())])
     j1 = hash_join(pairs, sigs, on="src", right_on="node",
-                   num_partitions=num_partitions)
+                   num_partitions=num_partitions,
+                   left_schema=pairs_schema, right_schema=sig_schema)
     j1 = j1.map_batches(
         lambda t: t.rename_columns(
             ["sig_src" if c == "sig" else c for c in t.column_names]
         ).drop_columns([c for c in ("node",) if c in t.column_names]),
         batch_format="pyarrow",
     )
+    j1_schema = pa.schema(
+        [("src", pa.uint64()), ("dst", pa.uint64()), ("sig_src", pa.binary())]
+    )
     j2 = hash_join(j1, sigs, on="dst", right_on="node",
-                   num_partitions=num_partitions)
+                   num_partitions=num_partitions,
+                   left_schema=j1_schema, right_schema=sig_schema)
 
     def score(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -201,7 +240,7 @@ def near_dup_edges(
     minhash: MinHashConfig | None = None,
     id_col: str = "url",
     text_col: str = "text",
-    concurrency=(2, 8),
+    concurrency=None,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Full near-dup front half. Returns (verified edge list with node ids,
     signature dataset with the id<->node mapping).

@@ -66,46 +66,84 @@ class MinHasher:
 
     def _shingle_hashes(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Returns (flat shingle-hash array uint64, per-doc segment offsets
-        int64 of length len(texts)+1). Docs with 0 tokens get empty segments."""
+        int64 of length len(texts)+1). Docs with 0 tokens get empty segments.
+
+        Fully batch-vectorized: tokens are interned through a dict (object
+        argsort via np.unique cost ~0.3ms/doc — the dict is ~10x cheaper),
+        the k-token rolling polynomial runs ONCE over the flattened token
+        array, and per-doc windows are selected with a gather index, so no
+        numpy call is issued per document."""
         k = self.shingle.k
-        toks_per_doc: list[list[str]] = []
-        for t in texts:
+        vocab: dict[str, int] = {}
+        sd = vocab.setdefault
+        codes: list[int] = []
+        ext = codes.extend
+        counts = np.empty(len(texts), np.int64)
+        findall = self.tok.findall
+        lower = self.shingle.lowercase
+        for i, t in enumerate(texts):
             s = t if t is not None else ""
-            if self.shingle.lowercase:
+            if lower:
                 s = s.lower()
-            toks_per_doc.append(self.tok.findall(s))
+            toks = findall(s)
+            counts[i] = len(toks)
+            ext(sd(w, len(vocab)) for w in toks)
 
-        flat = [w for toks in toks_per_doc for w in toks]
-        if not flat:
-            return np.empty(0, np.uint64), np.zeros(len(texts) + 1, np.int64)
-
-        arr = np.array(flat, dtype=object)
-        uniq, inv = np.unique(arr, return_inverse=True)
-        tok_h = hash_str_u64(list(uniq))[inv]  # uint64 per token position
-
-        sh_chunks: list[np.ndarray] = []
         offsets = np.zeros(len(texts) + 1, np.int64)
-        pos = 0
+        np.cumsum(counts, out=offsets[1:])
+        n_tok = offsets[-1]
+        if n_tok == 0:
+            return np.empty(0, np.uint64), offsets
+
+        uniq_h = hash_str_u64(list(vocab.keys()))
+        tok_h = uniq_h[np.fromiter(codes, np.int64, count=n_tok)]
+
+        # shingles per doc: n-k+1 for n>=k, 1 for 0<n<k (whole-doc shingle)
+        m = np.where(counts >= k, counts - k + 1, np.minimum(counts, 1))
+        sh_offsets = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(m, out=sh_offsets[1:])
+        total = int(sh_offsets[-1])
+        flat_sh = np.empty(total, np.uint64)
+
         with np.errstate(over="ignore"):
-            for i, toks in enumerate(toks_per_doc):
-                n = len(toks)
-                seg = tok_h[pos : pos + n]
-                pos += n
-                if n == 0:
-                    offsets[i + 1] = offsets[i]
-                    continue
-                kk = min(k, n)  # short docs: one shingle over all tokens
-                m = n - kk + 1
-                h = seg[:m].copy()
-                for j in range(1, kk):
-                    h = h * _POLY + seg[j : j + m]
-                sh = splitmix64(h)
-                sh_chunks.append(sh)
-                offsets[i + 1] = offsets[i] + m
-        flat_sh = (
-            np.concatenate(sh_chunks) if sh_chunks else np.empty(0, np.uint64)
-        )
-        return flat_sh, offsets
+            # one global rolling pass; windows that cross doc boundaries are
+            # simply never gathered
+            if n_tok >= k:
+                nw = n_tok - k + 1
+                acc = tok_h[:nw].copy()
+                for j in range(1, k):
+                    acc *= _POLY
+                    acc += tok_h[j : j + nw]
+            else:
+                acc = np.empty(0, np.uint64)
+
+            long_mask = counts >= k
+            m_long = m[long_mask]
+            if m_long.size:
+                # gather index: for each long doc, arange(off, off + m_doc)
+                starts = offsets[:-1][long_mask]
+                rep_starts = np.repeat(starts, m_long)
+                grp = np.repeat(np.cumsum(m_long) - m_long, m_long)
+                intra = np.arange(rep_starts.size, dtype=np.int64) - grp
+                src_idx = rep_starts + intra
+                dst_starts = sh_offsets[:-1][long_mask]
+                rep_dst = np.repeat(dst_starts, m_long)
+                dst_idx = rep_dst + intra
+                flat_sh[dst_idx] = splitmix64(acc[src_idx])
+
+            # short docs (0 < n < k): one shingle mixing all their tokens —
+            # rare in web corpora, loop only over those
+            short_idx = np.nonzero((counts > 0) & ~long_mask)[0]
+            for i in short_idx:
+                seg = tok_h[offsets[i] : offsets[i + 1]]
+                h = seg[0]
+                for j in range(1, len(seg)):
+                    h = h * _POLY + seg[j]
+                flat_sh[sh_offsets[i]] = splitmix64(
+                    np.array([h], np.uint64)
+                )[0]
+
+        return flat_sh, sh_offsets
 
     def signatures(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """(sig matrix uint32 of shape (num_docs_with_content, num_perm),
@@ -115,6 +153,8 @@ class MinHasher:
         keep = n_sh > 0
         if not keep.any():
             return np.empty((0, self.cfg.num_perm), np.uint32), n_sh
+        if self.cfg.method == "oph":
+            return self._signatures_oph(flat_sh, n_sh, keep), n_sh
         starts = offsets[:-1][keep]
         # fold 64-bit shingle hashes to 32-bit x (top xor bottom)
         x = ((flat_sh >> np.uint64(32)) ^ (flat_sh & np.uint64(0xFFFFFFFF))).astype(
@@ -126,10 +166,52 @@ class MinHasher:
         with np.errstate(over="ignore"):
             for c0 in range(0, P, chunk):
                 c1 = min(c0 + chunk, P)
-                vals = (self.a[c0:c1, None] * x[None, :] + self.b[c0:c1, None]) % _P31
+                vals = self.a[c0:c1, None] * x[None, :] + self.b[c0:c1, None]
+                # Mersenne reduction mod 2^31-1 via shift-add (~3x faster
+                # than the generic uint64 %): after two folds v < 2^31+1,
+                # one conditional subtract canonicalizes to [0, p)
+                vals = (vals & _P31) + (vals >> np.uint64(31))
+                vals = (vals & _P31) + (vals >> np.uint64(31))
+                vals -= np.where(vals >= _P31, _P31, np.uint64(0))
                 mins = np.minimum.reduceat(vals, starts, axis=1)
                 out[:, c0:c1] = mins.T.astype(np.uint32)
         return out, n_sh
+
+    def _signatures_oph(
+        self, flat_sh: np.ndarray, n_sh: np.ndarray, keep: np.ndarray
+    ) -> np.ndarray:
+        """One-permutation MinHash: each shingle hash lands in ONE bin
+        (top log2(P) bits), bin value = min of low-32-bit values; empty bins
+        are filled by circular borrow-from-left with a distance-mixed offset
+        (rotation densification) so sparse docs stay comparable."""
+        P = self.cfg.num_perm
+        logp = P.bit_length() - 1
+        D = int(keep.sum())
+        doc_ord = np.repeat(np.arange(D, dtype=np.int64), n_sh[keep])
+        bins = (flat_sh >> np.uint64(64 - logp)).astype(np.int64)
+        vals = (flat_sh & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        SENT = np.uint64(1) << np.uint64(33)
+        sig = np.full(D * P, SENT, np.uint64)
+        np.minimum.at(sig, doc_ord * P + bins, vals)
+        sig = sig.reshape(D, P)
+
+        empty = sig >= SENT
+        if empty.any():
+            with np.errstate(over="ignore"):
+                # circular forward-fill: for each bin, nearest filled bin at or
+                # to its left in the doubled array ⇒ circular borrow
+                tiled = np.concatenate([sig, sig], axis=1)
+                col = np.arange(2 * P, dtype=np.int64)
+                pos = np.where(tiled < SENT, col[None, :], np.int64(-1))
+                np.maximum.accumulate(pos, axis=1, out=pos)
+                pos2 = pos[:, P:]  # for bin j: last filled position ≤ j+P
+                dist = (np.arange(P, dtype=np.int64)[None, :] + P) - pos2
+                src = np.take_along_axis(tiled, pos2, axis=1)
+                borrowed = (
+                    src + dist.astype(np.uint64) * np.uint64(0x9E3779B9)
+                ) & np.uint64(0xFFFFFFFF)
+                sig = np.where(empty, borrowed, sig)
+        return sig.astype(np.uint32)
 
     # ------------------------------------------------------------- stage fn
 

@@ -194,13 +194,24 @@ def synth_pages(
     return SynthResult(pages=pages, truth=truth)
 
 
-def write_pages_parquet(path: str, n: int = 2000, seed: int = 42, **kw) -> SynthResult:
-    """Synthesize and persist (pages.parquet + truth.parquet) under ``path``."""
+def write_pages_parquet(
+    path: str, n: int = 2000, seed: int = 42, *, files: int = 16, **kw
+) -> SynthResult:
+    """Synthesize and persist pages as a MULTI-FILE parquet dataset under
+    ``path``/pages/ (one read task per file — a single file serializes the
+    read stage), plus ``path``/truth.parquet."""
     import os
     import pyarrow.parquet as pq
 
     res = synth_pages(n=n, seed=seed, **kw)
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(res.pages, os.path.join(path, "pages.parquet"))
+    pages_dir = os.path.join(path, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    nrows = res.pages.num_rows
+    files = max(1, min(files, nrows))
+    step = (nrows + files - 1) // files
+    for i in range(files):
+        chunk = res.pages.slice(i * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(pages_dir, f"part-{i:05d}.parquet"))
     pq.write_table(res.truth, os.path.join(path, "truth.parquet"))
     return res

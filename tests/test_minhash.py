@@ -31,7 +31,11 @@ def test_identical_texts_identical_sigs():
     assert (s[0] == s[1]).all() and (s[0] == s[2]).all()
 
 
-def test_jaccard_estimate_tracks_truth():
+import pytest
+
+
+@pytest.mark.parametrize("method,tol", [("universal", 0.12), ("oph", 0.16)])
+def test_jaccard_estimate_tracks_truth(method, tol):
     rng = np.random.default_rng(7)
     words = [f"w{i}" for i in range(500)]
     base = list(rng.choice(words, 300))
@@ -39,7 +43,10 @@ def test_jaccard_estimate_tracks_truth():
     edited = list(base)
     for p in rng.choice(len(edited), 30, replace=False):
         edited[p] = f"x{p}"
-    mh = _mk(num_perm=256, bands=64, rows=4)
+    mh = MinHasher(
+        shingle=ShingleConfig(k=3),
+        minhash=MinHashConfig(num_perm=256, bands=64, rows=4, method=method),
+    )
     s, _ = mh.signatures([" ".join(base), " ".join(edited)])
     est = signature_jaccard(s[0], s[1])
 
@@ -49,7 +56,9 @@ def test_jaccard_estimate_tracks_truth():
 
     a, b = sh(base), sh(edited)
     true_j = len(a & b) / len(a | b)
-    assert abs(est - true_j) < 0.12  # 256 perms → s.e. ~ sqrt(j(1-j)/256) ~ 0.03
+    # universal: s.e. ~ sqrt(j(1-j)/256) ~ 0.03; OPH adds densification
+    # variance when shingles (~300) barely cover 256 bins
+    assert abs(est - true_j) < tol
 
 
 def test_disjoint_texts_low_jaccard():
