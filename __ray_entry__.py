@@ -149,6 +149,124 @@ def _q_near_dup_clusters(sf_dir: str):
     return dupe_clusters(_tbl(sf_dir, "documents"), cfg)
 
 
+def _q_token_stats(sf_dir: str):
+    """Token counting + quality word/char counts (stages/textstats.py)."""
+    from dupers_ray.stages.textstats import quality_stats, token_counts
+
+    out = (
+        _tbl(sf_dir, "documents")
+        .map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return out.select_columns(["doc_id", "n_tokens_ws", "n_tokens_bpe", "n_words", "n_chars_q"])
+
+
+def _q_lang_id(sf_dir: str):
+    """Heuristic language ID — rows-only check (stopword-table heuristic)."""
+    from dupers_ray.stages.textstats import lang_id
+
+    return (
+        _tbl(sf_dir, "documents")
+        .map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    """Rolling-hash fingerprints — rows-only (hash fn not in DuckDB)."""
+    from dupers_ray.stages.textstats import fingerprint
+
+    return (
+        _tbl(sf_dir, "documents")
+        .map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def _emb_queries(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t.column("vec_id").to_numpy()
+    sel = np.nonzero(ids < n)[0]
+    m = np.array(t.column("embedding").take(sel).to_pylist(), dtype=np.float32)
+    return np.asarray(ids[sel], dtype=np.int64), m
+
+
+def _q_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id<5 (scores omitted
+    from the compared output — float tie-break noise; membership+ids are
+    exact)."""
+    from dupers_ray.stages.embed import topk_cosine
+
+    qids, qm = _emb_queries(sf_dir)
+    out = topk_cosine(
+        _tbl(sf_dir, "embeddings"), qm, k=10, query_ids=qids
+    )
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine >= 0.4 via broadcast corpus matrix (0.4
+    gives nonzero pairs at sf0.01; no pair sits within 1e-4 of the
+    boundary, so float32-vs-double scoring can't flip membership)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dupers_ray.stages.embed import cosine_pairs_broadcast
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    out = cosine_pairs_broadcast(
+        _tbl(sf_dir, "embeddings"), ids, m, threshold=0.4
+    )
+    return out.select_columns(["a", "b"])
+
+
+def _q_cosine_pairs_lsh(sf_dir: str):
+    """Approximate (hyperplane-LSH) cosine pairs — rows-only (approximate
+    by design; recall vs exact is tested in tests/test_embed.py)."""
+    from dupers_ray.stages.embed import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        _tbl(sf_dir, "embeddings"), threshold=0.4, dim=64
+    ).select_columns(["a", "b"])
+
+
+def _q_window_agg(sf_dir: str):
+    from dupers_ray.pipelines.events import tumbling_window_agg
+
+    return tumbling_window_agg(_tbl(sf_dir, "events"), window="1h")
+
+
+def _q_sessionize(sf_dir: str):
+    from dupers_ray.pipelines.events import sessionize
+
+    return sessionize(_tbl(sf_dir, "events"), gap="30m")
+
+
+def _q_bucket_rename(sf_dir: str):
+    """`mv` parity (database.go:693-716)."""
+    from dupers_ray.pipelines.maintenance import rename_bucket
+
+    return rename_bucket(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        "src0", "src0_renamed", bucket_col="source",
+    )
+
+
+def _q_bucket_remove(sf_dir: str):
+    """`rm` parity (database.go:719-729)."""
+    from dupers_ray.pipelines.maintenance import remove_bucket
+
+    return remove_bucket(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        "src3", bucket_col="source",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -164,6 +282,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refresh_anti_broadcast": _q_refresh_anti_broadcast,
         "refresh_anti_shuffle": _q_refresh_anti_shuffle,
         "near_dup_clusters": _q_near_dup_clusters,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "topk_cosine": _q_topk_cosine,
+        "cosine_pairs": _q_cosine_pairs,
+        "cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "window_agg": _q_window_agg,
+        "sessionize": _q_sessionize,
+        "bucket_rename": _q_bucket_rename,
+        "bucket_remove": _q_bucket_remove,
     }
 
 
@@ -207,5 +335,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "refresh_anti_shuffle": """
             SELECT doc_id, source FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT) AS n_tokens_bpe,
+                   CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_q
+            FROM documents
+        """,
+        "topk_cosine": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC
+                       ) AS rk
+                FROM scored
+            )
+            SELECT query_id, vec_id FROM ranked WHERE rk <= 10
+        """,
+        "cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "window_agg": """
+            SELECT user_id,
+                   CAST(sum(1) AS BIGINT) AS n,
+                   sum(value) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS win_start
+            FROM events
+            GROUP BY user_id, win_start
+        """,
+        "sessionize": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS newsess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+                SELECT user_id, ts,
+                       sum(newsess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS sid
+                FROM s
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "bucket_rename": """
+            SELECT doc_id,
+                   CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source
+            FROM documents
+        """,
+        "bucket_remove": """
+            SELECT doc_id, source FROM documents WHERE source <> 'src3'
         """,
     }

@@ -1,0 +1,116 @@
+"""Windowed aggregates over the events stream table.
+
+Ray Data has no event-time windowing primitive (SURVEY.md §2.10 — neither
+does the reference); tumbling windows are expressed as floor(ts/width) keys
++ a grouped aggregate, with per-batch PARTIAL aggregation first so the
+shuffle moves one row per (key, window) per batch instead of every event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1h",
+) -> "ray.data.Dataset":
+    """Per (key, window): count, sum/min/max of value. ``window`` is e.g.
+    '15m', '1h', '1d'. Window start is emitted as a timestamp column
+    ``win_start``."""
+    unit = window[-1]
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    width_us = int(window[:-1]) * mult * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // width_us) * width_us
+        df = pd.DataFrame(
+            {
+                key_col: t.column(key_col).to_numpy(zero_copy_only=False),
+                "win_us": win,
+                value_col: t.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        gb = df.groupby([key_col, "win_us"], sort=False)[value_col]
+        out = gb.agg(["count", "sum", "min", "max"]).reset_index()
+        out.columns = [key_col, "win_us", "n", "sum_value", "min_value", "max_value"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.select_columns([ts_col, key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    final = partials.groupby([key_col, "win_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        win = t.column("win_us").cast(pa.int64())
+        t = t.append_column("win_start", win.cast(pa.timestamp("us")))
+        return t.drop_columns(["win_us"])
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30m",
+) -> "ray.data.Dataset":
+    """Session windows: events of one key sorted by ts; a gap > ``gap``
+    starts a new session. Emits (key, session_id, session_start,
+    session_end, n_events). groupby(key).map_groups with in-group sort —
+    the ordering assumption is per-key arrival completeness (batch table)."""
+    unit = gap[-1]
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[unit]
+    gap_us = int(gap[:-1]) * mult * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, sub in g.groupby(key_col, sort=False):
+            sub = sub.sort_values(ts_col, kind="mergesort")
+            ts = sub[ts_col].astype("int64").to_numpy()
+            new_sess = np.r_[True, np.diff(ts) > gap_us]
+            sess = np.cumsum(new_sess) - 1
+            for sid in np.unique(sess):
+                m = sess == sid
+                out.append(
+                    {
+                        key_col: key,
+                        "session_id": int(sid),
+                        "session_start": pd.Timestamp(ts[m].min(), unit="us"),
+                        "session_end": pd.Timestamp(ts[m].max(), unit="us"),
+                        "n_events": int(m.sum()),
+                    }
+                )
+        return pd.DataFrame(
+            out,
+            columns=[key_col, "session_id", "session_start", "session_end", "n_events"],
+        )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((v.astype(np.uint64) % np.uint64(64)).astype(np.int64))
+        )
+
+    return (
+        ds.select_columns([ts_col, key_col])
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_key, batch_format="pandas")
+    )

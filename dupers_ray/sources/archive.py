@@ -1,0 +1,158 @@
+"""Archive classification + member explode — dupers' `up+` verbs.
+
+Reference: pkg/dupe/internal/archive/archive.go:42-153 classifies by
+extension map and magic bytes (MIME/Extension/ReadMIME); dupe.go:604-799
+(WalkArchiver/Read7Zip/Read) walks archives and hashes every member, keyed
+``join(archivePath, member)`` (dupe.go:665,776). Archives nested inside
+archives are intentionally NOT walked (dupe.go:603) — same here.
+
+Engine: a 1→N ``map_batches`` fan-out over binary payload rows. ZIP/TAR/
+GZ/BZ2/XZ use the stdlib; formats whose libraries aren't installed (7z,
+rar, zstd) are classified but their members are not extracted (rows pass
+through with ``archive_error`` set) — gated imports, no hard dependency.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import posixpath
+import tarfile
+import zipfile
+
+import pyarrow as pa
+
+# magic-byte table (subset of archive.go:16-33's 14 MIME consts)
+_MAGICS: list[tuple[bytes, str]] = [
+    (b"PK\x03\x04", "application/zip"),
+    (b"PK\x05\x06", "application/zip"),          # empty zip
+    (b"\x1f\x8b", "application/gzip"),
+    (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"Rar!\x1a\x07", "application/vnd.rar"),
+    (b"\x28\xb5\x2f\xfd", "application/zstd"),
+    (b"ustar", "application/x-tar"),             # at offset 257, handled below
+]
+
+_EXT_MIME = {
+    ".zip": "application/zip", ".gz": "application/gzip", ".tgz": "application/gzip",
+    ".7z": "application/x-7z-compressed", ".bz2": "application/x-bzip2",
+    ".xz": "application/x-xz", ".rar": "application/vnd.rar",
+    ".zst": "application/zstd", ".tar": "application/x-tar",
+}
+
+EXTRACTABLE = {
+    "application/zip", "application/gzip", "application/x-bzip2",
+    "application/x-xz", "application/x-tar",
+}
+
+
+def sniff_mime(data: bytes | None, name: str = "") -> str | None:
+    """Magic-byte sniff with extension fallback (archive.go MIME +
+    Extension semantics: content wins, extension breaks ties)."""
+    if data:
+        for magic, mime in _MAGICS:
+            if mime == "application/x-tar":
+                continue
+            if data[: len(magic)] == magic:
+                return mime
+        if len(data) > 262 and data[257:262] == b"ustar":
+            return "application/x-tar"
+    ext = posixpath.splitext(name.lower())[1]
+    return _EXT_MIME.get(ext)
+
+
+def classify_mime(
+    batch: pa.Table, *, content_col: str = "html", name_col: str = "url",
+    out_col: str = "mime",
+) -> pa.Table:
+    datas = batch.column(content_col).to_pylist()
+    names = batch.column(name_col).to_pylist()
+    mimes = [sniff_mime(d, n or "") for d, n in zip(datas, names)]
+    return batch.append_column(out_col, pa.array(mimes, pa.string()))
+
+
+def _members(data: bytes, mime: str, name: str) -> list[tuple[str, bytes]]:
+    """Extract (member_name, member_bytes). One level only — members that
+    are themselves archives are returned as opaque bytes (dupe.go:603)."""
+    if mime == "application/zip":
+        out = []
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            for info in z.infolist():
+                if info.is_dir():
+                    continue
+                out.append((info.filename, z.read(info)))
+        return out
+    if mime == "application/x-tar":
+        out = []
+        with tarfile.open(fileobj=io.BytesIO(data)) as t:
+            for m in t.getmembers():
+                if not m.isfile():
+                    continue
+                f = t.extractfile(m)
+                if f is not None:
+                    out.append((m.name, f.read()))
+        return out
+    if mime == "application/gzip":
+        inner = gzip.decompress(data)
+        if len(inner) > 262 and inner[257:262] == b"ustar":  # .tar.gz
+            return _members(inner, "application/x-tar", name)
+        base = posixpath.basename(name)
+        stem = base[:-3] if base.lower().endswith(".gz") else base + ".out"
+        return [(stem, inner)]
+    if mime == "application/x-bzip2":
+        return [(posixpath.basename(name) + ".out", bz2.decompress(data))]
+    if mime == "application/x-xz":
+        inner = lzma.decompress(data)
+        if len(inner) > 262 and inner[257:262] == b"ustar":  # .tar.xz
+            return _members(inner, "application/x-tar", name)
+        return [(posixpath.basename(name) + ".out", inner)]
+    raise ValueError(f"unsupported archive mime {mime!r}")
+
+
+def explode_archives(
+    batch: pa.Table, *, content_col: str = "html", name_col: str = "url",
+) -> pa.Table:
+    """1→N fan-out: archive rows become one row per member with
+    ``url = join(archive_url, member)`` (dupe.go:665,776 path-join parity);
+    non-archive rows pass through unchanged. Failed extractions keep the
+    original row with ``archive_error`` set (never drop data silently).
+    Output: (url, content: binary, is_member: bool, archive_error)."""
+    urls_out: list[str] = []
+    content_out: list[bytes | None] = []
+    member_out: list[bool] = []
+    err_out: list[str | None] = []
+    datas = batch.column(content_col).to_pylist()
+    names = batch.column(name_col).to_pylist()
+    for data, name in zip(datas, names):
+        mime = sniff_mime(data, name or "")
+        if mime in EXTRACTABLE and data:
+            try:
+                members = _members(data, mime, name or "")
+            except Exception as ex:  # noqa: BLE001 — corrupt archives flow on
+                urls_out.append(name)
+                content_out.append(data)
+                member_out.append(False)
+                err_out.append(f"{type(ex).__name__}: {ex}")
+                continue
+            for mname, mdata in members:
+                urls_out.append(posixpath.join(name or "", mname))
+                content_out.append(mdata)
+                member_out.append(True)
+                err_out.append(None)
+        else:
+            urls_out.append(name)
+            content_out.append(data)
+            member_out.append(False)
+            err_out.append(None)
+    return pa.table(
+        {
+            name_col: pa.array(urls_out, pa.string()),
+            content_col: pa.array(content_out, pa.binary()),
+            "is_member": pa.array(member_out, pa.bool_()),
+            "archive_error": pa.array(err_out, pa.string()),
+        }
+    )

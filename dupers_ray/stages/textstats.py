@@ -1,0 +1,134 @@
+"""Text analysis stages for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` transforms (regexes and
+stopword tables are module-level constants — compiled once per worker
+process at import). The reference has no text analytics (it hashes bytes);
+these are the engine-side additions the 100 TB training-data use case needs
+(task brief: "Beyond the reference's own operators...").
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2 pre-tokenizer regex family, simplified to stdlib `re`)
+_BPEISH_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+# small public stopword lists per language (top function words)
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in a is that it for on was with as be at by this have from or an".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans a par plus pas au".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al es".split()),
+    "it": frozenset("di e il la che in a per è un del con non una sono da si le dei".split()),
+}
+
+
+def token_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens_ws`` (whitespace split) and ``n_tokens_bpe``
+    (BPE-ish pre-tokenizer pieces)."""
+    texts = batch.column(text_col).to_pylist()
+    ws = np.fromiter(
+        (len(t.split()) if t else 0 for t in texts), np.int64, len(texts)
+    )
+    bpe = np.fromiter(
+        (len(_BPEISH_RE.findall(t)) if t else 0 for t in texts), np.int64, len(texts)
+    )
+    return batch.append_column("n_tokens_ws", pa.array(ws)).append_column(
+        "n_tokens_bpe", pa.array(bpe)
+    )
+
+
+def quality_stats(batch: pa.Table, *, text_col: str = "text", lang: str = "en") -> pa.Table:
+    """Append quality signals: n_chars, word count, mean word length,
+    punctuation ratio, stopword ratio, alpha ratio, and a composite
+    ``quality_score`` in [0,1] (C4/Gopher-style heuristics)."""
+    texts = batch.column(text_col).to_pylist()
+    stop = _STOPWORDS.get(lang, _STOPWORDS["en"])
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_words = np.empty(n, np.int64)
+    mean_wl = np.empty(n, np.float64)
+    punct_r = np.empty(n, np.float64)
+    stop_r = np.empty(n, np.float64)
+    alpha_r = np.empty(n, np.float64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        words = _WORD_RE.findall(t.lower())
+        n_words[i] = len(words)
+        mean_wl[i] = sum(map(len, words)) / len(words) if words else 0.0
+        punct_r[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+        stop_r[i] = sum(w in stop for w in words) / max(1, len(words))
+        alpha_r[i] = sum(c.isalpha() for c in t) / max(1, len(t))
+    # composite: reward stopword presence + sane word lengths, punish
+    # punctuation soup and empty docs
+    score = np.clip(
+        0.4 * np.clip(stop_r / 0.3, 0, 1)
+        + 0.3 * np.clip(alpha_r, 0, 1)
+        + 0.3 * np.clip(1 - np.abs(mean_wl - 5.0) / 5.0, 0, 1),
+        0,
+        1,
+    )
+    score = np.where(n_words == 0, 0.0, score)
+    out = batch
+    for name, arr in [
+        ("n_chars_q", n_chars), ("n_words", n_words), ("mean_word_len", mean_wl),
+        ("punct_ratio", punct_r), ("stopword_ratio", stop_r),
+        ("alpha_ratio", alpha_r), ("quality_score", score),
+    ]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def lang_id(batch: pa.Table, *, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
+    """Heuristic language ID: argmax of per-language stopword hit-rate
+    (n-gram-free, deterministic; 'und' = undetermined when no evidence)."""
+    texts = batch.column(text_col).to_pylist()
+    langs = list(_STOPWORDS)
+    preds = []
+    for t in texts:
+        words = _WORD_RE.findall((t or "").lower())
+        if not words:
+            preds.append("und")
+            continue
+        best, best_hits = "und", 0
+        for lg in langs:
+            stop = _STOPWORDS[lg]
+            hits = sum(w in stop for w in words)
+            if hits > best_hits:
+                best, best_hits = lg, hits
+        preds.append(best if best_hits >= max(2, len(words) // 50) else "und")
+    return batch.append_column(out_col, pa.array(preds, pa.string()))
+
+
+def fingerprint(batch: pa.Table, *, text_col: str = "text", out_col: str = "fingerprint") -> pa.Table:
+    """64-bit rolling-hash document fingerprint: order-sensitive mix of the
+    token hash sequence (Karp-Rabin style). Whitespace-insensitive but
+    word-order-sensitive — unlike the exact digest (byte-sensitive) and the
+    MinHash signature (order-insensitive)."""
+    texts = batch.column(text_col).to_pylist()
+    mult = np.uint64(0x100000001B3)
+    out = np.zeros(len(texts), np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            words = _WORD_RE.findall((t or "").lower())
+            if not words:
+                continue
+            h = hash_str_u64(words)
+            acc = np.uint64(0xCBF29CE484222325)
+            for v in h:
+                acc = acc * mult + v
+            out[i] = acc
+        out = splitmix64(out)
+    return batch.append_column(out_col, pa.array(out))

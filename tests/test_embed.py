@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from dupers_ray.stages.embed import (
+    cosine_pairs_broadcast,
+    cosine_pairs_lsh,
+    topk_cosine,
+)
+
+
+def _corpus(n=300, dim=16, seed=3, n_dup=10):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-duplicate vectors: tiny perturbations of the first n_dup
+    for i in range(n_dup):
+        m[n - n_dup + i] = m[i] + rng.standard_normal(dim).astype(np.float32) * 0.01
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+        }
+    )
+    return tbl, ids, m
+
+
+def _brute_topk(m, ids, queries, k):
+    def norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return x / n
+
+    s = norm(queries.astype(np.float32)) @ norm(m).T
+    out = {}
+    for qi in range(len(queries)):
+        order = np.lexsort((ids, -s[qi]))[:k]
+        out[qi] = [(int(ids[j]), float(s[qi, j])) for j in order]
+    return out
+
+
+def test_topk_cosine_matches_bruteforce():
+    tbl, ids, m = _corpus()
+    queries = m[:3].copy()
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = topk_cosine(ds, queries, k=7).to_pandas()
+    exp = _brute_topk(m, ids, queries, 7)
+    for qi, rows in exp.items():
+        sub = got[got.query_id == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        assert sub["vec_id"].tolist() == [r[0] for r in rows]
+        assert np.allclose(sub["score"].to_numpy(), [r[1] for r in rows], atol=1e-5)
+
+
+def test_cosine_pairs_broadcast_exact():
+    tbl, ids, m = _corpus()
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = cosine_pairs_broadcast(ds, ids, m, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    # expected: the 10 planted (i, n-10+i) pairs (plus any chance pairs)
+    n = len(ids)
+    planted = {(i, n - 10 + i) for i in range(10)}
+    assert planted <= got_pairs
+    # no self pairs, a<b
+    assert (got["a"] < got["b"]).all()
+
+
+def test_cosine_pairs_lsh_recall():
+    tbl, ids, m = _corpus(n=400, n_dup=20)
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = cosine_pairs_broadcast(ds, ids, m, threshold=0.95).to_pandas()
+    approx = cosine_pairs_lsh(ds, threshold=0.95, dim=16).to_pandas()
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    approx_pairs = set(zip(approx["a"], approx["b"]))
+    assert exact_pairs, "fixture must plant high-cosine pairs"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}"
+    # approx must be a subset in VALUE terms (verified by exact cosine)
+    assert (approx["cosine"] >= 0.95).all()

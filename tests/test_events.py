@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dupers_ray.pipelines.events import sessionize, tumbling_window_agg
+
+
+def _events():
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "ts": base + (i * 137) * 1_000_000,  # 137s apart
+                "user_id": i % 7,
+                "value": float(i),
+            }
+        )
+    t = pa.table(
+        {
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+        }
+    )
+    return t
+
+
+def test_tumbling_window_matches_pandas():
+    t = _events()
+    got = tumbling_window_agg(
+        rd.from_arrow(t).repartition(5), window="1h"
+    ).to_pandas()
+    df = t.to_pandas()
+    width = 3600 * 1_000_000
+    df["win_start"] = pd.to_datetime(
+        (df.ts.astype("int64") // width) * width, unit="us"
+    )
+    exp = (
+        df.groupby(["user_id", "win_start"])["value"]
+        .agg(["count", "sum", "min", "max"])
+        .reset_index()
+    )
+    got = got.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    assert got["n"].tolist() == exp["count"].tolist()
+    assert np.allclose(got["sum_value"], exp["sum"])
+    assert np.allclose(got["min_value"], exp["min"])
+    assert np.allclose(got["max_value"], exp["max"])
+    assert len(got) == len(exp)
+
+
+def test_sessionize():
+    base = 1_700_000_000_000_000
+    rows = {
+        "ts": pa.array(
+            [base, base + 60_000_000, base + 10_000_000_000,  # user 1: 2 sessions
+             base, base + 5_000_000_000],                     # user 2: 2 sessions (gap > 30m? no: 5000s > 1800s yes)
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = sessionize(ds, gap="30m").to_pandas().sort_values(["user_id", "session_id"])
+    u1 = out[out.user_id == 1]
+    assert u1["n_events"].tolist() == [2, 1]
+    u2 = out[out.user_id == 2]
+    assert u2["n_events"].tolist() == [1, 1]
