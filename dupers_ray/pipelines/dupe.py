@@ -76,17 +76,32 @@ def dupe_clusters(
     # consumption re-executes the whole LSH sub-DAG
     edges = edges.materialize()
     assign = components(edges, strategy=components_strategy)
+    mapping = ds.select_columns([id_col]).map_batches(
+        _url_to_node, fn_kwargs={"id_col": id_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return assign_clusters(
+        mapping, assign, id_col=id_col, broadcast_limit=broadcast_limit
+    )
+
+
+def assign_clusters(
+    mapping: "ray.data.Dataset",
+    assign,
+    *,
+    id_col: str = "url",
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Join (id, node) mapping with the (node, cluster_id) assignment;
+    singletons (no assignment row) keep their own node id. Small
+    assignments broadcast via ray.put + searchsorted lookup (no shuffle);
+    large ones take a left-outer hash join."""
     if isinstance(assign, pa.Table):
         assign_ds = ray.data.from_arrow(assign)
         n_assigned = assign.num_rows
     else:
         assign_ds = assign.materialize()
         n_assigned = assign_ds.count()
-
-    mapping = ds.select_columns([id_col]).map_batches(
-        _url_to_node, fn_kwargs={"id_col": id_col},
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
 
     if n_assigned <= broadcast_limit:
         # assignment is small (only nodes that belong to some dup cluster):
@@ -145,3 +160,105 @@ def dupe_clusters(
         return pa.table({id_col: t.column(id_col), "cluster_id": filled})
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def dupe_clusters_checkpointed(
+    input_files: list[str],
+    workdir: str,
+    cfg: DedupConfig | None = None,
+    *,
+    components_strategy: str = "auto",
+    files_per_partition: int = 1,
+) -> "ray.data.Dataset":
+    """Resumable flagship: same logical DAG as ``dupe_clusters``, but every
+    stage checkpoints to ``workdir`` with lineage manifests
+    (state/manifest.py). A killed run resumes without recomputing completed
+    partitions/phases — the engine's `walkCompare`/bbolt analogue
+    (pkg/dupe/dupe.go:940-966).
+
+    Layout:
+        workdir/signatures/partition=K/   per-input-partition MinHash sigs
+        workdir/index/partition=K/        per-input-partition digest index
+        workdir/edges/                    verified near + exact edge list
+        workdir/clusters/                 final (id, cluster_id)
+        workdir/_manifests/*.json         lineage + metrics
+    """
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    from dupers_ray.pipelines.near_dedup import (
+        candidate_pairs,
+        minhash_signatures,
+        verify_pairs,
+    )
+    from dupers_ray.stages.digest import digest_dataset
+    from dupers_ray.state.manifest import (
+        read_partitioned,
+        run_partitioned,
+        run_phased,
+    )
+
+    cfg = cfg or DedupConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+    cfg_fp = _hl.sha256(cfg.to_json().encode()).hexdigest()[:16]
+
+    sig_dir = f"{workdir}/signatures"
+    run_partitioned(
+        input_files, sig_dir,
+        lambda ds: minhash_signatures(
+            ds, shingle=cfg.shingle, minhash=cfg.minhash,
+            id_col=id_col, text_col=text_col,
+        ),
+        stage="signatures", config_fingerprint=cfg_fp,
+        files_per_partition=files_per_partition,
+    )
+
+    idx_dir = f"{workdir}/index"
+    run_partitioned(
+        input_files, idx_dir,
+        lambda ds: digest_dataset(ds, content_col=text_col).select_columns(
+            [id_col, "digest", "digest_u64"]
+        ),
+        stage="digest_index", config_fingerprint=cfg_fp,
+        files_per_partition=files_per_partition,
+    )
+
+    def edges_phase(_prev: dict) -> "ray.data.Dataset":
+        sigs = read_partitioned(sig_dir)
+        pairs = candidate_pairs(sigs, minhash=cfg.minhash, id_col=id_col)
+        near = verify_pairs(pairs, sigs, minhash=cfg.minhash).select_columns(
+            ["src", "dst"]
+        )
+        from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
+
+        ex = exact_dupe_pairs(
+            read_partitioned(idx_dir), id_col=id_col, content_col=text_col,
+            has_digests=True,
+        )
+
+        def to_nodes(t: pa.Table) -> pa.Table:
+            a = [str(v) for v in t.column(id_col).to_pylist()]
+            b = [str(v) for v in t.column(f"match_{id_col}").to_pylist()]
+            return pa.table(
+                {"src": pa.array(node_ids(a)), "dst": pa.array(node_ids(b))}
+            )
+
+        return near.union(ex.map_batches(to_nodes, batch_format="pyarrow"))
+
+    def clusters_phase(prev: dict) -> "ray.data.Dataset":
+        edges = rd.read_parquet(prev["edges"])
+        assign = components(edges, strategy=components_strategy)
+        mapping = rd.read_parquet(
+            list(input_files), columns=[id_col]
+        ).map_batches(
+            _url_to_node, fn_kwargs={"id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return assign_clusters(mapping, assign, id_col=id_col)
+
+    out = run_phased(
+        [("edges", edges_phase), ("clusters", clusters_phase)],
+        workdir, config_fingerprint=cfg_fp,
+    )
+    return rd.read_parquet(out["clusters"])
