@@ -267,6 +267,29 @@ def _q_bucket_remove(sf_dir: str):
     )
 
 
+def _q_multi_term_search(sf_dir: str):
+    """Suffix-array multi-term containment (stages/suffix.py — the scaled
+    `search`; same semantics as a contains() scan, amortized over terms)."""
+    from dupers_ray.stages.suffix import multi_term_search
+
+    return multi_term_search(
+        _tbl(sf_dir, "documents"),
+        ["join", "scan", "window", "zzzqqxx"],
+        id_col="doc_id",
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash hamming<=3 near-dup pairs — rows-only (banded LSH +
+    pigeonhole, verified in tests/test_simhash.py)."""
+    from dupers_ray.config import SimHashConfig
+    from dupers_ray.stages.simhash import simhash_pairs
+
+    return simhash_pairs(
+        _tbl(sf_dir, "documents"), SimHashConfig(), id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -292,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
+        "multi_term_search": _q_multi_term_search,
+        "simhash_pairs": _q_simhash_pairs,
     }
 
 
@@ -410,5 +435,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucket_remove": """
             SELECT doc_id, source FROM documents WHERE source <> 'src3'
+        """,
+        "multi_term_search": """
+            SELECT t.term, d.doc_id
+            FROM (SELECT unnest(['join', 'scan', 'window', 'zzzqqxx']) AS term) t
+            CROSS JOIN documents d
+            WHERE contains(d.text, t.term)
         """,
     }

@@ -1,0 +1,108 @@
+"""Exact n-gram Jaccard — brute-force verification / small-scale oracle.
+
+``exact_jaccard`` computes true word-k-gram Jaccard between two texts;
+``verify_pairs_exact`` re-verifies candidate pairs against FULL TEXT
+(two hash joins shipping text to the pair — accurate but heavy; the
+signature-estimate path in near_dedup.verify_pairs is the scale default,
+this is the high-precision option and the trusted oracle in tests).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from dupers_ray.pipelines.joins import hash_join
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def shingle_set(text: str, k: int = 5, *, lowercase: bool = True) -> set[tuple[str, ...]]:
+    toks = _TOKEN_RE.findall(text.lower() if lowercase else text)
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {tuple(toks)}
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def exact_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_exact(
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.6,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """pairs (src, dst: uint64 node ids) × corpus (id, text) → (src, dst,
+    jaccard_exact) for pairs at/above threshold. Joins text to both sides
+    by node id."""
+    from dupers_ray.functions.hashing import node_ids
+
+    def with_node(t: pa.Table) -> pa.Table:
+        ids = [str(v) for v in t.column(id_col).to_pylist()]
+        return pa.table(
+            {"node": pa.array(node_ids(ids)), "text": t.column(text_col)}
+        )
+
+    texts = corpus.select_columns([id_col, text_col]).map_batches(
+        with_node, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    pair_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
+    text_schema = pa.schema([("node", pa.uint64()), ("text", pa.string())])
+    j1 = hash_join(
+        pairs.select_columns(["src", "dst"]), texts, on="src", right_on="node",
+        num_partitions=num_partitions,
+        left_schema=pair_schema, right_schema=text_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["text_src" if c == "text" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j1_schema = pa.schema(
+        [("src", pa.uint64()), ("dst", pa.uint64()), ("text_src", pa.string())]
+    )
+    j2 = hash_join(
+        j1, texts, on="dst", right_on="node", num_partitions=num_partitions,
+        left_schema=j1_schema, right_schema=text_schema,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        src = t.column("src")
+        dst = t.column("dst")
+        ja = np.array(
+            [
+                exact_jaccard(a or "", b or "", k)
+                for a, b in zip(
+                    t.column("text_src").to_pylist(), t.column("text").to_pylist()
+                )
+            ],
+            np.float64,
+        )
+        keep = pa.array(ja >= threshold)
+        return pa.table(
+            {
+                "src": src.filter(keep),
+                "dst": dst.filter(keep),
+                "jaccard_exact": pa.array(ja[ja >= threshold]),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow")
