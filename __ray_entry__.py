@@ -267,6 +267,26 @@ def _q_bucket_remove(sf_dir: str):
     )
 
 
+def _q_deletion_list_trunc(sf_dir: str):
+    """`-delete` analogue: non-canonical dups over prefix-40 digests
+    (pipelines/report.deletion_list; trunc => nonzero rows at sf0.01)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.report import deletion_list
+
+    docs = _tbl(sf_dir, "documents")
+
+    def trunc(t: "pa.Table") -> "pa.Table":
+        cut = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
+        return t.set_column(t.column_names.index("text"), "text", cut)
+
+    return deletion_list(
+        docs.map_batches(trunc, batch_format="pyarrow"),
+        id_col="doc_id", content_col="text",
+    )
+
+
 def _q_multi_term_search(sf_dir: str):
     """Suffix-array multi-term containment (stages/suffix.py — the scaled
     `search`; same semantics as a contains() scan, amortized over terms)."""
@@ -317,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
         "simhash_pairs": _q_simhash_pairs,
+        "deletion_list_trunc": _q_deletion_list_trunc,
     }
 
 
@@ -441,5 +462,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(['join', 'scan', 'window', 'zzzqqxx']) AS term) t
             CROSS JOIN documents d
             WHERE contains(d.text, t.term)
+        """,
+        "deletion_list_trunc": """
+            WITH d AS (
+                SELECT doc_id, sha256(substr(text, 1, 40)) AS dg
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            g AS (SELECT dg, min(doc_id) AS canon FROM d GROUP BY dg)
+            SELECT d.doc_id FROM d JOIN g USING (dg)
+            WHERE d.doc_id <> g.canon
         """,
     }

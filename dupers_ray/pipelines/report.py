@@ -1,0 +1,116 @@
+"""Dupe reports and deletion-list datasets — dupers' output verbs.
+
+The engine NEVER deletes inputs (immutable corpora); the `-delete` /
+`-delete+` / `-sensen` mutations (pkg/dupe/dupe.go:275-373) become derived
+DATASETS a caller can act on:
+
+- ``dupe_report``: per-source-row match lines with the canonical target +
+  display metadata — the `dupers dupe` stdout analogue (dupe.go:472-505
+  prints mtime/size per match; here warc_ts plays mtime, n_chars size).
+- ``deletion_list``: every non-canonical member of a digest group — what
+  `-delete` would remove (dupe.go:275-305).
+- ``sensen_keep_dirs``: directories containing executables, the guard set
+  for `-sensen` (parse.Executable, parse.go:267-295: per-directory EXISTS
+  over an is-executable flag → groupby(dir).max).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
+from dupers_ray.stages.digest import digest_dataset
+
+
+def dupe_report(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    content_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """(url, match_url) pairs joined with the duplicate row's display
+    columns — one line per duplicate found, like the reference's Print
+    (dupe.go:216-267)."""
+    keep_cols = keep_cols or []
+    pairs = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
+    if not keep_cols:
+        return pairs
+    from dupers_ray.pipelines.joins import cogroup_join  # noqa: F401 (doc pointer)
+
+    # display metadata is per match row; hash-join pairs to the corpus rows
+    import pyarrow as pa_
+
+    from dupers_ray.pipelines.joins import hash_join
+
+    meta = ds.select_columns([id_col, *keep_cols])
+    return hash_join(
+        pairs, meta, on=f"match_{id_col}", right_on=id_col, num_partitions=32
+    )
+
+
+def deletion_list(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    content_col: str = "text",
+) -> "ray.data.Dataset":
+    """Rows `-delete` would remove: every duplicate EXCEPT the canonical
+    (min id) of its digest group (dupe.go:275-305 DelDupeFiles semantics,
+    first-match parity via deterministic min)."""
+    pairs = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(f"match_{id_col}")})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
+def _dirname(col):
+    # strip the basename: reverse → drop first segment → reverse
+    rev = pc.utf8_reverse(col)
+    parts = pc.split_pattern(rev, "/", max_splits=1)
+    tail = pc.list_element(parts, 1)
+    return pc.utf8_reverse(tail)
+
+
+def sensen_keep_dirs(
+    ds: "ray.data.Dataset", *, url_col: str = "url"
+) -> "ray.data.Dataset":
+    """Directories that contain a DOS/Windows executable (.com/.exe) —
+    the set `-sensen` must NOT delete (dupe.go:314-373 + parse.go:267-295).
+    groupby(dir) EXISTS via per-batch partial any() then a tiny groupby."""
+    def partial(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col)
+        low = pc.utf8_lower(urls)
+        is_exe = pc.or_(
+            pc.ends_with(low, ".exe"), pc.ends_with(low, ".com")
+        )
+        dirs = _dirname(urls)
+        df = pd.DataFrame(
+            {
+                "dir": dirs.to_pylist(),
+                "has_exe": np.asarray(is_exe.to_pylist(), dtype=bool),
+            }
+        )
+        out = df.groupby("dir", sort=False)["has_exe"].any().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    partials = ds.select_columns([url_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("dir").aggregate(Max("has_exe", alias_name="has_exe"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("has_exe"), True)).select(["dir"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")

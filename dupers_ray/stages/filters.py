@@ -1,0 +1,99 @@
+"""Row filters — dupers' walk-time skip rules (M1-M4).
+
+Reference: pkg/dupe/dupe.go:528-589 — SkipFS/SkipDirectory/SkipFile drop OS
+junk files, well-known junk directories, dot-directories and an explicit
+self list during walks. Here they are vectorized predicates over the
+path-playing ``url`` column (pyarrow.compute string kernels, no Python
+per-row loop).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# dupe.go:573-584 SkipFile names + dupe.go:552-571 SkipDirectory names
+JUNK_FILES = (
+    ".ds_store", ".trashes", "desktop.ini", "thumbs.db", "pagefile.sys",
+    "swapfile.sys", "hiberfil.sys",
+)
+JUNK_DIRS = (
+    ".git", ".cache", ".config", ".local", "node_modules", "__macosx",
+    "appdata", "application data",
+)
+
+
+def _basename_lower(col):
+    rev = pc.utf8_reverse(col)
+    first = pc.list_element(pc.split_pattern(rev, "/"), 0)
+    return pc.utf8_lower(pc.utf8_reverse(first))
+
+
+def junk_mask(col) -> pa.Array:
+    """True for rows that are junk (to be dropped): junk basenames, `._`
+    AppleDouble prefixes, or any junk directory segment in the path."""
+    base = _basename_lower(col)
+    mask = pc.is_in(base, value_set=pa.array(JUNK_FILES))
+    mask = pc.or_(mask, pc.starts_with(base, "._"))
+    low = pc.utf8_lower(col)
+    for d in JUNK_DIRS:
+        mask = pc.or_(mask, pc.match_substring(low, f"/{d}/"))
+    # dot-directories anywhere in the path (but not the scheme's "//")
+    mask = pc.or_(mask, pc.match_like(low, "%/.%/%"))
+    return mask
+
+
+def skip_junk(
+    ds: "ray.data.Dataset", *, url_col: str = "url"
+) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(junk_mask(batch.column(url_col))))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def skip_self(
+    ds: "ray.data.Dataset", self_urls: list[str], *, url_col: str = "url"
+) -> "ray.data.Dataset":
+    """Drop an explicit small url list (skipSelf, dupe.go:586-589) —
+    broadcast value set, no shuffle."""
+    vs = pa.array(self_urls, pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column(url_col), value_set=vs))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonical_bucket(batch: pa.Table, *, bucket_col: str = "bucket") -> pa.Table:
+    """Bucket-name canonicalization (bucket.Abs / database.Abs,
+    bucket.go:147-161): lowercase + strip trailing slash. (The reference
+    lowercases on Windows; the engine canonicalizes unconditionally so keys
+    are portable.)"""
+    col = pc.utf8_lower(batch.column(bucket_col))
+    col = pc.utf8_rtrim(col, "/")
+    return batch.set_column(
+        batch.column_names.index(bucket_col), bucket_col, col
+    )
+
+
+def mark_term(
+    batch: pa.Table, term: str, *, col: str = "url", exact: bool = False,
+    out_col: str = "marked",
+) -> pa.Table:
+    """Presentation helper (Marker/markExact/markInsensitive,
+    parse.go:234-253): wrap matches of term in brackets. Case-insensitive
+    unless exact."""
+    import re
+
+    pattern = re.escape(term)
+    marked = pc.replace_substring_regex(
+        batch.column(col),
+        pattern if exact else f"(?i){pattern}",
+        f"[{term}]",
+    )
+    return batch.append_column(out_col, marked)

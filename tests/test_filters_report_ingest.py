@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from dupers_ray.pipelines.ingest import ingest_binary_files, ingest_pages
+from dupers_ray.pipelines.report import deletion_list, dupe_report, sensen_keep_dirs
+from dupers_ray.stages.filters import canonical_bucket, mark_term, skip_junk, skip_self
+
+
+def test_skip_junk():
+    urls = [
+        "http://x/a/file.txt",
+        "http://x/a/.DS_Store",           # junk basename
+        "http://x/node_modules/b.js",     # junk dir
+        "http://x/a/._resource",          # AppleDouble
+        "http://x/.git/config",           # dot-dir
+        "http://x/Thumbs.db",
+    ]
+    ds = rd.from_items([{"url": u} for u in urls])
+    out = skip_junk(ds).to_pandas()["url"].tolist()
+    assert out == ["http://x/a/file.txt"]
+
+
+def test_skip_self():
+    ds = rd.from_items([{"url": u} for u in ["a", "b", "c"]])
+    assert sorted(skip_self(ds, ["b"]).to_pandas()["url"]) == ["a", "c"]
+
+
+def test_canonical_bucket():
+    t = pa.table({"bucket": ["MyBucket/", "other"]})
+    out = canonical_bucket(t)
+    assert out.column("bucket").to_pylist() == ["mybucket", "other"]
+
+
+def test_mark_term():
+    t = pa.table({"url": ["path/Readme.txt", "path/other"]})
+    out = mark_term(t, "readme")
+    assert out.column("marked").to_pylist()[0] == "path/[readme].txt"
+    out2 = mark_term(t, "Readme", exact=True)
+    assert out2.column("marked").to_pylist()[0] == "path/[Readme].txt"
+
+
+def test_deletion_list_and_report():
+    rows = [
+        {"url": "b/1.txt", "text": "same"},
+        {"url": "a/2.txt", "text": "same"},
+        {"url": "c/3.txt", "text": "same"},
+        {"url": "d/4.txt", "text": "unique"},
+    ]
+    ds = rd.from_items(rows)
+    dels = sorted(deletion_list(ds).to_pandas()["url"])
+    # canonical = min(url) = a/2.txt survives
+    assert dels == ["b/1.txt", "c/3.txt"]
+    rep = dupe_report(ds).to_pandas()
+    assert set(rep["url"]) == {"a/2.txt"}
+    assert set(rep["match_url"]) == {"b/1.txt", "c/3.txt"}
+
+
+def test_sensen_keep_dirs():
+    urls = [
+        "root/games/DOOM.EXE",
+        "root/games/readme.txt",
+        "root/docs/a.txt",
+        "root/tools/run.com",
+    ]
+    ds = rd.from_items([{"url": u} for u in urls])
+    keep = sorted(sensen_keep_dirs(ds).to_pandas()["dir"])
+    assert keep == ["root/games", "root/tools"]
+
+
+def test_ingest_pages_index(pages_small):
+    ds = rd.from_arrow(pages_small.pages).repartition(4)
+    idx = ingest_pages(ds, bucket="corpus1").to_pandas()
+    # every non-empty-text page gets an index row with a 64-hex digest
+    texts = dict(zip(pages_small.pages["url"].to_pylist(),
+                     pages_small.pages["text"].to_pylist()))
+    exp = [u for u, t in texts.items() if t]
+    assert sorted(idx["url"]) == sorted(exp)
+    assert (idx["bucket"] == "corpus1").all()
+    assert idx["digest"].str.len().eq(64).all()
+    # extraction parity: digest of extracted text == digest of stored text
+    import hashlib
+
+    sample = idx.iloc[0]
+    assert sample["digest"] == hashlib.sha256(texts[sample["url"]].encode()).hexdigest()
+
+
+def test_ingest_binary_files(tmp_path):
+    (tmp_path / "f1.txt").write_bytes(b"hello")
+    (tmp_path / "f2.txt").write_bytes(b"world")
+    ds = ingest_binary_files(str(tmp_path))
+    df = ds.to_pandas()
+    assert len(df) == 2
+    assert set(df["html"]) == {b"hello", b"world"}
+    assert all(u.endswith(".txt") for u in df["url"])
+
+
+def test_ingest_binary_files_with_archive(tmp_path):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("member1.txt", b"m1")
+        z.writestr("member2.txt", b"m2")
+    (tmp_path / "arch.zip").write_bytes(buf.getvalue())
+    (tmp_path / "plain.txt").write_bytes(b"plain")
+    ds = ingest_binary_files(str(tmp_path), explode_archive_members=True)
+    df = ds.to_pandas()
+    urls = sorted(df["url"])
+    assert any(u.endswith("arch.zip/member1.txt") for u in urls)
+    assert any(u.endswith("arch.zip/member2.txt") for u in urls)
+    assert any(u.endswith("plain.txt") for u in urls)
+    assert len(df) == 3
