@@ -86,8 +86,11 @@ def run_bench() -> dict:
 
     # headline: full dupe pipeline over the pages corpus
     def headline():
-        ds = rd.read_parquet(pages_path)
-        return dupe_clusters(ds, DedupConfig()).count()
+        # prune at the read: the dupe pipeline consumes only (url, text);
+        # reading html here would ship ~2x the bytes for nothing
+        ds = rd.read_parquet(pages_path, columns=["url", "text"])
+        ids_only = rd.read_parquet(pages_path, columns=["url"])
+        return dupe_clusters(ds, DedupConfig(), mapping_ds=ids_only).count()
 
     n_docs = timed("dupe_pages", headline)
 
@@ -103,7 +106,7 @@ def run_bench() -> dict:
     timed("counts_docs", lambda: counts_by_bucket(
         rd.read_parquet(doc_path), bucket_col="source", size_col="n_chars").count())
     timed("near_edges_pages", lambda: near_dup_edges(
-        rd.read_parquet(pages_path))[0].count())
+        rd.read_parquet(pages_path, columns=["url", "text"]))[0].count())
 
     headline_sec = queries["dupe_pages"]
     result = {

@@ -46,8 +46,14 @@ def dupe_clusters(
     components_strategy: str = "auto",
     concurrency=None,
     broadcast_limit: int = 5_000_000,
+    mapping_ds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
-    """(id_col, cluster_id) for EVERY input row with non-null id."""
+    """(id_col, cluster_id) for EVERY input row with non-null id.
+
+    ``mapping_ds``: optional id-only dataset for the final assignment scan.
+    Ray's optimizer does NOT push select_columns into read_parquet, so
+    callers that read from parquet should pass
+    ``read_parquet(paths, columns=[id_col])`` here (~3x cheaper scan)."""
     cfg = cfg or DedupConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
 
@@ -76,7 +82,8 @@ def dupe_clusters(
     # consumption re-executes the whole LSH sub-DAG
     edges = edges.materialize()
     assign = components(edges, strategy=components_strategy)
-    mapping = ds.select_columns([id_col]).map_batches(
+    src = mapping_ds if mapping_ds is not None else ds.select_columns([id_col])
+    mapping = src.map_batches(
         _url_to_node, fn_kwargs={"id_col": id_col},
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -226,7 +233,7 @@ def dupe_clusters_checkpointed(
 
     def edges_phase(_prev: dict) -> "ray.data.Dataset":
         sigs = read_partitioned(sig_dir)
-        pairs = candidate_pairs(sigs, minhash=cfg.minhash, id_col=id_col)
+        pairs = candidate_pairs(sigs, minhash=cfg.minhash, id_col=id_col, dedup=False)
         near = verify_pairs(pairs, sigs, minhash=cfg.minhash).select_columns(
             ["src", "dst"]
         )

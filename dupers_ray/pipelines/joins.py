@@ -26,6 +26,7 @@ def hash_join(
     impl: str = "cogroup",
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    dedup_left: bool = False,
 ) -> "ray.data.Dataset":
     """Default impl is the cogroup join: the native JoinOperator in this Ray
     release RESERVES num-CPUs-worth of resources per join operator, so a DAG
@@ -38,6 +39,8 @@ def hash_join(
     pipeline and double-runs shuffles."""
     right_on = right_on or on
     if impl == "native":
+        if dedup_left:
+            raise ValueError("dedup_left requires the cogroup impl")
         return left.join(
             right,
             join_type=join_type,
@@ -51,6 +54,7 @@ def hash_join(
         left, right, on=on, right_on=right_on, num_partitions=num_partitions,
         how="inner" if join_type == "inner" else "left",
         left_schema=left_schema, right_schema=right_schema,
+        dedup_left=dedup_left,
     )
 
 
@@ -71,10 +75,17 @@ def cogroup_join(
     how: str = "inner",
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    dedup_left: bool = False,
 ) -> "ray.data.Dataset":
     """Inner/left join via tagged union + groupby(hash(key) % P) + per-group
     Arrow join. Keys must be integer-typed (the engine joins on uint64
-    node ids / hashes)."""
+    node ids / hashes).
+
+    ``dedup_left=True`` drops duplicate left rows (full-row dedup) inside
+    each join partition BEFORE joining. Because left rows co-locate by the
+    join key, this is a complete global dedup for row-sets whose duplicates
+    share the key — e.g. cross-band duplicate candidate pairs (same src) —
+    without a dedicated dedup shuffle."""
     right_on = right_on or on
     lschema = left_schema if left_schema is not None else _arrow_schema(left)
     rschema = right_schema if right_schema is not None else _arrow_schema(right)
@@ -117,6 +128,8 @@ def cogroup_join(
 
         side = g.column("__side")
         lg = g.filter(pc.equal(side, "L")).select(lcols)
+        if dedup_left and len(lg):
+            lg = lg.group_by(lcols).aggregate([]).select(lcols)
         rg = g.filter(pc.equal(side, "R")).select([on] + rcols)
         rg = rg.rename_columns(["__rkey"] + rcols)
         out = lg.join(

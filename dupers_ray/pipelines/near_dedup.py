@@ -98,12 +98,12 @@ def minhash_signatures(
 
 
 def _bucket_pairs(g: pd.DataFrame, max_bucket_size: int) -> pd.DataFrame:
-    """One LSH bucket (band_id, band_hash) partition → star pairs.
-    Groups arrive merged by groupby key-hash; split by actual key."""
+    """LSH bucket partition → star pairs. Groups arrive merged by coarse
+    partition key; split by the (band-salted) band_hash."""
     a_out: list[int] = []
     b_out: list[int] = []
     dropped = 0
-    for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+    for _, sub in g.groupby("band_hash", sort=False):
         nodes = np.unique(sub["node"].to_numpy(dtype=np.uint64))
         if len(nodes) < 2:
             continue
@@ -129,9 +129,13 @@ def candidate_pairs(
     *,
     minhash: MinHashConfig | None = None,
     id_col: str = "url",
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """(src, dst) node-id candidate pairs from LSH buckets, deduped across
-    bands. src < dst is NOT guaranteed (src is the bucket anchor = min)."""
+    """(src, dst) node-id candidate pairs from LSH buckets. src < dst is
+    NOT guaranteed (src is the bucket anchor = min). With dedup=False,
+    cross-band duplicate pairs remain — callers that feed the pairs into a
+    src-keyed join (verify_pairs) dedup there for free (dedup_left) and
+    skip this extra shuffle."""
     cfg = minhash or MinHashConfig()
     num_partitions = 256  # coarse shuffle partitions; buckets sub-grouped inside
     bands = signatures.map_batches(
@@ -139,7 +143,7 @@ def candidate_pairs(
         fn_kwargs={"bands": cfg.bands, "rows": cfg.rows, "id_col": id_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).select_columns(["band_id", "band_hash", "node"])
+    ).select_columns(["band_hash", "node"])
 
     def add_bucket_part(t: pa.Table) -> pa.Table:
         v = np.asarray(t.column("band_hash"), dtype=np.uint64)
@@ -156,6 +160,10 @@ def candidate_pairs(
             batch_format="pandas",
         )
     )
+
+    pairs = pairs.drop_columns(["__dropped"])
+    if not dedup:
+        return pairs
 
     # dedupe identical pairs found by multiple bands: group by pair hash
     def add_pair_part(t: pa.Table) -> pa.Table:
@@ -174,8 +182,7 @@ def candidate_pairs(
         )
 
     return (
-        pairs.drop_columns(["__dropped"])
-        .map_batches(add_pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        pairs.map_batches(add_pair_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
         .map_groups(first_per_pair, batch_format="pandas")
     )
@@ -195,9 +202,13 @@ def verify_pairs(
 
     pairs_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
     sig_schema = pa.schema([("node", pa.uint64()), ("sig", pa.binary())])
+    # dedup_left: star pairs repeat across bands with the same src (bucket
+    # anchor), so per-partition full-row dedup inside the src-keyed join is
+    # a complete cross-band dedup — no dedicated dedup shuffle needed
     j1 = hash_join(pairs, sigs, on="src", right_on="node",
                    num_partitions=num_partitions,
-                   left_schema=pairs_schema, right_schema=sig_schema)
+                   left_schema=pairs_schema, right_schema=sig_schema,
+                   dedup_left=True)
     j1 = j1.map_batches(
         lambda t: t.rename_columns(
             ["sig_src" if c == "sig" else c for c in t.column_names]
@@ -254,6 +265,6 @@ def near_dup_edges(
         ds, shingle=shingle, minhash=minhash, id_col=id_col,
         text_col=text_col, concurrency=concurrency,
     ).materialize()
-    pairs = candidate_pairs(sigs, minhash=minhash, id_col=id_col)
+    pairs = candidate_pairs(sigs, minhash=minhash, id_col=id_col, dedup=False)
     edges = verify_pairs(pairs, sigs, minhash=minhash)
     return edges, sigs
