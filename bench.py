@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "600000"))
 SEED = 42
 CACHE_ROOT = "/tmp/dupers_ray_bench"
 

@@ -61,19 +61,23 @@ class _UnionFind:
 
 
 def components_driver(edges: "ray.data.Dataset") -> pa.Table:
-    """Union-find on the driver over a streamed edge list."""
+    """Union-find on the driver over a streamed edge list. Edges are
+    vectorized-deduped per batch chunk before the Python union loop —
+    candidate streams commonly carry heavy cross-band duplication."""
     uf = _UnionFind()
     seen: set[int] = set()
     for batch in edges.select_columns(["src", "dst"]).iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
+        batch_size=1 << 20, batch_format="pyarrow"
     ):
-        for s, d in zip(
-            np.asarray(batch.column("src"), dtype=np.uint64),
-            np.asarray(batch.column("dst"), dtype=np.uint64),
-        ):
-            si, di = int(s), int(d)
-            seen.add(si)
-            seen.add(di)
+        s = np.asarray(batch.column("src"), dtype=np.uint64)
+        d = np.asarray(batch.column("dst"), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            key = s * np.uint64(0x100000001B3) + d
+        _, first = np.unique(key, return_index=True)
+        s, d = s[first], d[first]
+        seen.update(s.tolist())
+        seen.update(d.tolist())
+        for si, di in zip(s.tolist(), d.tolist()):
             uf.union(si, di)
     nodes = sorted(seen)
     return pa.table(

@@ -57,16 +57,20 @@ def dupe_clusters(
     cfg = cfg or DedupConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
 
-    near_edges, _sigs = near_dup_edges(
+    near_edges, sigs = near_dup_edges(
         ds, shingle=cfg.shingle, minhash=cfg.minhash,
         id_col=id_col, text_col=text_col, concurrency=concurrency,
+        with_digests=include_exact,
     )
     edges = near_edges.select_columns(["src", "dst"])
 
     if include_exact:
-        # exact pairs in url space → node space (cheap insurance for docs the
-        # MinHash stage skips, e.g. whitespace-only or sub-shingle content)
-        ex = exact_dupe_pairs(ds, id_col=id_col, content_col=text_col)
+        # exact pairs for docs the MinHash stage skips (token-less content)
+        # AND byte-exact parity. The fused sig stage already computed the
+        # digests — group over the materialized sig table, no second scan.
+        ex = exact_dupe_pairs(
+            sigs, id_col=id_col, content_col=text_col, has_digests=True
+        )
 
         def to_nodes(t: pa.Table) -> pa.Table:
             a = [str(v) for v in t.column(id_col).to_pylist()]
@@ -128,28 +132,24 @@ def assign_clusters(
         order = np.argsort(keys)
         ref = ray.put((keys[order], vals[order]))
 
-        class Assign:
-            def __init__(self):
-                self.keys, self.vals = ray.get(ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                nodes = np.asarray(t.column("node"), dtype=np.uint64)
-                pos = np.searchsorted(self.keys, nodes)
-                pos = np.clip(pos, 0, len(self.keys) - 1) if len(self.keys) else pos
-                hit = (
-                    (self.keys[pos] == nodes) if len(self.keys) else np.zeros(len(nodes), bool)
-                )
-                cid = np.where(hit, self.vals[pos] if len(self.keys) else 0, nodes)
-                return pa.table(
-                    {
-                        id_col: t.column(id_col),
-                        "cluster_id": pa.array(cid.astype(np.uint64)),
-                    }
-                )
+        def assign_batch(t: pa.Table) -> pa.Table:
+            keys_, vals_ = ray.get(ref)  # zero-copy plasma read per task
+            nodes = np.asarray(t.column("node"), dtype=np.uint64)
+            if len(keys_):
+                pos = np.clip(np.searchsorted(keys_, nodes), 0, len(keys_) - 1)
+                hit = keys_[pos] == nodes
+                cid = np.where(hit, vals_[pos], nodes)
+            else:
+                cid = nodes
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "cluster_id": pa.array(cid.astype(np.uint64)),
+                }
+            )
 
         return mapping.map_batches(
-            Assign, batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=(1, 8),
+            assign_batch, batch_format="pyarrow", zero_copy_batch=True
         )
 
     # large assignment: left-outer hash join, fill singletons with own node

@@ -57,6 +57,50 @@ def _minhash_batch(batch, *, shingle, minhash, id_col, text_col):
     return mh(batch)
 
 
+def _minhash_digest_batch(batch, *, shingle, minhash, id_col, text_col):
+    """Fused stage: ONE pass over the text computes BOTH the MinHash
+    signature (null for token-less docs) and the exact SHA-256 digest —
+    the exact-dedup branch then groups over this table instead of paying a
+    second full corpus scan. Rows with null/empty text are dropped
+    (ErrFileEmpty parity, dupe.go:47)."""
+    from dupers_ray.functions.hashing import (
+        hex_prefix_u64,
+        node_ids,
+        sha256_hex_many,
+    )
+    from dupers_ray.stages.digest import drop_empty
+
+    key = (shingle, minhash, id_col, text_col)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = MinHasher(shingle=shingle, minhash=minhash, id_col=id_col, text_col=text_col)
+        _MINHASHER_CACHE[key] = mh
+
+    b = drop_empty(batch, content_col=text_col)
+    ids = b.column(id_col).to_pylist()
+    texts = [t if t is not None else "" for t in b.column(text_col).to_pylist()]
+    sig, n_sh = mh.signatures(texts)
+    keep = n_sh > 0
+    sig_le = np.ascontiguousarray(sig.astype("<u4"))
+    sig_bytes: list[bytes | None] = [None] * len(ids)
+    ki = 0
+    for i, k in enumerate(keep):
+        if k:
+            sig_bytes[i] = sig_le[ki].tobytes()
+            ki += 1
+    hexes = sha256_hex_many([t.encode("utf-8") for t in texts])
+    return pa.table(
+        {
+            id_col: b.column(id_col),
+            "node": pa.array(node_ids([str(i) for i in ids])),
+            "sig": pa.array(sig_bytes, pa.binary()),
+            "n_shingles": pa.array(n_sh.astype(np.int64)),
+            "digest": pa.array(hexes, pa.string()),
+            "digest_u64": pa.array(hex_prefix_u64(hexes)),
+        }
+    )
+
+
 def minhash_signatures(
     ds: "ray.data.Dataset",
     *,
@@ -66,9 +110,23 @@ def minhash_signatures(
     text_col: str = "text",
     batch_size: int = 1024,
     concurrency=None,
+    with_digests: bool = False,
 ) -> "ray.data.Dataset":
     shingle = shingle or ShingleConfig()
     minhash = minhash or MinHashConfig()
+    if with_digests:
+        return ds.map_batches(
+            _minhash_digest_batch,
+            fn_kwargs={
+                "shingle": shingle,
+                "minhash": minhash,
+                "id_col": id_col,
+                "text_col": text_col,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     if concurrency is not None:
         return ds.map_batches(
             MinHasher,
@@ -98,30 +156,118 @@ def minhash_signatures(
 
 
 def _bucket_pairs(g: pd.DataFrame, max_bucket_size: int) -> pd.DataFrame:
-    """LSH bucket partition → star pairs. Groups arrive merged by coarse
-    partition key; split by the (band-salted) band_hash."""
+    """LSH (sub-)bucket partition → star pairs, plus one ANCHOR row per
+    salted sub-bucket (kind=1, carrying band_hash) so a second, tiny
+    groupby can stitch a hot bucket's sub-buckets back together. Groups
+    arrive merged by coarse partition key; split by (band_hash, salt)."""
     a_out: list[int] = []
     b_out: list[int] = []
+    anch_a: list[int] = []
+    anch_bh: list[int] = []
     dropped = 0
-    for _, sub in g.groupby("band_hash", sort=False):
+    for (bh, salt), sub in g.groupby(["band_hash", "salt"], sort=False):
         nodes = np.unique(sub["node"].to_numpy(dtype=np.uint64))
-        if len(nodes) < 2:
-            continue
+        salted = bool(salt)  # salt>0 ⇒ member of a detected hot bucket
         if len(nodes) > max_bucket_size:
             dropped += len(nodes) - max_bucket_size
             nodes = nodes[:max_bucket_size]  # deterministic: sorted by node id
         anchor = int(nodes[0])
-        a_out.extend([anchor] * (len(nodes) - 1))
-        b_out.extend(int(n) for n in nodes[1:])
+        if salted:
+            anch_a.append(anchor)
+            anch_bh.append(int(bh))
+        if len(nodes) >= 2:
+            a_out.extend([anchor] * (len(nodes) - 1))
+            b_out.extend(int(n) for n in nodes[1:])
     if dropped:
         logger.warning("LSH bucket cap dropped %d members (skew guard)", dropped)
+    n_pairs, n_anch = len(a_out), len(anch_a)
     return pd.DataFrame(
         {
-            "src": pd.Series(a_out, dtype=np.uint64),
-            "dst": pd.Series(b_out, dtype=np.uint64),
-            "__dropped": pd.Series([dropped] + [0] * (len(a_out) - 1) if a_out else [], dtype=np.int64),
+            "src": pd.Series(a_out + anch_a, dtype=np.uint64),
+            "dst": pd.Series(b_out + [0] * n_anch, dtype=np.uint64),
+            "band_hash": pd.Series([0] * n_pairs + anch_bh, dtype=np.uint64),
+            "kind": pd.Series([0] * n_pairs + [1] * n_anch, dtype=np.int8),
         }
     )
+
+
+def _bucket_pairs_cold(g: pa.Table, max_bucket_size: int) -> pa.Table:
+    """Fast path for unsalted buckets: star pairs only, no anchor rows.
+    Vectorized over the whole partition (sort by band_hash, segment by
+    boundaries) instead of a per-bucket pandas loop. Arrow in/out so the
+    downstream union never mixes block types."""
+    bh = np.asarray(g.column("band_hash"), dtype=np.uint64)
+    node = np.asarray(g.column("node"), dtype=np.uint64)
+    order = np.lexsort((node, bh))
+    bh, node = bh[order], node[order]
+    # segment starts per bucket
+    new = np.r_[True, bh[1:] != bh[:-1]]
+    seg_id = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(bh)])
+    # drop duplicate nodes within a bucket (same doc seen twice can't happen
+    # per band, but be safe across merged groups)
+    # anchor per bucket = first (min) node of its segment
+    anchors = node[starts]
+    anchor_per_row = anchors[seg_id]
+    keep = node != anchor_per_row  # every non-anchor row pairs with anchor
+    sz_per_row = sizes[seg_id]
+    keep &= sz_per_row > 1
+    # cap: member rank within its segment must be < max_bucket_size
+    rank = np.arange(len(bh)) - starts[seg_id]
+    over = rank >= max_bucket_size
+    dropped = int(over.sum())
+    if dropped:
+        logger.warning("LSH bucket cap dropped %d members (skew guard)", dropped)
+    keep &= ~over
+    return pa.table(
+        {
+            "src": pa.array(anchor_per_row[keep]),
+            "dst": pa.array(node[keep]),
+        }
+    )
+
+
+def detect_hot_buckets(
+    bands: "ray.data.Dataset",
+    *,
+    batch_threshold: int = 4,
+    hot_threshold: int = 256,
+    top_k_per_batch: int = 64,
+) -> np.ndarray:
+    """Sorted uint64 array of band hashes whose buckets are HOT.
+
+    Sampling-free two-step: (1) per batch, count band_hash frequencies and
+    keep only hashes seen >= batch_threshold times (top_k per batch) — a
+    bucket of global size f appears ~f*B/N times in a B-row batch, so truly
+    hot buckets are caught with near-certainty while the suspected set
+    stays tiny; (2) sum suspected counts and keep >= hot_threshold. The
+    returned set is broadcast to the salting stage. Under-detection only
+    costs balance (the per-bucket cap still bounds memory), never
+    correctness."""
+
+    def suspects(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        keep = cnt >= batch_threshold
+        uniq, cnt = uniq[keep], cnt[keep]
+        if len(uniq) > top_k_per_batch:
+            top = np.argsort(cnt)[::-1][:top_k_per_batch]
+            uniq, cnt = uniq[top], cnt[top]
+        return pa.table({"band_hash": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))})
+
+    sus = bands.map_batches(suspects, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    agg = sus.groupby("band_hash").aggregate(Sum("cnt", alias_name="cnt"))
+    rows = agg.take_all()  # suspected set is small by construction
+    hot = np.array(
+        [r["band_hash"] for r in rows if r["cnt"] >= hot_threshold], dtype=np.uint64
+    )
+    hot.sort()
+    if len(hot):
+        logger.info("detected %d hot LSH buckets", len(hot))
+    return hot
 
 
 def candidate_pairs(
@@ -130,12 +276,23 @@ def candidate_pairs(
     minhash: MinHashConfig | None = None,
     id_col: str = "url",
     dedup: bool = True,
+    salt_buckets: int = 16,
+    hot_threshold: int | None = None,
 ) -> "ray.data.Dataset":
     """(src, dst) node-id candidate pairs from LSH buckets. src < dst is
     NOT guaranteed (src is the bucket anchor = min). With dedup=False,
     cross-band duplicate pairs remain — callers that feed the pairs into a
     src-keyed join (verify_pairs) dedup there for free (dedup_left) and
-    skip this extra shuffle."""
+    skip this extra shuffle.
+
+    Skew handling (north rule): buckets detected as HOT are salted into
+    ``salt_buckets`` sub-buckets keyed (band_hash, 1 + node % S) so no
+    single shuffle partition holds a whole boilerplate bucket; each
+    sub-bucket emits member star pairs plus an anchor row, and a second,
+    TINY groupby over anchor rows stitches the sub-buckets together with
+    anchor star pairs. Every emitted pair — member or anchor — still goes
+    through Jaccard verification downstream, so salting never trades
+    precision."""
     cfg = minhash or MinHashConfig()
     num_partitions = 256  # coarse shuffle partitions; buckets sub-grouped inside
     bands = signatures.map_batches(
@@ -144,24 +301,112 @@ def candidate_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).select_columns(["band_hash", "node"])
+    # two consumers (hot detection, salting): materialize the slim 16-byte
+    # rows once rather than re-running the explode; at extreme scale where
+    # 32x-doc-count rows can't be pinned, flip to recompute-from-sigs
+    bands = bands.materialize()
 
-    def add_bucket_part(t: pa.Table) -> pa.Table:
-        v = np.asarray(t.column("band_hash"), dtype=np.uint64)
-        return t.append_column(
-            "__part", pa.array((v % np.uint64(num_partitions)).astype(np.int64))
+    hot = detect_hot_buckets(
+        bands, hot_threshold=hot_threshold or cfg.max_bucket_size
+    )
+    hot_ref = ray.put(hot)
+
+    def add_salt_and_part(t: pa.Table) -> pa.Table:
+        hot_ = ray.get(hot_ref)
+        bh = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        node = np.asarray(t.column("node"), dtype=np.uint64)
+        if len(hot_):
+            pos = np.searchsorted(hot_, bh)
+            pos = np.clip(pos, 0, len(hot_) - 1)
+            is_hot = hot_[pos] == bh
+        else:
+            is_hot = np.zeros(len(bh), bool)
+        salt = np.where(
+            is_hot, 1 + (node % np.uint64(salt_buckets)).astype(np.int64), 0
+        )
+        with np.errstate(over="ignore"):
+            pk = splitmix64(bh + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table(
+            {
+                "band_hash": t.column("band_hash"),
+                "node": t.column("node"),
+                "salt": pa.array(salt.astype(np.int64)),
+                "__part": pa.array((pk % np.uint64(num_partitions)).astype(np.int64)),
+            }
         )
 
-    pairs = (
-        bands.map_batches(add_bucket_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(
-            _bucket_pairs,
-            fn_kwargs={"max_bucket_size": cfg.max_bucket_size},
-            batch_format="pandas",
-        )
+    import pyarrow.compute as pc
+
+    salted = bands.map_batches(
+        add_salt_and_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    pairs = pairs.drop_columns(["__dropped"])
+    def star_pairs(ds):
+        return ds.groupby("__part").map_groups(
+            _bucket_pairs_cold,
+            fn_kwargs={"max_bucket_size": cfg.max_bucket_size},
+            batch_format="pyarrow",
+        )
+
+    if len(hot) == 0:
+        pairs = star_pairs(salted)
+    else:
+        # route hot-bucket rows (a small fraction: hot docs × bands) onto
+        # their own path so the main stream stays a single groupby and the
+        # anchor-stitch shuffle only ever touches the tiny hot subset
+        cold_pairs = star_pairs(
+            salted.map_batches(
+                lambda t: t.filter(pc.equal(t.column("salt"), 0)),
+                batch_format="pyarrow",
+            )
+        )
+        hot_rows = salted.map_batches(
+            lambda t: t.filter(pc.greater(t.column("salt"), 0)),
+            batch_format="pyarrow",
+        ).materialize()
+        hot_staged = (
+            hot_rows.groupby("__part")
+            .map_groups(
+                _bucket_pairs,
+                fn_kwargs={"max_bucket_size": cfg.max_bucket_size},
+                batch_format="pandas",
+            )
+            .materialize()  # tiny; consumed twice (member pairs + anchors)
+        )
+        hot_pairs = hot_staged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(["src", "dst"]),
+            batch_format="pyarrow",
+        )
+
+        # stage 2: stitch hot sub-buckets — star pairs over the anchors.
+        # Anchor count is bounded by |hot| * salt_buckets (both driver-known
+        # and small), so this runs DRIVER-SIDE: an AllToAll operator costs
+        # ~seconds of pure scheduling even for a few hundred rows.
+        anchor_tbls = [
+            b.filter(pc.equal(b.column("kind"), 1))
+            for b in hot_staged.iter_batches(batch_format="pyarrow")
+        ]
+        anchor_tbls = [b for b in anchor_tbls if len(b)]
+        if anchor_tbls:
+            at = pa.concat_tables(anchor_tbls)
+            abh = np.asarray(at.column("band_hash"), dtype=np.uint64)
+            anode = np.asarray(at.column("src"), dtype=np.uint64)
+            order = np.lexsort((anode, abh))
+            abh, anode = abh[order], anode[order]
+            new = np.r_[True, abh[1:] != abh[:-1]]
+            seg = np.cumsum(new) - 1
+            starts = np.flatnonzero(new)
+            anchors_per_row = anode[starts][seg]
+            keep = anode != anchors_per_row
+            anchor_pairs_tbl = pa.table(
+                {"src": pa.array(anchors_per_row[keep]), "dst": pa.array(anode[keep])}
+            )
+        else:
+            anchor_pairs_tbl = pa.table(
+                {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+            )
+        anchor_pairs = ray.data.from_arrow(anchor_pairs_tbl)
+        pairs = cold_pairs.union(hot_pairs).union(anchor_pairs)
     if not dedup:
         return pairs
 
@@ -194,10 +439,23 @@ def verify_pairs(
     *,
     minhash: MinHashConfig | None = None,
     num_partitions: int = 32,
+    strategy: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Keep pairs whose signature-estimated Jaccard >= cfg.jaccard_threshold.
-    Output: (src, dst, jaccard). Two hash joins on node id."""
+    Output: (src, dst, jaccard).
+
+    strategy="broadcast": the signature table is ray.put ONCE (node-sorted
+    arrays) and each pairs batch scores via searchsorted lookups — zero
+    shuffles. Right up to ~2M docs (about 1 GB of signatures); the default
+    "auto" picks it when the signature count fits, else falls back to
+    "join" (two cogroup hash joins — the 10^12-doc path)."""
     cfg = minhash or MinHashConfig()
+    if strategy == "auto":
+        n_sigs = signatures.count()
+        strategy = "broadcast" if n_sigs <= broadcast_limit else "join"
+    if strategy == "broadcast":
+        return _verify_pairs_broadcast(pairs, signatures, cfg)
     sigs = signatures.select_columns(["node", "sig"])
 
     pairs_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
@@ -244,6 +502,82 @@ def verify_pairs(
     return j2.map_batches(score, batch_format="pyarrow")
 
 
+def _verify_pairs_broadcast(
+    pairs: "ray.data.Dataset",
+    signatures: "ray.data.Dataset",
+    cfg: MinHashConfig,
+) -> "ray.data.Dataset":
+    """Broadcast-verify: signatures collected into (sorted nodes, sig
+    matrix) numpy arrays, shipped once via ray.put; per pairs batch:
+    in-batch (src,dst) dedup + searchsorted lookups + vectorized equality
+    mean. No shuffle; duplicate pairs across batches produce duplicate
+    edges, which connected components tolerates."""
+    import ray as _ray
+
+    import pyarrow.compute as pc
+
+    refs = signatures.select_columns(["node", "sig"]).to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if len(t)]
+    tables = [
+        t.filter(pc.is_valid(t.column("sig"))) if t.column("sig").null_count else t
+        for t in tables
+    ]
+    tables = [t for t in tables if len(t)]
+    if tables:
+        at = pa.concat_tables(tables)
+        nodes = np.asarray(at.column("node"), dtype=np.uint64)
+        bufs = at.column("sig").to_pylist()
+        # compare LOW BYTES only: equality of uint8 folds adds a false-match
+        # probability of 1/256 per component (bias <= +0.4% on the Jaccard
+        # estimate) and cuts the gather bandwidth of the scoring loop 4x
+        full = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(len(nodes), -1)
+        mat = np.ascontiguousarray(full[:, ::4])
+        order = np.argsort(nodes, kind="stable")
+        nodes, mat = nodes[order], mat[order]
+    else:
+        nodes = np.empty(0, np.uint64)
+        mat = np.empty((0, cfg.num_perm), np.uint8)
+    ref = _ray.put((nodes, mat))
+    thr = cfg.jaccard_threshold
+
+    def score(t: pa.Table) -> pa.Table:
+        # stateless task: ray.get of a local plasma object is zero-copy and
+        # near-free after the first fetch per node — no actor pool needed
+        nodes_, mat_ = _ray.get(ref)
+        empty = pa.table(
+            {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        if len(t) == 0 or len(nodes_) == 0:
+            return empty
+        s = np.asarray(t.column("src"), dtype=np.uint64)
+        d = np.asarray(t.column("dst"), dtype=np.uint64)
+        # in-batch pair dedup (cross-band duplicates are common)
+        with np.errstate(over="ignore"):
+            key = s * np.uint64(0x100000001B3) + d
+        _, first = np.unique(key, return_index=True)
+        s, d = s[first], d[first]
+        si = np.clip(np.searchsorted(nodes_, s), 0, len(nodes_) - 1)
+        di = np.clip(np.searchsorted(nodes_, d), 0, len(nodes_) - 1)
+        ok = (nodes_[si] == s) & (nodes_[di] == d)
+        if not ok.any():
+            return empty
+        s, d, si, di = s[ok], d[ok], si[ok], di[ok]
+        jac = (mat_[si] == mat_[di]).mean(axis=1)
+        keep = jac >= thr
+        return pa.table(
+            {
+                "src": pa.array(s[keep]),
+                "dst": pa.array(d[keep]),
+                "jaccard": pa.array(jac[keep].astype(np.float64)),
+            }
+        )
+
+    return pairs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=65536
+    )
+
+
 def near_dup_edges(
     ds: "ray.data.Dataset",
     *,
@@ -252,6 +586,7 @@ def near_dup_edges(
     id_col: str = "url",
     text_col: str = "text",
     concurrency=None,
+    with_digests: bool = False,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Full near-dup front half. Returns (verified edge list with node ids,
     signature dataset with the id<->node mapping).
@@ -263,8 +598,31 @@ def near_dup_edges(
     designed checkpoint dataset (write_parquet instead of materialize)."""
     sigs = minhash_signatures(
         ds, shingle=shingle, minhash=minhash, id_col=id_col,
-        text_col=text_col, concurrency=concurrency,
-    ).materialize()
-    pairs = candidate_pairs(sigs, minhash=minhash, id_col=id_col, dedup=False)
-    edges = verify_pairs(pairs, sigs, minhash=minhash)
+        text_col=text_col, concurrency=concurrency, with_digests=with_digests,
+    )
+    # coalesce to ~2 blocks per CPU before materializing: every downstream
+    # AllToAll (the LSH groupby) pays per-block scheduling overhead on the
+    # order of seconds per hundred blocks — with fine-grained read blocks
+    # the sort becomes overhead-bound and stops scaling with CPUs
+    # (measured: 224 blocks → 30 s, 64 blocks → 7 s for the same shuffle)
+    try:
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    sigs = sigs.repartition(max(8, 2 * ncpu)).materialize()
+    n_sigs = sigs.count()
+    use_broadcast = n_sigs <= 2_000_000
+    # broadcast verify dedups pairs in-batch, so the dedicated pair-dedup
+    # shuffle is only worth paying on the large (join-verify) path, where
+    # cross-band duplicates (32x for exact-dup clusters) would otherwise
+    # flood the join shuffle
+    pairs = candidate_pairs(
+        sigs, minhash=minhash, id_col=id_col, dedup=not use_broadcast
+    )
+    edges = verify_pairs(
+        pairs, sigs, minhash=minhash,
+        strategy="broadcast" if use_broadcast else "join",
+    )
     return edges, sigs

@@ -245,7 +245,12 @@ def explode_bands(
     """Stateless map_batches stage: signature rows → (band_id, band_hash,
     id, node) rows, ``bands`` per doc. band_hash mixes the band's ``rows``
     signature values plus band_id (so identical sub-signatures in different
-    bands never collide into one bucket)."""
+    bands never collide into one bucket). Rows with null sig (token-less
+    docs in the fused digest+sig table) are skipped."""
+    import pyarrow.compute as pc
+
+    if batch.column("sig").null_count:
+        batch = batch.filter(pc.is_valid(batch.column("sig")))
     sig = batch.column("sig")
     d = len(batch)
     if d == 0:
