@@ -134,7 +134,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     ensure_pages_corpus()  # build once; both runs read identical bytes
-    lo, hi = run(8), run(32)
+    # two alternating rounds per level, min per level: single-run numbers
+    # on this box vary ±40% with page-cache/thermal/leftover-session state
+    lo1, hi1 = run(8), run(32)
+    lo2, hi2 = run(8), run(32)
+    lo = lo1 if lo1["value"] <= lo2["value"] else lo2
+    hi = hi1 if hi1["value"] <= hi2["value"] else hi2
     t_lo, t_hi = lo["value"], hi["value"]
     # efficiency of 8→32 CPUs: ideal speedup 4×
     eff = (t_lo / t_hi) / (32 / 8)

@@ -57,29 +57,34 @@ def dupe_clusters(
     cfg = cfg or DedupConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
 
-    near_edges, sigs = near_dup_edges(
-        ds, shingle=cfg.shingle, minhash=cfg.minhash,
-        id_col=id_col, text_col=text_col, concurrency=concurrency,
-        with_digests=include_exact,
-    )
-    edges = near_edges.select_columns(["src", "dst"])
-
     if include_exact:
-        # exact pairs for docs the MinHash stage skips (token-less content)
-        # AND byte-exact parity. The fused sig stage already computed the
-        # digests — group over the materialized sig table, no second scan.
-        ex = exact_dupe_pairs(
-            sigs, id_col=id_col, content_col=text_col, has_digests=True
+        # fused fast path: one corpus scan computes sigs+digests; ONE more
+        # pass over the (compact) signature table feeds both the LSH and
+        # the exact-digest sharded indexes; LSH pairs get Jaccard-verified,
+        # exact pairs are trusted (2^-128 digest collision)
+        from dupers_ray.pipelines.near_dedup import (
+            minhash_signatures,
+            verify_pairs,
         )
+        from dupers_ray.stages.bucket_index import all_candidate_pairs_index
 
-        def to_nodes(t: pa.Table) -> pa.Table:
-            a = [str(v) for v in t.column(id_col).to_pylist()]
-            b = [str(v) for v in t.column(f"match_{id_col}").to_pylist()]
-            return pa.table(
-                {"src": pa.array(node_ids(a)), "dst": pa.array(node_ids(b))}
-            )
-
-        edges = edges.union(ex.map_batches(to_nodes, batch_format="pyarrow"))
+        sigs = minhash_signatures(
+            ds, shingle=cfg.shingle, minhash=cfg.minhash, id_col=id_col,
+            text_col=text_col, concurrency=concurrency, with_digests=True,
+        ).materialize()
+        # (no repartition: block coalescing only pays off ahead of sort
+        # AllToAlls, and the sharded-index path has none)
+        lsh_pairs, exact_pairs = all_candidate_pairs_index(
+            sigs, minhash=cfg.minhash, id_col=id_col
+        )
+        near_edges = verify_pairs(lsh_pairs, sigs, minhash=cfg.minhash)
+        edges = near_edges.select_columns(["src", "dst"]).union(exact_pairs)
+    else:
+        near_edges, sigs = near_dup_edges(
+            ds, shingle=cfg.shingle, minhash=cfg.minhash,
+            id_col=id_col, text_col=text_col, concurrency=concurrency,
+        )
+        edges = near_edges.select_columns(["src", "dst"])
 
     # materialize the (small) edge list once: components consumes it several
     # times (count for strategy choice + iteration); without this each

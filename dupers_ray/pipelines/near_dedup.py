@@ -89,6 +89,7 @@ def _minhash_digest_batch(batch, *, shingle, minhash, id_col, text_col):
             sig_bytes[i] = sig_le[ki].tobytes()
             ki += 1
     hexes = sha256_hex_many([t.encode("utf-8") for t in texts])
+    u64b = np.array([int(h[16:32], 16) for h in hexes], dtype=np.uint64)
     return pa.table(
         {
             id_col: b.column(id_col),
@@ -97,6 +98,9 @@ def _minhash_digest_batch(batch, *, shingle, minhash, id_col, text_col):
             "n_shingles": pa.array(n_sh.astype(np.int64)),
             "digest": pa.array(hexes, pa.string()),
             "digest_u64": pa.array(hex_prefix_u64(hexes)),
+            # second sha word: (u64, u64b) keys exact-dup buckets with
+            # 2^-128 collision probability — no in-group hex re-check needed
+            "digest_u64b": pa.array(u64b),
         }
     )
 
@@ -587,6 +591,7 @@ def near_dup_edges(
     text_col: str = "text",
     concurrency=None,
     with_digests: bool = False,
+    candidates_impl: str = "index",
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Full near-dup front half. Returns (verified edge list with node ids,
     signature dataset with the id<->node mapping).
@@ -600,27 +605,36 @@ def near_dup_edges(
         ds, shingle=shingle, minhash=minhash, id_col=id_col,
         text_col=text_col, concurrency=concurrency, with_digests=with_digests,
     )
-    # coalesce to ~2 blocks per CPU before materializing: every downstream
-    # AllToAll (the LSH groupby) pays per-block scheduling overhead on the
-    # order of seconds per hundred blocks — with fine-grained read blocks
-    # the sort becomes overhead-bound and stops scaling with CPUs
-    # (measured: 224 blocks → 30 s, 64 blocks → 7 s for the same shuffle)
-    try:
-        import ray as _ray
+    if candidates_impl == "sort":
+        # coalesce to ~2 blocks per CPU before materializing: every
+        # downstream sort AllToAll pays per-block scheduling overhead on
+        # the order of seconds per hundred blocks (measured: 224 blocks →
+        # 30 s, 64 blocks → 7 s for the same shuffle). The index path has
+        # no sorts — skip the extra exchange there.
+        try:
+            import ray as _ray
 
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        ncpu = 8
-    sigs = sigs.repartition(max(8, 2 * ncpu)).materialize()
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            ncpu = 8
+        sigs = sigs.repartition(max(8, 2 * ncpu))
+    sigs = sigs.materialize()
     n_sigs = sigs.count()
     use_broadcast = n_sigs <= 2_000_000
-    # broadcast verify dedups pairs in-batch, so the dedicated pair-dedup
-    # shuffle is only worth paying on the large (join-verify) path, where
-    # cross-band duplicates (32x for exact-dup clusters) would otherwise
-    # flood the join shuffle
-    pairs = candidate_pairs(
-        sigs, minhash=minhash, id_col=id_col, dedup=not use_broadcast
-    )
+    if candidates_impl == "index":
+        # sharded-actor bucket index: no AllToAll at all, deterministic
+        # min-node anchors, hot buckets need no salting (stages/bucket_index)
+        from dupers_ray.stages.bucket_index import candidate_pairs_index
+
+        pairs = candidate_pairs_index(sigs, minhash=minhash, id_col=id_col)
+    else:
+        # broadcast verify dedups pairs in-batch, so the dedicated pair-dedup
+        # shuffle is only worth paying on the large (join-verify) path, where
+        # cross-band duplicates (32x for exact-dup clusters) would otherwise
+        # flood the join shuffle
+        pairs = candidate_pairs(
+            sigs, minhash=minhash, id_col=id_col, dedup=not use_broadcast
+        )
     edges = verify_pairs(
         pairs, sigs, minhash=minhash,
         strategy="broadcast" if use_broadcast else "join",
