@@ -287,6 +287,24 @@ def _q_deletion_list_trunc(sf_dir: str):
     )
 
 
+def _q_near_dup_clusters_checkpointed(sf_dir: str):
+    """Resumable flagship with per-partition lineage manifests
+    (state/manifest.py) — rows-only; identical-to-direct assignment is
+    asserted in tests/test_manifest.py. Reuses /tmp checkpoints across
+    invocations, which itself exercises the resume path."""
+    import hashlib
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters_checkpointed
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    workdir = f"/tmp/dupers_ray_ck/{key}"
+    return dupe_clusters_checkpointed(
+        [os.path.join(sf_dir, "documents.parquet")], workdir, cfg
+    )
+
+
 def _q_multi_term_search(sf_dir: str):
     """Suffix-array multi-term containment (stages/suffix.py — the scaled
     `search`; same semantics as a contains() scan, amortized over terms)."""
@@ -338,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_term_search": _q_multi_term_search,
         "simhash_pairs": _q_simhash_pairs,
         "deletion_list_trunc": _q_deletion_list_trunc,
+        "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
     }
 
 

@@ -1,0 +1,92 @@
+"""Sharded bucket index unit tests: pair emission vs brute force,
+subkey bucketing, determinism across shard counts and block layouts."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from dupers_ray.config import MinHashConfig
+from dupers_ray.stages.bucket_index import (
+    BucketIndexShard,
+    all_candidate_pairs_index,
+    candidate_pairs_index,
+)
+from dupers_ray.pipelines.near_dedup import minhash_signatures
+
+
+def _brute_star_pairs(keys, nodes, subs=None):
+    groups = defaultdict(set)
+    subs = subs if subs is not None else [0] * len(keys)
+    for k, n, s in zip(keys, nodes, subs):
+        groups[(k, s)].add(n)
+    out = set()
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        anchor = min(members)
+        out.update((anchor, m) for m in members if m != anchor)
+    return out
+
+
+def test_shard_pairs_match_bruteforce():
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 50, 500).astype(np.uint64)
+    nodes = rng.choice(np.arange(1000, dtype=np.uint64), 500, replace=False)
+    shard = BucketIndexShard.remote()
+    # feed in chunks, out of order
+    for lo in range(0, 500, 120):
+        ray.get(shard.add.remote(keys[lo : lo + 120], nodes[lo : lo + 120]))
+    t = ray.get(shard.pairs_table.remote(0))
+    got = set(zip(t.column("src").to_pylist(), t.column("dst").to_pylist()))
+    assert got == _brute_star_pairs(keys.tolist(), nodes.tolist())
+    ray.kill(shard)
+
+
+def test_shard_subkey_separates_buckets():
+    keys = np.array([1, 1, 1, 1], np.uint64)
+    subs = np.array([7, 7, 9, 9], np.uint64)
+    nodes = np.array([10, 20, 30, 40], np.uint64)
+    shard = BucketIndexShard.remote()
+    ray.get(shard.add.remote(keys, nodes, subs))
+    t = ray.get(shard.pairs_table.remote(0))
+    got = set(zip(t.column("src").to_pylist(), t.column("dst").to_pylist()))
+    # same key but different subkey must NOT pair
+    assert got == {(10, 20), (30, 40)}
+    ray.kill(shard)
+
+
+def test_candidate_pairs_index_deterministic(pages_small):
+    cfg = MinHashConfig()
+    res = []
+    for parts, shards in ((3, 2), (7, 5)):
+        sigs = minhash_signatures(
+            rd.from_arrow(pages_small.pages).repartition(parts),
+            minhash=cfg, with_digests=True,
+        ).materialize()
+        p = candidate_pairs_index(sigs, minhash=cfg, n_shards=shards).to_pandas()
+        res.append(
+            set(zip(p["src"].astype(np.uint64), p["dst"].astype(np.uint64)))
+        )
+    assert res[0] == res[1]
+    assert len(res[0]) > 0
+
+
+def test_all_candidate_pairs_exact_side(pages_small):
+    cfg = MinHashConfig()
+    sigs = minhash_signatures(
+        rd.from_arrow(pages_small.pages), minhash=cfg, with_digests=True
+    ).materialize()
+    _lsh, exact = all_candidate_pairs_index(sigs, minhash=cfg)
+    e = exact.to_pandas()
+    # exact pairs: groups of identical digests → same count as brute force
+    import pandas as pd
+
+    df = sigs.select_columns(["node", "digest"]).to_pandas()
+    exp = _brute_star_pairs(df["digest"].tolist(), df["node"].astype(np.uint64).tolist())
+    got = set(zip(e["src"].astype(np.uint64), e["dst"].astype(np.uint64)))
+    assert got == exp and len(got) > 0
