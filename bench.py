@@ -133,26 +133,32 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ensure_pages_corpus()  # build once; both runs read identical bytes
+    ensure_pages_corpus()  # build once; all runs read identical bytes
     # two alternating rounds per level, min per level: single-run numbers
-    # on this box vary ±40% with page-cache/thermal/leftover-session state
-    lo1, hi1 = run(8), run(32)
-    lo2, hi2 = run(8), run(32)
-    lo = lo1 if lo1["value"] <= lo2["value"] else lo2
-    hi = hi1 if hi1["value"] <= hi2["value"] else hi2
-    t_lo, t_hi = lo["value"], hi["value"]
-    # efficiency of 8→32 CPUs: ideal speedup 4×
-    eff = (t_lo / t_hi) / (32 / 8)
-    return {
+    # on this box vary ±40% with page-cache/thermal/external-tenant load.
+    # Levels 2/8/32 give two N→4N pairs: 2→8 sits below the single box's
+    # shared memory-bandwidth saturation (the regime a real N-node→4N-node
+    # cluster is in, since each node brings its own bandwidth); 8→32 is
+    # reported too but saturates the one shared memory system.
+    levels = (2, 8, 32)
+    best: dict[int, dict] = {}
+    for _ in range(2):
+        for ncpu in levels:
+            r = run(ncpu)
+            if ncpu not in best or r["value"] < best[ncpu]["value"]:
+                best[ncpu] = r
+    out = {
         "metric": "scaling_efficiency_8_to_32",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
-        "bench_docs": lo["bench_docs"],
+        "bench_docs": best[8]["bench_docs"],
     }
+    for ncpu in levels:
+        out[f"sec_{ncpu}"] = best[ncpu]["value"]
+        out[f"docs_per_sec_{ncpu}"] = best[ncpu]["docs_per_sec"]
+    out["speedup"] = round(best[8]["value"] / best[32]["value"], 3)
+    out["scaling_efficiency"] = round(out["speedup"] / 4, 3)
+    out["speedup_2_to_8"] = round(best[2]["value"] / best[8]["value"], 3)
+    out["scaling_efficiency_2_to_8"] = round(out["speedup_2_to_8"] / 4, 3)
+    return out
 
 
 if __name__ == "__main__":
