@@ -83,6 +83,15 @@ def _q_count_by_source(sf_dir: str):
     )
 
 
+def _q_info(sf_dir: str):
+    """`db` info parity: per-bucket counts/bytes + grand total row."""
+    from dupers_ray.pipelines.maintenance import info_table
+
+    return info_table(
+        _tbl(sf_dir, "documents"), bucket_col="source", size_col="n_chars"
+    )
+
+
 def _q_search_text(sf_dir: str):
     from dupers_ray.pipelines.search import search
 
@@ -343,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same code, prefix-40 digests => real dup groups).
         "exact_pairs_trunc": _q_exact_pairs_trunc,
         "count_by_source": _q_count_by_source,
+        "info": _q_info,
         "search_text": _q_search_text,
         "search_text_nocase": _q_search_text_nocase,
         "refresh_anti_broadcast": _q_refresh_anti_broadcast,
@@ -391,6 +401,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS total_bytes
             FROM documents GROUP BY source
+        """,
+        "info": """
+            SELECT COALESCE(source, '__total__') AS source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY ROLLUP (source)
         """,
         "search_text": """
             SELECT doc_id, source FROM documents

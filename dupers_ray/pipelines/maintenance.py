@@ -153,3 +153,27 @@ def remove_bucket(ds: "ray.data.Dataset", bucket: str,
         return batch.filter(pc.not_equal(batch.column(bucket_col), bucket))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def info_table(
+    ds: "ray.data.Dataset",
+    *,
+    bucket_col: str = "bucket",
+    size_col: str | None = None,
+    total_label: str = "__total__",
+) -> "ray.data.Dataset":
+    """`db` info parity (database.Info, database.go:536-666): per-bucket
+    item count + byte size plus a grand-total row. Built on the partial-
+    aggregated per-bucket counts; the total is a driver-side fold of the
+    (tiny) aggregate result."""
+    per = counts_by_bucket(ds, bucket_col=bucket_col, size_col=size_col)
+    rows = per.take_all()  # one row per bucket — small by definition
+    total = {
+        bucket_col: total_label,
+        "n": int(sum(r["n"] for r in rows)),
+    }
+    if size_col:
+        total["total_bytes"] = int(sum(r["total_bytes"] for r in rows))
+    import ray.data as rd
+
+    return per.union(rd.from_items([total]))

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from hypothesis import given, settings, strategies as st
 
 from dupers_ray.config import MinHashConfig, ShingleConfig
 from dupers_ray.stages.minhash import MinHasher, explode_bands, signature_jaccard
@@ -104,3 +105,28 @@ def test_explode_bands_empty():
     out = explode_bands(empty, bands=32, rows=4)
     assert len(out) == 0
     assert out.column_names == ["band_id", "band_hash", "url", "node"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0, max_size=80,
+        ),
+        min_size=1, max_size=10,
+    )
+)
+def test_minhash_fuzz_deterministic_no_crash(texts):
+    """Property: arbitrary unicode inputs never crash the signature kernel
+    and always reproduce bit-identically (FuzzChecksum-style,
+    /root/reference/pkg/dupe/parse/parse_fuzz.go:38-92)."""
+    mh = MinHasher(
+        shingle=ShingleConfig(k=3),
+        minhash=MinHashConfig(num_perm=32, bands=8, rows=4),
+    )
+    s1, n1 = mh.signatures(texts)
+    s2, n2 = mh.signatures(texts)
+    assert (n1 == n2).all()
+    assert s1.shape == s2.shape and (s1 == s2).all()
+    assert s1.shape[0] == int((n1 > 0).sum())
