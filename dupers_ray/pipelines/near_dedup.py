@@ -258,7 +258,15 @@ def detect_hot_buckets(
         if len(uniq) > top_k_per_batch:
             top = np.argsort(cnt)[::-1][:top_k_per_batch]
             uniq, cnt = uniq[top], cnt[top]
-        return pa.table({"band_hash": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))})
+        # group key reinterpreted as int64: Ray's aggregate converts uint64
+        # keys above 2^63 through Python ints and falls back to pickled
+        # object blocks (OverflowError) — a silent 10x slowdown
+        return pa.table(
+            {
+                "band_hash": pa.array(uniq.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
 
     sus = bands.map_batches(suspects, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Sum
@@ -266,8 +274,8 @@ def detect_hot_buckets(
     agg = sus.groupby("band_hash").aggregate(Sum("cnt", alias_name="cnt"))
     rows = agg.take_all()  # suspected set is small by construction
     hot = np.array(
-        [r["band_hash"] for r in rows if r["cnt"] >= hot_threshold], dtype=np.uint64
-    )
+        [r["band_hash"] for r in rows if r["cnt"] >= hot_threshold], dtype=np.int64
+    ).view(np.uint64)
     hot.sort()
     if len(hot):
         logger.info("detected %d hot LSH buckets", len(hot))
