@@ -58,38 +58,35 @@ def _coalesced(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def _group_pairs(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
     """Within one digest_u64 partition: split by full digest, emit
     (canonical, dup) pairs for groups of size >= 2. Output columns are
-    ``(id_col, match_<id_col>)`` — e.g. (url, match_url)."""
-    out_canon: list = []
-    out_match: list = []
-    for _, sub in g.groupby("digest", sort=False):
-        if len(sub) < 2:
-            continue
-        ids = sorted(sub[id_col].tolist())
-        canon = ids[0]
-        out_canon.extend([canon] * (len(ids) - 1))
-        out_match.extend(ids[1:])
+    ``(id_col, match_<id_col>)`` — e.g. (url, match_url).
+
+    Fully vectorized (transform('min') + boolean mask): no per-distinct-
+    digest Python iteration — at 10^12 docs a per-group loop would be the
+    exact failure mode this file's header rules out."""
+    canon = g.groupby("digest", sort=False)[id_col].transform("min")
+    mask = (g[id_col] != canon).to_numpy()
     dt = g[id_col].dtype  # keep schema stable even when a group emits 0 pairs
     return pd.DataFrame(
         {
-            id_col: pd.Series(out_canon, dtype=dt),
-            f"match_{id_col}": pd.Series(out_match, dtype=dt),
+            id_col: pd.Series(canon.to_numpy()[mask], dtype=dt),
+            f"match_{id_col}": pd.Series(g[id_col].to_numpy()[mask], dtype=dt),
         }
     )
 
 
 def _group_canonical(g: pd.DataFrame, id_col: str, keep_cols: list[str]) -> pd.DataFrame:
-    """Within one digest_u64 partition: one row per full digest, id = min."""
-    rows = []
-    for digest, sub in g.groupby("digest", sort=False):
-        sub = sub.sort_values(id_col, kind="mergesort")
-        r = sub.iloc[0]
-        rows.append(
-            {id_col: r[id_col], "digest": digest, "n_dups": len(sub),
-             **{c: r[c] for c in keep_cols}}
-        )
-    return pd.DataFrame(
-        rows, columns=[id_col, "digest", "n_dups", *keep_cols]
+    """Within one digest_u64 partition: one row per full digest, id = min.
+    Vectorized: stable sort by id + drop_duplicates keeps the min-id row per
+    digest; group sizes come from one value_counts — no per-group loop."""
+    if not len(g):
+        return pd.DataFrame(columns=[id_col, "digest", "n_dups", *keep_cols])
+    sizes = g["digest"].value_counts(sort=False)
+    firsts = g.sort_values(id_col, kind="mergesort").drop_duplicates(
+        "digest", keep="first"
     )
+    out = firsts[[id_col, "digest", *keep_cols]].copy()
+    out.insert(2, "n_dups", firsts["digest"].map(sizes).astype("int64").to_numpy())
+    return out[[id_col, "digest", "n_dups", *keep_cols]]
 
 
 def exact_dupe_pairs(

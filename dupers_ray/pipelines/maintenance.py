@@ -89,12 +89,22 @@ def anti_join_shuffle(
     key_col: str,
     right_key_col: str | None = None,
     semi: bool = False,
+    left_schema: "pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Hash-partitioned anti (or semi) join for large right sides: tag both
     sides, union, co-group by key hash, filter left rows by presence of a
-    right row with equal key. One all-to-all shuffle."""
+    right row with equal key. One all-to-all shuffle.
+
+    The R side is padded with TYPED null columns for every left column (the
+    same technique as joins.cogroup_join) and groups are resolved in pure
+    Arrow — a pandas resolve would coerce null-padded int64 columns to
+    float64 and corrupt ids (the round-1 `refresh_anti_shuffle` bug)."""
     rkey = right_key_col or key_col
-    left_cols = list(left.schema().names)
+    if left_schema is None:
+        s = left.schema()
+        left_schema = pa.schema(list(zip(s.names, s.types)))
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
 
     def tag(side: str, key_from: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -103,34 +113,46 @@ def anti_join_shuffle(
                 (hash_str_keys(keys) % np.uint64(1 << 16)).astype(np.int64)
             )
             cols = {"__key": keys, "__h": h, "__side": pa.array([side] * len(batch))}
-            if side == "L":
-                for c in left_cols:
+            for c in left_cols:
+                if side == "L":
                     cols[c] = batch.column(c)
+                else:
+                    cols[c] = pa.nulls(len(batch), left_types[c])
             return pa.table(cols)
         return f
 
     l = left.map_batches(tag("L", key_col), batch_format="pyarrow")
     r = right.select_columns([rkey]).map_batches(tag("R", rkey), batch_format="pyarrow")
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        rights = set(g.loc[g["__side"] == "R", "__key"])
-        lrows = g[g["__side"] == "L"]
-        keep = lrows["__key"].isin(rights)
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lg = g.filter(pc.equal(side, "L"))
+        rkeys = g.filter(pc.equal(side, "R")).column("__key").combine_chunks()
+        keep = pc.is_in(lg.column("__key"), value_set=rkeys)
         if not semi:
-            keep = ~keep
-        return lrows.loc[keep, left_cols]
+            keep = pc.invert(keep)
+        return lg.filter(keep).select(left_cols)
 
-    return l.union(r).groupby("__h").map_groups(resolve, batch_format="pandas")
+    return l.union(r).groupby("__h").map_groups(resolve, batch_format="pyarrow")
 
 
 def hash_str_keys(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic uint64 partitioning hash of a string array (full-string
-    crc32 + length, splitmix64-finalized — functions.hashing). Equal keys →
-    equal hash; quality only affects balance, not correctness."""
-    from dupers_ray.functions.hashing import hash_str_u64
+    """Deterministic uint64 partitioning hash of a string array. Vectorized
+    via polars' Rust hash kernel (fixed seed → stable across processes for
+    the pinned polars version; only used WITHIN one job as a partitioner,
+    where equal keys → equal hash is the sole requirement). Falls back to
+    the crc-based python loop if polars is unavailable."""
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    try:
+        import polars as pl
 
-    vals = arr.to_pylist()
-    return hash_str_u64(["" if v is None else v for v in vals])
+        s = pl.from_arrow(a)
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    except Exception:  # noqa: BLE001 — polars missing or arrow bridge change
+        from dupers_ray.functions.hashing import hash_str_u64
+
+        vals = a.to_pylist()
+        return hash_str_u64(["" if v is None else v for v in vals])
 
 
 def rename_bucket(ds: "ray.data.Dataset", old: str, new: str,
