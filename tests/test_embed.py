@@ -68,6 +68,17 @@ def test_cosine_pairs_broadcast_exact():
     assert (got["a"] < got["b"]).all()
 
 
+def test_cosine_pairs_lsh_verify_paths_agree():
+    """Broadcast and join verify strategies must produce the same pair SET
+    (scores within float32 accumulation noise of each other)."""
+    tbl, ids, m = _corpus(n=350, n_dup=15)
+    ds = rd.from_arrow(tbl).repartition(4)
+    bc = cosine_pairs_lsh(ds, threshold=0.95, dim=16, verify="broadcast").to_pandas()
+    jn = cosine_pairs_lsh(ds, threshold=0.95, dim=16, verify="join").to_pandas()
+    assert set(zip(bc["a"], bc["b"])) == set(zip(jn["a"], jn["b"]))
+    assert len(bc) > 0
+
+
 def test_cosine_pairs_lsh_recall():
     tbl, ids, m = _corpus(n=400, n_dup=20)
     ds = rd.from_arrow(tbl).repartition(4)

@@ -94,6 +94,34 @@ def test_components_driver_vs_distributed():
     assert d1[40] == d1[50] == 40
 
 
+def test_components_distributed_long_chain_converges():
+    """Pointer jumping: a path graph with diameter >> max_rounds must still
+    converge to ONE component (the old one-hop-per-round loop silently
+    split any component with diameter > rounds)."""
+    n = 3000
+    rng = np.random.default_rng(9)
+    ids = rng.permutation(np.arange(1, n + 1)).astype(np.uint64)  # shuffled chain
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(ids[:-1]), "dst": pa.array(ids[1:])})
+    ).repartition(8)
+    dist = components_distributed(edges, num_partitions=8).to_pandas()
+    cids = set(dist["cluster_id"].astype(np.uint64))
+    assert cids == {1}, f"chain split into {len(cids)} components"
+    assert len(dist) == n
+
+
+def test_components_distributed_raises_on_nonconvergence():
+    n = 300
+    ids = np.arange(1, n + 1).astype(np.uint64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(ids[:-1]), "dst": pa.array(ids[1:])})
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_distributed(edges, num_partitions=4, max_rounds=2)
+
+
 def test_edges_deterministic_across_partitioning(pages_small):
     cfg = DedupConfig()
     res = []
