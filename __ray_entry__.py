@@ -158,6 +158,78 @@ def _q_near_dup_clusters(sf_dir: str):
     return dupe_clusters(_tbl(sf_dir, "documents"), cfg)
 
 
+def _q_exact_clusters_trunc(sf_dir: str):
+    """The FLAGSHIP dupe pipeline (fused signatures + sharded LSH/digest
+    indexes + verify + large/small-star components + assignment) driven to
+    an exactly-SQL-predictable output: text truncated to prefix-40 creates
+    real duplicate groups, and jaccard_threshold > 1 suppresses every
+    near-dup edge, so clusters == exact-digest groups with cluster_id =
+    min node id. This moves the cluster path from rows-only to a full
+    value-hash oracle check."""
+    import dataclasses
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.config import DedupConfig, MinHashConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    docs = _tbl(sf_dir, "documents")
+
+    def trunc(t: "pa.Table") -> "pa.Table":
+        cut = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
+        return t.set_column(t.column_names.index("text"), "text", cut)
+
+    cfg = DedupConfig(
+        id_col="doc_id", text_col="text",
+        minhash=MinHashConfig(jaccard_threshold=1.01),
+    )
+    return dupe_clusters(docs.map_batches(trunc, batch_format="pyarrow"), cfg)
+
+
+def _lang_id_oracle_sql() -> str:
+    """SQL reimplementation of stages/textstats.lang_id (stopword-hit
+    argmax, first-language-wins ties, threshold max(2, n_words // 50)) —
+    generated from the SAME stopword tables so they cannot drift."""
+    from dupers_ray.stages.textstats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    hit_cols = ",\n                   ".join(
+        "sum(CASE WHEN w IN ({words}) THEN 1 ELSE 0 END) AS h_{lg}".format(
+            words=", ".join(f"'{s}'" for s in sorted(_STOPWORDS[lg])), lg=lg
+        )
+        for lg in langs
+    )
+    # ordered argmax: language L wins if >= every LATER language's hits
+    # (earlier languages already lost their strict comparison)
+    arms = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lg} >= h_{other}" for other in langs[i + 1 :])
+        arms.append(f"WHEN {conds} THEN '{lg}'")
+    argmax = "CASE " + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    return rf"""
+        WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, count(*) AS n,
+                   {hit_cols}
+            FROM w GROUP BY doc_id
+        ),
+        p AS (
+            SELECT doc_id,
+                   CASE WHEN {best} >= greatest(2, n // 50)
+                        THEN ({argmax})
+                        ELSE 'und' END AS lang_pred
+            FROM c
+        )
+        SELECT d.doc_id, COALESCE(p.lang_pred, 'und') AS lang_pred
+        FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+    """
+
+
 def _q_token_stats(sf_dir: str):
     """Token counting + quality word/char counts (stages/textstats.py)."""
     from dupers_ray.stages.textstats import quality_stats, token_counts
@@ -358,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refresh_anti_broadcast": _q_refresh_anti_broadcast,
         "refresh_anti_shuffle": _q_refresh_anti_shuffle,
         "near_dup_clusters": _q_near_dup_clusters,
+        "exact_clusters_trunc": _q_exact_clusters_trunc,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
@@ -422,6 +495,20 @@ def oracle_sql() -> dict[str, str]:
         "refresh_anti_shuffle": """
             SELECT doc_id, source FROM documents WHERE doc_id % 3 <> 0
         """,
+        "exact_clusters_trunc": """
+            WITH nodes AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS node,
+                       CASE WHEN text IS NOT NULL AND length(text) > 0
+                            THEN sha256(substr(text, 1, 40)) END AS dg
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN dg IS NULL THEN node
+                        ELSE min(node) OVER (PARTITION BY dg) END AS cluster_id
+            FROM nodes
+        """,
+        "lang_id": _lang_id_oracle_sql(),
         "token_stats": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,

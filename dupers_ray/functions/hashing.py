@@ -61,18 +61,25 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_str_u64(values: Sequence[str]) -> np.ndarray:
-    """Deterministic 64-bit hash of strings: crc32 of utf-8 (C speed) mixed
-    with length, finalized by splitmix64. Used for token hashing and stable
-    node ids where cryptographic strength is unneeded."""
+    """Deterministic 64-bit hash of strings: TWO independent crc32 passes
+    (plain and seeded-and-salted) fill both 32-bit halves, finalized by
+    splitmix64. The round-1 version used crc32 + length, which gave only
+    32 bits of entropy per length class — a web-scale vocabulary of
+    same-length tokens aliased thousands of distinct words in MinHash /
+    SimHash shingles (round-1 ADVICE). crc runs at C speed per call."""
     crc = zlib.crc32
-    lo = np.fromiter(
-        (crc(v.encode("utf-8", "surrogatepass")) for v in values),
-        dtype=np.uint64,
-        count=len(values),
+    n = len(values)
+    encoded = [v.encode("utf-8", "surrogatepass") for v in values]
+    lo = np.fromiter((crc(b) for b in encoded), dtype=np.uint64, count=n)
+    # the second pass crcs SALTED data: crc32 with a different seed alone is
+    # affine in the seed for a fixed length (hi would equal lo xor a
+    # per-length constant) — prepending a salt byte genuinely decorrelates
+    # the two 32-bit halves
+    hi = np.fromiter(
+        (crc(b"\xa5" + b) for b in encoded), dtype=np.uint64, count=n
     )
-    ln = np.fromiter((len(v) for v in values), dtype=np.uint64, count=len(values))
     with np.errstate(over="ignore"):
-        mixed = lo + (ln << np.uint64(32))
+        mixed = lo | (hi << np.uint64(32))
     return splitmix64(mixed)
 
 

@@ -216,7 +216,7 @@ def dupe_clusters_checkpointed(
     cfg_fp = _hl.sha256(cfg.to_json().encode()).hexdigest()[:16]
 
     sig_dir = f"{workdir}/signatures"
-    run_partitioned(
+    sig_res = run_partitioned(
         input_files, sig_dir,
         lambda ds: minhash_signatures(
             ds, shingle=cfg.shingle, minhash=cfg.minhash,
@@ -227,7 +227,7 @@ def dupe_clusters_checkpointed(
     )
 
     idx_dir = f"{workdir}/index"
-    run_partitioned(
+    idx_res = run_partitioned(
         input_files, idx_dir,
         lambda ds: digest_dataset(ds, content_col=text_col).select_columns(
             [id_col, "digest", "digest_u64"]
@@ -235,6 +235,10 @@ def dupe_clusters_checkpointed(
         stage="digest_index", config_fingerprint=cfg_fp,
         files_per_partition=files_per_partition,
     )
+    # changed inputs (same paths, new bytes) invalidate the wide phases too
+    upstream_fp = _hl.sha256(
+        (sig_res["fingerprint"] + idx_res["fingerprint"]).encode()
+    ).hexdigest()[:16]
 
     def edges_phase(_prev: dict) -> "ray.data.Dataset":
         sigs = read_partitioned(sig_dir)
@@ -271,6 +275,6 @@ def dupe_clusters_checkpointed(
 
     out = run_phased(
         [("edges", edges_phase), ("clusters", clusters_phase)],
-        workdir, config_fingerprint=cfg_fp,
+        workdir, config_fingerprint=cfg_fp, upstream_fingerprint=upstream_fp,
     )
     return rd.read_parquet(out["clusters"])

@@ -539,16 +539,18 @@ def _verify_pairs_broadcast(
         at = pa.concat_tables(tables)
         nodes = np.asarray(at.column("node"), dtype=np.uint64)
         bufs = at.column("sig").to_pylist()
-        # compare LOW BYTES only: equality of uint8 folds adds a false-match
-        # probability of 1/256 per component (bias <= +0.4% on the Jaccard
-        # estimate) and cuts the gather bandwidth of the scoring loop 4x
-        full = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(len(nodes), -1)
-        mat = np.ascontiguousarray(full[:, ::4])
+        # compare LOW uint16 HALVES: equality of uint16 folds adds a
+        # false-match probability of 1/65536 per component (bias <= +0.0015%
+        # on the Jaccard estimate — round-1 ADVICE flagged the old uint8
+        # fold's 1/256 bias as a strategy-boundary reproducibility wart)
+        # while still halving the scoring loop's gather bandwidth vs u4
+        full = np.frombuffer(b"".join(bufs), dtype="<u2").reshape(len(nodes), -1)
+        mat = np.ascontiguousarray(full[:, ::2])
         order = np.argsort(nodes, kind="stable")
         nodes, mat = nodes[order], mat[order]
     else:
         nodes = np.empty(0, np.uint64)
-        mat = np.empty((0, cfg.num_perm), np.uint8)
+        mat = np.empty((0, cfg.num_perm), np.uint16)
     ref = _ray.put((nodes, mat))
     thr = cfg.jaccard_threshold
 

@@ -7,9 +7,10 @@ extension map and magic bytes (MIME/Extension/ReadMIME); dupe.go:604-799
 archives are intentionally NOT walked (dupe.go:603) — same here.
 
 Engine: a 1→N ``map_batches`` fan-out over binary payload rows. ZIP/TAR/
-GZ/BZ2/XZ use the stdlib; formats whose libraries aren't installed (7z,
-rar, zstd) are classified but their members are not extracted (rows pass
-through with ``archive_error`` set) — gated imports, no hard dependency.
+GZ/BZ2/XZ use the stdlib; 7z uses the from-scratch stdlib-only reader in
+sources/sevenzip.py (Read7Zip parity, dupe.go:648-693 — archives using
+unsupported 7z features flow through with ``archive_error`` set). rar and
+zstd have no stdlib codec: classified, members not extracted.
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ _EXT_MIME = {
 
 EXTRACTABLE = {
     "application/zip", "application/gzip", "application/x-bzip2",
-    "application/x-xz", "application/x-tar",
+    "application/x-xz", "application/x-tar", "application/x-7z-compressed",
 }
 
 
@@ -110,6 +111,10 @@ def _members(data: bytes, mime: str, name: str) -> list[tuple[str, bytes]]:
         if len(inner) > 262 and inner[257:262] == b"ustar":  # .tar.xz
             return _members(inner, "application/x-tar", name)
         return [(posixpath.basename(name) + ".out", inner)]
+    if mime == "application/x-7z-compressed":
+        from dupers_ray.sources.sevenzip import read_7z_members
+
+        return read_7z_members(data)
     raise ValueError(f"unsupported archive mime {mime!r}")
 
 

@@ -135,21 +135,59 @@ def run_partitioned(
         )
         completed.append(key)
         total_rows += rows
-    return {"completed": completed, "skipped": skipped, "rows": total_rows}
+    # prune partitions beyond the current group count: a previous run over
+    # MORE input files leaves completed partitions whose keys this run never
+    # touches, and they would silently leak into read_partitioned (round-1
+    # ADVICE). Their manifests are removed too.
+    pruned = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("partition="):
+            continue
+        base = d.removesuffix(".tmp")
+        try:
+            idx = int(base.split("=", 1)[1])
+        except ValueError:
+            continue
+        if idx >= len(groups) or d.endswith(".tmp"):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            mp = _manifest_path(out_dir, base)
+            if os.path.exists(mp):
+                os.remove(mp)
+            pruned.append(d)
+    # combined fingerprint over every current partition: one value downstream
+    # phases can pin so edits to ANY input invalidate them (round-1 ADVICE:
+    # run_phased validated only config, returning stale phase output when
+    # inputs changed but the partition count didn't)
+    h = hashlib.sha256()
+    for gi, files in enumerate(groups):
+        man = _load_manifest(out_dir, f"partition={gi:05d}")
+        h.update((man or {}).get("input_fingerprint", "").encode())
+        h.update(config_fingerprint.encode())
+    return {
+        "completed": completed,
+        "skipped": skipped,
+        "pruned": pruned,
+        "rows": total_rows,
+        "fingerprint": h.hexdigest()[:32],
+    }
 
 
 def read_partitioned(out_dir: str) -> "ray.data.Dataset":
-    """Read every completed partition back as one Dataset."""
+    """Read every partition WITH a complete manifest back as one Dataset.
+    Directories lacking a current manifest (stale leftovers, torn writes)
+    are ignored rather than silently included."""
     import glob as _glob
 
     import ray.data as rd
 
-    files = sorted(
-        f
-        for d in os.listdir(out_dir)
-        if d.startswith("partition=") and not d.endswith(".tmp")
-        for f in _glob.glob(os.path.join(out_dir, d, "*.parquet"))
-    )
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("partition=") or d.endswith(".tmp"):
+            continue
+        man = _load_manifest(out_dir, d)
+        if not man or man.get("status") != "complete":
+            continue
+        files.extend(sorted(_glob.glob(os.path.join(out_dir, d, "*.parquet"))))
     return rd.read_parquet(files)
 
 
@@ -158,12 +196,18 @@ def run_phased(
     workdir: str,
     *,
     config_fingerprint: str = "",
+    upstream_fingerprint: str = "",
 ) -> dict[str, str]:
     """Phase-level checkpointing for wide stages. Each phase fn receives
     {phase_name: output_dir} of all COMPLETED phases and returns a Dataset,
     persisted to ``workdir/<name>/`` atomically. A phase whose manifest
-    matches is skipped; downstream phases read its parquet. Returns the
-    {phase: dir} map."""
+    matches (config AND upstream input state) is skipped; downstream phases
+    read its parquet. Returns the {phase: dir} map.
+
+    ``upstream_fingerprint`` pins the INPUT state the phases derive from
+    (e.g. run_partitioned's combined fingerprint): changed input files now
+    invalidate phase outputs instead of being silently served stale
+    (round-1 ADVICE)."""
     outputs: dict[str, str] = {}
     for name, fn in phases:
         phase_dir = os.path.join(workdir, name)
@@ -172,6 +216,7 @@ def run_phased(
             man
             and man.get("status") == "complete"
             and man.get("config_fingerprint") == config_fingerprint
+            and man.get("upstream_fingerprint", "") == upstream_fingerprint
             and os.path.isdir(phase_dir)
         ):
             outputs[name] = phase_dir
@@ -187,9 +232,114 @@ def run_phased(
                 "status": "complete",
                 "stage": name,
                 "config_fingerprint": config_fingerprint,
+                "upstream_fingerprint": upstream_fingerprint,
                 "rows": rows,
                 "completed_at": time.time(),
             },
         )
         outputs[name] = phase_dir
     return outputs
+
+
+# ------------------------------------------------------------ backup/compact
+
+SNAPSHOT_DIR = "_snapshots"
+
+
+def snapshot_index(workdir: str, tag: str) -> dict:
+    """``backup`` verb (reference Backup, pkg/database/io.go:40-55: copy the
+    bbolt file to a timestamped sibling). Copies every partition dir, phase
+    dir and manifest under ``workdir`` into ``workdir/_snapshots/<tag>/``
+    using hard links where the filesystem allows (parquet outputs are
+    immutable-by-construction here: writers go tmp → rename), so a snapshot
+    costs directory entries, not bytes. Returns {"files": n, "dir": path}."""
+    dst_root = os.path.join(workdir, SNAPSHOT_DIR, tag)
+    if os.path.exists(dst_root):
+        raise FileExistsError(f"snapshot tag exists: {dst_root}")
+    tmp_root = dst_root + ".tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    n_files = 0
+    for root, dirs, files in os.walk(workdir):
+        rel = os.path.relpath(root, workdir)
+        if rel.split(os.sep)[0] == SNAPSHOT_DIR:
+            dirs[:] = []
+            continue
+        dirs[:] = [d for d in dirs if not d.endswith(".tmp")]
+        for f in files:
+            src = os.path.join(root, f)
+            dst = os.path.join(tmp_root, rel, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            n_files += 1
+    os.makedirs(tmp_root, exist_ok=True)
+    with open(os.path.join(tmp_root, "SNAPSHOT.json"), "w") as f:
+        json.dump({"tag": tag, "source": workdir, "files": n_files,
+                   "created_at": time.time()}, f)
+    os.replace(tmp_root, dst_root)
+    return {"files": n_files, "dir": dst_root}
+
+
+def list_snapshots(workdir: str) -> list[str]:
+    root = os.path.join(workdir, SNAPSHOT_DIR)
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if not d.endswith(".tmp"))
+
+
+def restore_snapshot(workdir: str, tag: str) -> None:
+    """Restore ``workdir`` state (partitions, phases, manifests) from a
+    snapshot, replacing current contents (snapshots themselves are kept)."""
+    src_root = os.path.join(workdir, SNAPSHOT_DIR, tag)
+    if not os.path.isdir(src_root):
+        raise FileNotFoundError(src_root)
+    for d in os.listdir(workdir):
+        if d == SNAPSHOT_DIR:
+            continue
+        p = os.path.join(workdir, d)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    for root, dirs, files in os.walk(src_root):
+        rel = os.path.relpath(root, src_root)
+        for f in files:
+            if rel == "." and f == "SNAPSHOT.json":
+                continue
+            src = os.path.join(root, f)
+            dst = os.path.join(workdir, rel, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+
+def compact_index(workdir: str) -> dict:
+    """``compact`` verb (reference Compact, pkg/database/database.go:307-371
+    ≙ rewrite the DB dropping dead pages). Removes tmp dirs from crashed
+    runs, partition/phase dirs without a complete manifest, and orphan
+    manifests whose output dir is gone. Live data is untouched."""
+    removed_dirs, removed_manifests = [], []
+    man_dir = os.path.join(workdir, MANIFEST_DIR)
+    for root, dirs, _files in os.walk(workdir):
+        if os.path.relpath(root, workdir).split(os.sep)[0] == SNAPSHOT_DIR:
+            dirs[:] = []
+            continue
+        for d in list(dirs):
+            if d.endswith(".tmp"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                removed_dirs.append(os.path.join(root, d))
+    if os.path.isdir(man_dir):
+        for mf in os.listdir(man_dir):
+            if not mf.endswith(".json"):
+                continue
+            key = mf[: -len(".json")]
+            out = os.path.join(
+                workdir, key.removeprefix("phase-") if key.startswith("phase-") else key
+            )
+            if not os.path.isdir(out):
+                os.remove(os.path.join(man_dir, mf))
+                removed_manifests.append(mf)
+    return {"removed_dirs": removed_dirs, "removed_manifests": removed_manifests}

@@ -163,3 +163,80 @@ def test_checkpointed_flagship_matches_direct(tmp_path, pages_small):
     ck2 = dupe_clusters_checkpointed(files, work, cfg).to_pandas()
     m2 = ck.merge(ck2, on="url", suffixes=("_1", "_2"))
     assert (m2["cluster_id_1"] == m2["cluster_id_2"]).all()
+
+
+def test_stale_partitions_pruned_and_phase_invalidated(shards, tmp_path):
+    """Round-1 ADVICE: fewer input files on rerun must prune leftover
+    partitions (not leak them into read_partitioned), and a changed input
+    must invalidate run_phased outputs via the upstream fingerprint."""
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    r_all = run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    assert len(r_all["completed"]) == 4
+
+    # rerun with only 2 of the 4 inputs: partitions 2..3 pruned
+    r_two = run_partitioned(shards[:2], out, _count_pipeline(markers), stage="s1")
+    assert len(r_two["skipped"]) == 2 and len(r_two["pruned"]) == 2
+    assert read_partitioned(out).count() == 100
+    assert r_two["fingerprint"] != r_all["fingerprint"]
+
+    # wide phase pinned to the partition fingerprint re-runs when it changes
+    runs = []
+
+    def phase(_prev):
+        runs.append(1)
+        return rd.from_items([{"x": 1}])
+
+    work = str(tmp_path / "w")
+    run_phased([("p", phase)], work, upstream_fingerprint=r_all["fingerprint"])
+    run_phased([("p", phase)], work, upstream_fingerprint=r_all["fingerprint"])
+    assert len(runs) == 1  # same upstream → skipped
+    run_phased([("p", phase)], work, upstream_fingerprint=r_two["fingerprint"])
+    assert len(runs) == 2  # changed upstream → re-ran
+
+
+def test_snapshot_restore_roundtrip(shards, tmp_path):
+    """`backup` parity (pkg/database/io.go:40-55): snapshot, clobber the
+    live index, restore, resume skips everything."""
+    from dupers_ray.state.manifest import (
+        compact_index,
+        list_snapshots,
+        restore_snapshot,
+        snapshot_index,
+    )
+
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    snap = snapshot_index(out, "pre")
+    assert snap["files"] > 0 and list_snapshots(out) == ["pre"]
+
+    # clobber live state (keep snapshots), then restore
+    import shutil
+
+    for d in os.listdir(out):
+        if d != "_snapshots":
+            shutil.rmtree(os.path.join(out, d))
+    restore_snapshot(out, "pre")
+    assert read_partitioned(out).count() == 200
+    r = run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    assert len(r["skipped"]) == 4 and not r["completed"]
+
+
+def test_compact_removes_dead_state(shards, tmp_path):
+    """`compact` parity (database.go:307-371): tmp dirs and orphan
+    manifests are dropped, live partitions survive."""
+    from dupers_ray.state.manifest import compact_index
+
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    os.makedirs(os.path.join(out, "partition=00009.tmp"))
+    # orphan manifest: dir removed behind our back
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "partition=00003"))
+    stats = compact_index(out)
+    assert any("00009.tmp" in d for d in stats["removed_dirs"])
+    assert "partition=00003.json" in stats["removed_manifests"]
+    assert read_partitioned(out).count() == 150

@@ -127,3 +127,134 @@ def test_classify_mime_batch():
     )
     out = classify_mime(t)
     assert out.column("mime").to_pylist() == ["application/zip", None]
+
+
+# ------------------------------------------------------------------ 7z reader
+
+def _write_7z_copy(files: list[tuple[str, bytes]]) -> bytes:
+    """Minimal 7z WRITER (Copy codec, one folder, unencoded header) — test
+    harness for the from-scratch reader in sources/sevenzip.py; exercises
+    multi-file substream splitting and empty-file bit vectors."""
+    import struct
+    import zlib
+
+    def num(v: int) -> bytes:
+        assert v < 0x80  # single-byte form is enough for test archives
+        return bytes([v])
+
+    nonempty = [(n, b) for n, b in files if b]
+    empty = [(n, b) for n, b in files if not b]
+    body = b"".join(b for _, b in nonempty)
+
+    hdr = bytearray()
+    hdr += num(0x01)  # kHeader
+    if nonempty:
+        hdr += num(0x04)  # kMainStreamsInfo
+        hdr += num(0x06) + num(0) + num(1)  # kPackInfo pos=0 numPack=1
+        hdr += num(0x09) + num(len(body)) + num(0x00)  # kSize, kEnd
+        hdr += num(0x07)  # kUnpackInfo
+        hdr += num(0x0B) + num(1) + b"\x00"  # kFolder, 1 folder, internal
+        hdr += num(1) + b"\x01" + b"\x00"  # 1 coder: idsize=1, codec=Copy
+        hdr += num(0x0C) + num(len(body))  # kCodersUnpackSize
+        hdr += num(0x00)  # kEnd UnpackInfo
+        hdr += num(0x08)  # kSubStreamsInfo
+        hdr += num(0x0D) + num(len(nonempty))  # kNumUnpackStream
+        if len(nonempty) > 1:
+            hdr += num(0x09)  # kSize: n-1 explicit sizes
+            for _, b in nonempty[:-1]:
+                hdr += num(len(b))
+        hdr += num(0x00)  # kEnd SubStreams
+        hdr += num(0x00)  # kEnd MainStreams
+    # kFilesInfo — order: empty-stream files carry no substream; keep
+    # non-empty files FIRST so substream order matches file order
+    ordered = nonempty + empty
+    hdr += num(0x05) + num(len(ordered))
+    if empty:
+        bits = bytearray()
+        acc, nbits = 0, 0
+        for _n, b in ordered:
+            acc = (acc << 1) | (0 if b else 1)
+            nbits += 1
+            if nbits == 8:
+                bits.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            bits.append(acc << (8 - nbits))
+        hdr += num(0x0E) + num(len(bits)) + bytes(bits)  # kEmptyStream
+        ebits = bytearray()
+        acc, nbits = 0, 0
+        for _ in empty:
+            acc = (acc << 1) | 1  # all our empty streams are empty FILES
+            nbits += 1
+            if nbits == 8:
+                ebits.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            ebits.append(acc << (8 - nbits))
+        hdr += num(0x0F) + num(len(ebits)) + bytes(ebits)  # kEmptyFile
+    names = b"\x00" + "".join(n + "\x00" for n, _ in ordered).encode("utf-16-le")
+    hdr += num(0x11) + num(len(names)) + names  # kName
+    hdr += num(0x00)  # kEnd FilesInfo
+    hdr += num(0x00)  # kEnd Header
+
+    hdr = bytes(hdr)
+    nh_crc = zlib.crc32(hdr)
+    start = struct.pack("<QQI", len(body), len(hdr), nh_crc)
+    start_crc = zlib.crc32(start)
+    return (b"7z\xbc\xaf\x27\x1c" + b"\x00\x04" + struct.pack("<I", start_crc)
+            + start + body + hdr)
+
+
+def test_7z_reference_fixture_parity():
+    """Read7Zip conformance (dupe.go:648-693): the reference's own fixture
+    must extract, and its single member must be byte-identical to the
+    sibling randomfiles.tar.xz file."""
+    from dupers_ray.sources.sevenzip import read_7z_members
+
+    data = open("/root/reference/testdata/randomfiles.7z", "rb").read()
+    members = read_7z_members(data)
+    assert [n for n, _ in members] == ["randomfiles.tar.xz"]
+    ref = open("/root/reference/testdata/randomfiles.tar.xz", "rb").read()
+    assert members[0][1] == ref
+
+
+def test_7z_multifile_and_empty():
+    from dupers_ray.sources.sevenzip import read_7z_members
+
+    files = [("a.txt", b"alpha"), ("dir/b.bin", b"\x00\x01\x02" * 10),
+             ("zero.txt", b""), ("c.txt", b"gamma")]
+    arc = _write_7z_copy(files)
+    got = dict(read_7z_members(arc))
+    assert got == {n: b for n, b in files}
+
+
+def test_7z_explode_and_nested_tar_xz():
+    """explode_archives walks 7z members one level (nested tar.xz member
+    stays opaque, dupe.go:603 parity) with path-join keys (dupe.go:665)."""
+    data = open("/root/reference/testdata/randomfiles.7z", "rb").read()
+    t = pa.table({"url": ["x/randomfiles.7z"], "html": pa.array([data], pa.binary())})
+    out = explode_archives(t)
+    assert out.column("url").to_pylist() == ["x/randomfiles.7z/randomfiles.tar.xz"]
+    assert out.column("is_member").to_pylist() == [True]
+    assert out.column("archive_error").to_pylist() == [None]
+
+
+def test_7z_unsupported_flows_through():
+    """A 7z with an unsupported coder keeps the row + archive_error."""
+    from dupers_ray.sources.sevenzip import Unsupported7z, read_7z_members
+
+    arc = bytearray(_write_7z_copy([("a.txt", b"alpha")]))
+    # corrupt the codec id byte (Copy 0x00 -> 0x99 fake coder). Header is at
+    # offset 32+len(body): find the coder byte by rebuilding knowledge: use
+    # the reader to prove it raises after the patch.
+    idx = arc.rindex(b"\x01\x01\x00\x0c")  # numcoders=1, idsize=1, codec=00, kUnpackSize
+    arc[idx + 2] = 0x99
+    import pytest
+
+    with pytest.raises(Unsupported7z):
+        read_7z_members(bytes(arc))
+    t = pa.table({"url": ["bad.7z"], "html": pa.array([bytes(arc)], pa.binary())})
+    out = explode_archives(t)
+    assert out.column("url").to_pylist() == ["bad.7z"]
+    err = out.column("archive_error").to_pylist()[0]
+    assert err and "Unsupported7z" in err

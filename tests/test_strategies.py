@@ -39,9 +39,9 @@ def test_verify_join_equals_broadcast(pages_small):
     jn = verify_pairs(pairs, sigs, minhash=cfg, strategy="join").to_pandas()
     assert _pairs_set(bc) == _pairs_set(jn)
     assert len(bc) > 0
-    # jaccard estimates agree within the documented uint8-fold bias of the
-    # broadcast path (low-byte comparison: <= +1/256 false-match rate per
-    # component ⇒ a few /num_perm absolute difference)
+    # jaccard estimates agree within the documented uint16-fold bias of the
+    # broadcast path (<= +1/65536 false-match rate per component — in
+    # practice at most a component or two per signature differ)
     jb = {
         (int(s), int(d)): j
         for s, d, j in zip(bc.src.astype(np.uint64), bc.dst.astype(np.uint64), bc.jaccard)
