@@ -133,31 +133,43 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    import statistics
+
     ensure_pages_corpus()  # build once; all runs read identical bytes
-    # two alternating rounds per level, min per level: single-run numbers
-    # on this box vary ±40% with page-cache/thermal/external-tenant load.
-    # Levels 2/8/32 give two N→4N pairs: 2→8 sits below the single box's
-    # shared memory-bandwidth saturation (the regime a real N-node→4N-node
-    # cluster is in, since each node brings its own bandwidth); 8→32 is
-    # reported too but saturates the one shared memory system.
+    # three alternating rounds per level; min AND median per level: single-
+    # run numbers on this box vary up to 3x with host-tenant load (CPU idle
+    # + loadavg 10 observed — noisy-neighbor steal), so alternating levels
+    # keeps weather from biasing one level. Levels 2/8/32 give two N→4N
+    # pairs: 2→8 sits below the single box's shared memory-bandwidth
+    # saturation (the regime a real N-node→4N-node cluster is in, since
+    # each node brings its own bandwidth); 8→32 is reported too but
+    # saturates the one shared memory system.
     levels = (2, 8, 32)
-    best: dict[int, dict] = {}
-    for _ in range(2):
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    runs: dict[int, list[float]] = {n: [] for n in levels}
+    docs = None
+    for _ in range(rounds):
         for ncpu in levels:
             r = run(ncpu)
-            if ncpu not in best or r["value"] < best[ncpu]["value"]:
-                best[ncpu] = r
-    out = {
-        "metric": "scaling_efficiency_8_to_32",
-        "bench_docs": best[8]["bench_docs"],
-    }
+            runs[ncpu].append(r["value"])
+            docs = r["bench_docs"]
+    out = {"metric": "scaling_efficiency_8_to_32", "bench_docs": docs,
+           "rounds": rounds}
+    med = {n: statistics.median(v) for n, v in runs.items()}
+    mn = {n: min(v) for n, v in runs.items()}
     for ncpu in levels:
-        out[f"sec_{ncpu}"] = best[ncpu]["value"]
-        out[f"docs_per_sec_{ncpu}"] = best[ncpu]["docs_per_sec"]
-    out["speedup"] = round(best[8]["value"] / best[32]["value"], 3)
+        out[f"sec_{ncpu}"] = mn[ncpu]
+        out[f"sec_{ncpu}_median"] = round(med[ncpu], 3)
+        out[f"sec_{ncpu}_all"] = runs[ncpu]
+        out[f"docs_per_sec_{ncpu}"] = round(docs / mn[ncpu], 1)
+    out["speedup"] = round(mn[8] / mn[32], 3)
     out["scaling_efficiency"] = round(out["speedup"] / 4, 3)
-    out["speedup_2_to_8"] = round(best[2]["value"] / best[8]["value"], 3)
+    out["speedup_median"] = round(med[8] / med[32], 3)
+    out["scaling_efficiency_median"] = round(out["speedup_median"] / 4, 3)
+    out["speedup_2_to_8"] = round(mn[2] / mn[8], 3)
     out["scaling_efficiency_2_to_8"] = round(out["speedup_2_to_8"] / 4, 3)
+    out["speedup_2_to_8_median"] = round(med[2] / med[8], 3)
+    out["scaling_efficiency_2_to_8_median"] = round(out["speedup_2_to_8_median"] / 4, 3)
     return out
 
 

@@ -57,6 +57,28 @@ DEFAULT_SPILL_ROWS = 32_000_000
 _N_SUB = 64  # radix sub-ranges per shard (power of two)
 
 
+def _await_rows(shards, expected: int, timeout_s: float = 600.0) -> None:
+    """Block until the shard set has RECEIVED ``expected`` band rows.
+    Ingest tasks fire-and-forget their shard adds (a per-batch ray.get
+    serialized every map task on up-to-32 actor acks — measured as the
+    flagship's top cost under load); this poll is the replacement barrier.
+    A retried ingest task re-submits its adds, so counts can only overshoot
+    (duplicate rows dedup inside the shards) — never stall short, except in
+    the worker-died-mid-submit case the timeout converts into an error."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        got = sum(ray.get([s.rows_received.remote() for s in shards]))
+        if got >= expected:
+            return
+        if _time.monotonic() > deadline:
+            raise RuntimeError(
+                f"bucket index ingest stalled: {got}/{expected} rows received"
+            )
+        _time.sleep(0.02)
+
+
 def _emit_star_pairs(
     bh: np.ndarray, sub: np.ndarray, node: np.ndarray, max_bucket_size: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -104,6 +126,7 @@ class BucketIndexShard:
         self._shift = np.uint64(64 - int(np.log2(n_sub)))
         self._spill_dir: str | None = None
         self._n_runs = 0
+        self._rows_received = 0
 
     def add(self, bh: np.ndarray, node: np.ndarray, sub: np.ndarray | None = None) -> int:
         self._bh.append(bh)
@@ -112,9 +135,13 @@ class BucketIndexShard:
             sub if sub is not None else np.zeros(len(bh), np.uint64)
         )
         self._buffered += len(bh)
+        self._rows_received += len(bh)
         if self._spill_rows and self._buffered >= self._spill_rows:
             self._flush()
         return len(bh)
+
+    def rows_received(self) -> int:
+        return self._rows_received
 
     def stats(self) -> dict:
         return {"buffered": self._buffered, "spilled_runs": self._n_runs}
@@ -224,15 +251,18 @@ def candidate_pairs_index(
         bh = np.asarray(b.column("band_hash"), dtype=np.uint64)
         node = np.asarray(b.column("node"), dtype=np.uint64)
         sid = (bh % np.uint64(n_shards)).astype(np.int64)
-        refs = []
         for s in range(n_shards):
             m = sid == s
             if m.any():
-                refs.append(shards[s].add.remote(bh[m], node[m]))
-        ray.get(refs)
-        return pa.table({"n": pa.array([len(t)], pa.int64())})
+                shards[s].add.remote(bh[m], node[m])  # fire-and-forget
+        return pa.table({"n": pa.array([len(bh)], pa.int64())})
 
-    sigs.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True).count()
+    sent = sum(
+        r["n"]
+        for r in sigs.map_batches(ingest, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    )
+    _await_rows(shards, sent)
     # shard-side pair emission; tables come back as object refs the driver
     # never copies (cross-band duplicates are deduped inside each shard)
     refs = [s.pairs_table.remote(0) for s in shards]
@@ -266,17 +296,19 @@ def exact_node_pairs_index(
         sub = np.asarray(t.column("digest_u64b"), dtype=np.uint64)
         node = np.asarray(t.column("node"), dtype=np.uint64)
         sid = (k % np.uint64(n_shards)).astype(np.int64)
-        refs = []
         for s in range(n_shards):
             m = sid == s
             if m.any():
-                refs.append(shards[s].add.remote(k[m], node[m], sub[m]))
-        ray.get(refs)
+                shards[s].add.remote(k[m], node[m], sub[m])  # fire-and-forget
         return pa.table({"n": pa.array([len(t)], pa.int64())})
 
-    sigs.select_columns(["digest_u64", "digest_u64b", "node"]).map_batches(
-        ingest, batch_format="pyarrow", zero_copy_batch=True
-    ).count()
+    sent = sum(
+        r["n"]
+        for r in sigs.select_columns(["digest_u64", "digest_u64b", "node"])
+        .map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    _await_rows(shards, sent)
     refs = [s.pairs_table.remote(0) for s in shards]
     ray.wait(refs, num_returns=len(refs))
     pairs = ray.data.from_arrow_refs(refs)
@@ -309,7 +341,6 @@ def all_candidate_pairs_index(
     from dupers_ray.stages.minhash import explode_bands
 
     def ingest(t: pa.Table) -> pa.Table:
-        refs = []
         b = explode_bands(t, bands=cfg.bands, rows=cfg.rows, id_col=id_col)
         bh = np.asarray(b.column("band_hash"), dtype=np.uint64)
         bnode = np.asarray(b.column("node"), dtype=np.uint64)
@@ -317,7 +348,7 @@ def all_candidate_pairs_index(
         for s in range(n_shards):
             m = sid == s
             if m.any():
-                refs.append(lsh_shards[s].add.remote(bh[m], bnode[m]))
+                lsh_shards[s].add.remote(bh[m], bnode[m])  # fire-and-forget
         k = np.asarray(t.column("digest_u64"), dtype=np.uint64)
         sub = np.asarray(t.column("digest_u64b"), dtype=np.uint64)
         node = np.asarray(t.column("node"), dtype=np.uint64)
@@ -325,11 +356,14 @@ def all_candidate_pairs_index(
         for s in range(n_shards):
             m = did == s
             if m.any():
-                refs.append(dg_shards[s].add.remote(k[m], node[m], sub[m]))
-        ray.get(refs)
-        return pa.table({"n": pa.array([len(t)], pa.int64())})
+                dg_shards[s].add.remote(k[m], node[m], sub[m])  # fire-and-forget
+        return pa.table({"n_lsh": pa.array([len(bh)], pa.int64()),
+                         "n_dg": pa.array([len(t)], pa.int64())})
 
-    sigs.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True).count()
+    counts = sigs.map_batches(ingest, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    _await_rows(lsh_shards, sum(r["n_lsh"] for r in counts))
+    _await_rows(dg_shards, sum(r["n_dg"] for r in counts))
     lsh_refs = [s.pairs_table.remote(0) for s in lsh_shards]
     dg_refs = [s.pairs_table.remote(0) for s in dg_shards]
     ray.wait(lsh_refs + dg_refs, num_returns=2 * n_shards)

@@ -1,5 +1,6 @@
-"""Embedding similarity: brute-force cosine top-k, threshold pairs, and an
-LSH (random-hyperplane) bucketed variant as the scale path.
+"""Embedding similarity: brute-force cosine top-k, threshold pairs, an
+LSH (random-hyperplane) bucketed pair variant, and an IVF (coarse-
+quantizer) top-k as the scale paths.
 
 Engine-side addition for training-data pipelines (no reference analogue).
 Patterns:
@@ -338,3 +339,102 @@ def _verify_cosine_pairs(
                          "cosine": pa.array(cos[keep].astype(np.float64))})
 
     return j2.map_batches(score_joined, batch_format="pyarrow")
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, n_cells: int, *, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Driver-side spherical k-means over a SAMPLE (deterministic seed):
+    centroids live on the unit sphere, assignment = max dot product.
+    Classic IVF coarse quantizer training — the sample is small by design
+    (the corpus never leaves the cluster)."""
+    rng = np.random.default_rng(seed)
+    m = _norm(np.asarray(sample, np.float32))
+    n_cells = min(n_cells, len(m))
+    cents = m[rng.choice(len(m), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(n_cells):
+            rows = m[assign == c]
+            if len(rows):
+                cents[c] = rows.sum(axis=0)
+        cents = _norm(cents)
+    return cents
+
+
+def topk_cosine_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    train_sample: int = 10_000,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """IVF (inverted-file) approximate top-k cosine — the scale path next
+    to brute-force ``topk_cosine``: a coarse quantizer (spherical k-means
+    on a driver-side sample) splits the corpus into ``n_cells`` cells;
+    each query scores ONLY rows whose cell is among its ``n_probe``
+    closest centroids. Rows in no query's probe set are dropped per batch
+    before the gemm, so scanned+scored work shrinks ~n_probe/n_cells while
+    the merge stays the same tiny per-query groupby as the exact path.
+    Recall is tunable via n_probe (== n_cells → exact)."""
+    sample_tbl = ds.limit(train_sample).select_columns([emb_col]).take_all()
+    sample = np.array([r[emb_col] for r in sample_tbl], dtype=np.float32)
+    cents = _spherical_kmeans(sample, n_cells, seed=seed)
+
+    qm = _norm(np.asarray(queries, np.float32))
+    qids = (
+        np.arange(qm.shape[0], dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, np.int64)
+    )
+    # per query: the n_probe closest cells → (n_cells, Q) bool mask
+    order = np.argsort(-(qm @ cents.T), axis=1)[:, : min(n_probe, len(cents))]
+    probe_mask = np.zeros((len(cents), qm.shape[0]), bool)
+    for qi in range(qm.shape[0]):
+        probe_mask[order[qi], qi] = True
+    ref = ray.put((qm, qids, cents, probe_mask))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm_, qids_, cents_, mask_ = ray.get(ref)
+        emb = _norm(_mat(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if emb.size == 0:
+            return empty
+        cell = np.argmax(emb @ cents_.T, axis=1)
+        keep = mask_[cell].any(axis=1)  # row probed by ANY query?
+        if not keep.any():
+            return empty
+        emb, ids, cell = emb[keep], ids[keep], cell[keep]
+        scores = emb.astype(np.float64) @ qm_.T.astype(np.float64)  # (n, Q)
+        scores[~mask_[cell]] = -np.inf  # outside this query's probe set
+        kk = min(k, scores.shape[0])
+        order_ = np.lexsort((ids[:, None].repeat(scores.shape[1], 1), -scores), axis=0)[:kk]
+        out_q, out_i, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            sel = order_[:, qi]
+            sel = sel[np.isfinite(scores[sel, qi])]
+            out_q.extend([int(qids_[qi])] * len(sel))
+            out_i.extend(ids[sel].tolist())
+            out_s.extend(scores[sel, qi].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_i, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)[["query_id", id_col, "score"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

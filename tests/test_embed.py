@@ -91,3 +91,35 @@ def test_cosine_pairs_lsh_recall():
     assert recall >= 0.9, f"LSH recall {recall:.2f}"
     # approx must be a subset in VALUE terms (verified by exact cosine)
     assert (approx["cosine"] >= 0.95).all()
+
+
+def test_topk_cosine_ivf_recall():
+    """IVF probes only n_probe/n_cells of the corpus yet must keep high
+    recall vs exact top-k; with n_probe == n_cells it IS exact."""
+    from dupers_ray.stages.embed import topk_cosine_ivf
+
+    tbl, ids, m = _corpus(n=500, dim=16, n_dup=20)
+    ds = rd.from_arrow(tbl).repartition(5)
+    queries = m[:5].copy()
+    exact = _brute_topk(m, ids, queries, 10)
+
+    approx = topk_cosine_ivf(
+        ds, queries, k=10, n_cells=16, n_probe=6, train_sample=500
+    ).to_pandas()
+    hits = total = 0
+    for qi, rows in exact.items():
+        got = set(approx[approx.query_id == qi]["vec_id"].tolist())
+        want = {r[0] for r in rows}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.8, f"IVF recall {hits/total:.2f}"
+
+    # full-probe == exact
+    full = topk_cosine_ivf(
+        ds, queries, k=10, n_cells=16, n_probe=16, train_sample=500
+    ).to_pandas()
+    for qi, rows in exact.items():
+        got = full[full.query_id == qi].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )["vec_id"].tolist()
+        assert got == [r[0] for r in rows]

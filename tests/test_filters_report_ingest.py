@@ -114,3 +114,32 @@ def test_ingest_binary_files_with_archive(tmp_path):
     assert any(u.endswith("arch.zip/member2.txt") for u in urls)
     assert any(u.endswith("plain.txt") for u in urls)
     assert len(df) == 3
+
+
+def test_display_formatting_parity():
+    """F8/F9: mtime layout '02 Jan 2006 15:04' (dupe.go:41) and
+    go-humanize-style byte strings (dupe.go:496)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from dupers_ray.functions.display import (
+        format_mtime,
+        format_report,
+        humanize_bytes,
+    )
+
+    ts = pa.array(
+        [pd.Timestamp("2006-01-02 15:04:05"), pd.Timestamp("2024-12-31 23:59:59"), None],
+        pa.timestamp("us"),
+    )
+    assert format_mtime(ts).to_pylist() == ["02 Jan 2006 15:04", "31 Dec 2024 23:59", None]
+
+    sizes = pa.array([0, 999, 1000, 9_940, 82_854_982, 123_456_789_000, None], pa.int64())
+    assert humanize_bytes(sizes).to_pylist() == [
+        "0 B", "999 B", "1.0 kB", "9.9 kB", "83 MB", "123 GB", None,
+    ]
+
+    t = pa.table({"url": ["a"], "warc_ts": ts.slice(0, 1), "n_chars": pa.array([1500])})
+    out = format_report(t)
+    assert out.column("warc_ts_fmt").to_pylist() == ["02 Jan 2006 15:04"]
+    assert out.column("n_chars_fmt").to_pylist() == ["1.5 kB"]
