@@ -264,6 +264,31 @@ def _q_fingerprints(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact word-5-gram Jaccard verification (stages/ngram.py) over ALL
+    (src < dst) doc_id pairs capped at doc_id < 600 — the oracle-harness
+    candidate set (SQL-reproducible; production candidates come from
+    LSH / SimHash / the sharded index, and verify_pairs_exact is the
+    same verifier either way). Threshold 0.2 keeps exactly the planted
+    near-dup pairs at sf0.01. Tokenizer is \\w+ on lowercased text; the
+    sf0.01 corpus is pure-ASCII lowercase so the SQL '[a-z0-9_]+'
+    tokenizer is identical on this input."""
+    import pyarrow as pa
+
+    from dupers_ray.stages.ngram import all_pairs_candidates, verify_pairs_exact
+
+    docs = _tbl(sf_dir, "documents")
+    pairs = all_pairs_candidates(docs, id_col="doc_id", id_cap=600)
+    out = verify_pairs_exact(
+        pairs, docs, id_col="doc_id", text_col="text", k=5,
+        threshold=0.2, raw_ids=True,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["src_id", "dst_id", "jaccard"]),
+        batch_format="pyarrow",
+    )
+
+
 def _emb_queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
     import numpy as np
@@ -434,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "topk_cosine": _q_topk_cosine,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
@@ -509,6 +535,35 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes
         """,
         "lang_id": _lang_id_oracle_sql(),
+        # word-5-gram sets as unit-separator-joined strings; CASE arms
+        # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
+        # <k tokens→single whole-text shingle; both-empty→1.0, one→0.0)
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM documents WHERE doc_id < 600
+            ), sh AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(tk) < 5 THEN [array_to_string(tk, chr(31))]
+                        ELSE list_distinct([array_to_string(tk[i:i+4], chr(31))
+                                            FOR i IN range(1, len(tk) - 3)])
+                    END AS grams
+                FROM toks
+            ), scored AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                    CASE
+                        WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                        WHEN len(a.grams) = 0 OR len(b.grams) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.grams, b.grams)) * 1.0
+                             / len(list_distinct(list_concat(a.grams, b.grams)))
+                    END AS jaccard
+                FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+            )
+            SELECT src_id, dst_id, jaccard FROM scored WHERE jaccard >= 0.2
+        """,
         "token_stats": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,

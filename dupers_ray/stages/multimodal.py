@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBBED (image/audio codecs are not in
-this container): ``decoder="stub"`` raises NotImplementedError (the honest
-production default until a codec is wired), ``decoder="fake"`` produces a
-DETERMINISTIC pseudo-decode from the payload bytes so the Ray-side plumbing
-— schemas, batch sizing, actor signatures, output layout — is real and
-tested end-to-end. Swapping in PIL/ffmpeg later only replaces the kernel
-inside ``__init__``-loaded state.
+Decode kernels: ``decoder="png"`` is a REAL decode via the from-scratch
+stdlib PNG codec (functions/png.py — zlib + spec filters; nearest-
+neighbor resize to the target tensor); ``decoder="stub"`` raises
+NotImplementedError (the honest production default for formats needing
+external codecs — JPEG/ffmpeg); ``decoder="fake"`` produces a
+DETERMINISTIC pseudo-decode from the payload bytes so the Ray-side
+plumbing — schemas, batch sizing, actor signatures, output layout — is
+testable without fixtures. Swapping in PIL/ffmpeg later only replaces
+the kernel inside ``__init__``-loaded state.
 
 Batch-size note (SURVEY.md §7.4): payload rows are WIDE — callers should
 pass small ``batch_size`` (default 64) and let blocks hold few rows.
@@ -50,8 +52,13 @@ class ImageDecoder:
     State (decoder choice, target size) loads once per actor."""
 
     def __init__(self, *, decoder: str = "stub", target: tuple[int, int] = (32, 32)):
-        if decoder not in ("stub", "fake"):
+        if decoder not in ("stub", "fake", "png"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "png":
+            # kernel state loaded once per actor
+            from dupers_ray.functions.png import decode_png, resize_nearest
+
+            self._decode, self._resize = decode_png, resize_nearest
         self.decoder = decoder
         self.h, self.w = target
 
@@ -59,13 +66,17 @@ class ImageDecoder:
         if self.decoder == "stub":
             raise NotImplementedError(
                 "image codec not available in this environment; construct "
+                "ImageDecoder(decoder='png') for real PNG decode or "
                 "ImageDecoder(decoder='fake') for deterministic plumbing tests"
             )
         payloads = batch.column("payload").to_pylist()
         pixels = []
         means = np.empty(len(payloads), np.float64)
         for i, p in enumerate(payloads):
-            img = _fake_decode_image(p or b"", self.h, self.w)
+            if self.decoder == "png":
+                img = self._resize(self._decode(p or b""), self.h, self.w)
+            else:
+                img = _fake_decode_image(p or b"", self.h, self.w)
             pixels.append(img.tobytes())
             means[i] = float(img.mean())
         return pa.table(
@@ -97,6 +108,117 @@ class ImageFeaturizer:
         flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
         emb = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), self.DIM)
         return pa.table({"media_id": batch.column("media_id"), "embedding": emb})
+
+
+class AudioDecoder:
+    """Actor-pool stage: WAV payload → waveform features. REAL decode for
+    PCM WAV (RIFF parse + numpy frombuffer — stdlib-only, like the PNG
+    codec); ``decoder="stub"`` raises for compressed formats (mp3/ogg need
+    external codecs). Output: (media_id, n_samples, sample_rate,
+    duration_ms_dec, rms, zero_cross_rate, spectral_centroid_hz).
+
+    Feature kernels are vectorized numpy (FFT for the centroid); state
+    (decoder choice, fft size) loads once per actor."""
+
+    def __init__(self, *, decoder: str = "wav", n_fft: int = 2048):
+        if decoder not in ("wav", "stub"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.n_fft = n_fft
+
+    @staticmethod
+    def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+        """RIFF/WAVE PCM (8/16/32-bit int, float32) → (mono float64 in
+        [-1, 1], sample_rate)."""
+        import struct
+
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, fmt, raw = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                raw = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or raw is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt == 1:  # integer PCM
+            dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+            if dt is None:
+                raise ValueError(f"unsupported PCM width {bits}")
+            x = np.frombuffer(raw, dt).astype(np.float64)
+            if bits == 8:
+                x = (x - 128.0) / 128.0
+            else:
+                x = x / float(2 ** (bits - 1))
+        elif audio_fmt == 3 and bits == 32:  # IEEE float
+            x = np.frombuffer(raw, np.float32).astype(np.float64)
+        else:
+            raise ValueError(f"unsupported WAV format code {audio_fmt}")
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x, rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "stub":
+            raise NotImplementedError(
+                "compressed-audio codec not available; PCM WAV decodes for "
+                "real via AudioDecoder(decoder='wav')"
+            )
+        n = batch.num_rows
+        ns = np.zeros(n, np.int64)
+        sr = np.zeros(n, np.int32)
+        dur = np.zeros(n, np.int32)
+        rms = np.zeros(n, np.float64)
+        zcr = np.zeros(n, np.float64)
+        cent = np.zeros(n, np.float64)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            x, rate = self._decode_wav(p or b"")
+            ns[i], sr[i] = len(x), rate
+            if not len(x):
+                continue
+            dur[i] = int(len(x) * 1000 / rate)
+            rms[i] = float(np.sqrt(np.mean(x * x)))
+            zcr[i] = float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:]))) if len(x) > 1 else 0.0
+            w = x[: self.n_fft]
+            mag = np.abs(np.fft.rfft(w, self.n_fft))
+            freqs = np.fft.rfftfreq(self.n_fft, 1.0 / rate)
+            tot = mag.sum()
+            cent[i] = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "n_samples": pa.array(ns),
+                "sample_rate": pa.array(sr),
+                "duration_ms_dec": pa.array(dur),
+                "rms": pa.array(rms),
+                "zero_cross_rate": pa.array(zcr),
+                "spectral_centroid_hz": pa.array(cent),
+            }
+        )
+
+
+def decode_audio(
+    ds: "ray.data.Dataset",
+    *,
+    decoder: str = "wav",
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Audio analogue of decode_images: actor pool, small batches."""
+    return ds.map_batches(
+        AudioDecoder,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
 
 
 def sample_frames(

@@ -39,6 +39,46 @@ def exact_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def all_pairs_candidates(
+    corpus: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    id_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """Every ordered (src < dst) id pair — the ORACLE-HARNESS candidate
+    generator (O(n²) pairs; production candidates come from LSH /
+    SimHash / the sharded index). The sorted id vector is broadcast once
+    via ``ray.put`` (bounded by ``id_cap``); each map task emits its
+    batch's pairs vectorized (np.repeat against the broadcast tail), so
+    pair emission itself is distributed and never loops per pair."""
+    ids_ds = corpus.select_columns([id_col])
+    if id_cap is not None:
+        ids_ds = ids_ds.filter(
+            expr=f"{id_col} < {int(id_cap)}"
+        )
+    all_ids = np.sort(
+        np.asarray(
+            pa.concat_tables(ray.get(ids_ds.to_arrow_refs())).column(id_col)
+        ).astype(np.int64)
+    )
+    ref = ray.put(all_ids)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_ = ray.get(ref)
+        a = np.asarray(t.column(id_col)).astype(np.int64)
+        # for each a: pair with every id strictly greater
+        pos = np.searchsorted(ids_, a, side="right")
+        counts = len(ids_) - pos
+        src = np.repeat(a, counts)
+        dst = np.concatenate(
+            [ids_[p:] for p in pos]
+        ) if len(a) else np.empty(0, np.int64)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return ids_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def verify_pairs_exact(
     pairs: "ray.data.Dataset",
     corpus: "ray.data.Dataset",
@@ -48,24 +88,30 @@ def verify_pairs_exact(
     k: int = 5,
     threshold: float = 0.6,
     num_partitions: int = 64,
+    raw_ids: bool = False,
 ) -> "ray.data.Dataset":
-    """pairs (src, dst: uint64 node ids) × corpus (id, text) → (src, dst,
-    jaccard_exact) for pairs at/above threshold. Joins text to both sides
-    by node id."""
+    """pairs (src, dst) × corpus (id, text) → (src, dst, jaccard_exact)
+    for pairs at/above threshold. Joins text to both sides. By default
+    src/dst are uint64 node ids (hashes of the corpus id column); with
+    ``raw_ids=True`` they are the corpus id values themselves (int64) —
+    the oracle-comparable mode."""
     from dupers_ray.functions.hashing import node_ids
 
     def with_node(t: pa.Table) -> pa.Table:
-        ids = [str(v) for v in t.column(id_col).to_pylist()]
-        return pa.table(
-            {"node": pa.array(node_ids(ids)), "text": t.column(text_col)}
-        )
+        if raw_ids:
+            node = t.column(id_col).cast(pa.int64())
+        else:
+            ids = [str(v) for v in t.column(id_col).to_pylist()]
+            node = pa.array(node_ids(ids))
+        return pa.table({"node": node, "text": t.column(text_col)})
 
     texts = corpus.select_columns([id_col, text_col]).map_batches(
         with_node, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    pair_schema = pa.schema([("src", pa.uint64()), ("dst", pa.uint64())])
-    text_schema = pa.schema([("node", pa.uint64()), ("text", pa.string())])
+    key_t = pa.int64() if raw_ids else pa.uint64()
+    pair_schema = pa.schema([("src", key_t), ("dst", key_t)])
+    text_schema = pa.schema([("node", key_t), ("text", pa.string())])
     j1 = hash_join(
         pairs.select_columns(["src", "dst"]), texts, on="src", right_on="node",
         num_partitions=num_partitions,
@@ -77,7 +123,7 @@ def verify_pairs_exact(
         batch_format="pyarrow",
     )
     j1_schema = pa.schema(
-        [("src", pa.uint64()), ("dst", pa.uint64()), ("text_src", pa.string())]
+        [("src", key_t), ("dst", key_t), ("text_src", pa.string())]
     )
     j2 = hash_join(
         j1, texts, on="dst", right_on="node", num_partitions=num_partitions,

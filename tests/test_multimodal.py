@@ -71,3 +71,152 @@ def test_sample_frames_fanout():
     out = sample_frames(t, every_ms=1000)
     rows = list(zip(out.column("media_id").to_pylist(), out.column("frame_ts_ms").to_pylist()))
     assert rows == [("v1", 0), ("v1", 1000), ("v1", 2000), ("v1", 3000), ("v2", 0)]
+
+
+def test_png_codec_all_filters_and_color_types():
+    """decode_png reconstructs every spec filter type (checked against an
+    independent per-pixel reference) and grey/RGBA/palette color types."""
+    import struct
+    import zlib
+
+    from dupers_ray.functions.png import _SIG, _chunk, decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (21, 13, 3), np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+    h, w, ch = 10, 6, 3
+    img2 = rng.integers(0, 256, (h, w, ch), np.uint8)
+    flat = img2.reshape(h, w * ch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+
+    rows = []
+    for y in range(h):
+        f = y % 5
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        cur, filt = flat[y], np.empty(w * ch, np.int32)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            pred = [0, a, b, (a + b) // 2, paeth(a, b, c)][f]
+            filt[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img2).all()
+
+    # palette color type
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    idx = rng.integers(0, 16, (5, 4), np.uint8)
+    raw = np.zeros((5, 1 + 4), np.uint8)
+    raw[:, 1:] = idx
+    png3 = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(png3) == pal[idx]).all()
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_decoder_pipeline_real_decode():
+    """decoder='png' decodes REAL payloads through the actor-pool stage:
+    resized pixels and mean intensity match a driver-side reference."""
+    from dupers_ray.functions.png import decode_png, encode_png, resize_nearest
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (24 + i, 17 + i, 3), np.uint8) for i in range(5)]
+    t = pa.table(
+        {
+            "media_id": [f"p{i}" for i in range(5)],
+            "kind": ["image"] * 5,
+            "payload": pa.array([encode_png(m) for m in imgs], pa.binary()),
+            "mime": ["image/png"] * 5,
+            "width": pa.array([m.shape[1] for m in imgs], pa.int32()),
+            "height": pa.array([m.shape[0] for m in imgs], pa.int32()),
+            "duration_ms": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    out = decode_images(ds, decoder="png", target=(8, 8)).to_pandas()
+    out = out.set_index("media_id")
+    for i, m in enumerate(imgs):
+        want = resize_nearest(decode_png(encode_png(m)), 8, 8)
+        got = np.frombuffer(out.loc[f"p{i}", "pixels"], np.uint8).reshape(8, 8, 3)
+        assert (got == want).all()
+        assert abs(out.loc[f"p{i}", "mean_intensity"] - want.mean()) < 1e-9
+
+
+def test_wav_decode_matches_stdlib_writer():
+    """AudioDecoder parses PCM WAV written by the stdlib wave module;
+    features match driver-side reference computation."""
+    import io
+    import wave
+
+    from dupers_ray.stages.multimodal import AudioDecoder, decode_audio
+
+    rng = np.random.default_rng(3)
+    rate = 16000
+    clips = []
+    for i in range(4):
+        n = 1000 + 300 * i
+        x = (np.sin(2 * np.pi * 440 * (i + 1) * np.arange(n) / rate)
+             + 0.1 * rng.standard_normal(n))
+        pcm = np.clip(x * 0.5, -1, 1)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes((pcm * 32768).clip(-32768, 32767).astype(np.int16).tobytes())
+        clips.append((buf.getvalue(), n))
+
+    t = pa.table(
+        {
+            "media_id": [f"a{i}" for i in range(4)],
+            "kind": ["audio"] * 4,
+            "payload": pa.array([c for c, _ in clips], pa.binary()),
+            "mime": ["audio/wav"] * 4,
+            "width": pa.array([0] * 4, pa.int32()),
+            "height": pa.array([0] * 4, pa.int32()),
+            "duration_ms": pa.array([0] * 4, pa.int32()),
+        }
+    )
+    out = decode_audio(rd.from_arrow(t).repartition(2)).to_pandas().set_index("media_id")
+    for i, (payload, n) in enumerate(clips):
+        row = out.loc[f"a{i}"]
+        assert row["n_samples"] == n
+        assert row["sample_rate"] == rate
+        x, r = AudioDecoder._decode_wav(payload)
+        assert r == rate and len(x) == n
+        assert abs(row["rms"] - np.sqrt(np.mean(x * x))) < 1e-12
+        assert 0 < row["spectral_centroid_hz"] < rate / 2
+
+    # stereo → mono mix and 8-bit path
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        st = np.zeros(400, np.int16)
+        st[::2] = 1000   # L
+        st[1::2] = 3000  # R
+        w.writeframes(st.tobytes())
+    x, r = AudioDecoder._decode_wav(buf.getvalue())
+    assert r == 8000 and len(x) == 200
+    assert abs(x[0] - (1000 + 3000) / 2 / 32768) < 1e-12
+
+    with pytest.raises(ValueError):
+        AudioDecoder._decode_wav(b"garbage")

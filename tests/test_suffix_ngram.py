@@ -84,3 +84,46 @@ def test_verify_pairs_exact(pages_small):
         j = exact_jaccard(node_to_text[int(s)], node_to_text[int(d)], k=cfg.shingle.k)
         assert abs(j - je) < 1e-9
         assert j >= 0.5
+
+
+def test_all_pairs_candidates_and_raw_id_verify():
+    """all_pairs_candidates emits exactly the (src < dst) triangle; the
+    raw_ids verify path scores it identically to per-pair brute force."""
+    import itertools
+
+    from dupers_ray.stages.ngram import all_pairs_candidates
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        "one two three four five six seven eight nine",
+        "totally different words in this tiny document here",
+        "alpha beta gamma delta epsilon zeta eta theta",   # exact dup of 0
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(3)
+
+    pairs = all_pairs_candidates(ds, id_col="doc_id").to_pandas()
+    got = set(zip(pairs["src"], pairs["dst"]))
+    assert got == set(itertools.combinations(range(5), 2))
+
+    out = verify_pairs_exact(
+        all_pairs_candidates(ds, id_col="doc_id"), ds,
+        id_col="doc_id", k=5, threshold=0.2, raw_ids=True,
+    ).to_pandas()
+    by_pair = {(int(r.src), int(r.dst)): r.jaccard_exact
+               for r in out.itertuples()}
+    for (a, b) in itertools.combinations(range(5), 2):
+        j = exact_jaccard(texts[a], texts[b], k=5)
+        if j >= 0.2:
+            assert abs(by_pair[(a, b)] - j) < 1e-12, (a, b)
+        else:
+            assert (a, b) not in by_pair
+    assert by_pair[(0, 4)] == 1.0
+
+    # id_cap restricts BOTH sides of the triangle
+    capped = all_pairs_candidates(ds, id_col="doc_id", id_cap=3).to_pandas()
+    assert set(zip(capped["src"], capped["dst"])) == set(
+        itertools.combinations(range(3), 2)
+    )
