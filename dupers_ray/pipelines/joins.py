@@ -60,9 +60,24 @@ def hash_join(
 
 def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     """Dataset schema as a pyarrow.Schema (may execute a lazy sub-DAG —
-    prefer passing schemas explicitly on hot paths)."""
+    prefer passing schemas explicitly on hot paths). Pandas-block
+    datasets report numpy dtypes / Python classes instead of Arrow types;
+    map those through pandas (one empty Series per column) so joins work
+    on either block format."""
     s = ds.schema()
-    return pa.schema(list(zip(s.names, s.types)))
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if not isinstance(typ, pa.DataType):
+            import numpy as np
+            import pandas as pd
+
+            if typ is object or typ == np.dtype("O"):
+                at = pa.string()  # engine object columns are string ids
+            else:
+                at = pa.Array.from_pandas(pd.Series([], dtype=typ)).type
+            typ = at
+        fields.append((name, typ))
+    return pa.schema(fields)
 
 
 def cogroup_join(
@@ -101,7 +116,16 @@ def cogroup_join(
 
     def tag(side: str, key: str):
         def f(t: pa.Table) -> pa.Table:
-            keys = np.asarray(t.column(key), dtype=np.uint64)
+            kcol = t.column(key)
+            if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+                # string join keys (e.g. url): partition on the vectorized
+                # string hash; the per-group Arrow join compares the actual
+                # strings, so the hash only needs equal-keys → equal-bucket
+                from dupers_ray.pipelines.maintenance import hash_str_keys
+
+                keys = hash_str_keys(kcol)
+            else:
+                keys = np.asarray(kcol, dtype=np.uint64)
             h = (keys % np.uint64(num_partitions)).astype(np.int64)
             cols = {}
             for name, typ in all_fields:

@@ -35,10 +35,13 @@ def dupe_report(
     id_col: str = "url",
     content_col: str = "text",
     keep_cols: list[str] | None = None,
+    formatted: bool = False,
 ) -> "ray.data.Dataset":
     """(url, match_url) pairs joined with the duplicate row's display
     columns — one line per duplicate found, like the reference's Print
-    (dupe.go:216-267)."""
+    (dupe.go:216-267). ``formatted=True`` appends the reference's display
+    columns (mtime layout dupe.go:41, humanized size dupe.go:496) via
+    functions/display.format_report — a leaf map over the small report."""
     keep_cols = keep_cols or []
     pairs = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
     if not keep_cols:
@@ -51,9 +54,14 @@ def dupe_report(
     from dupers_ray.pipelines.joins import hash_join
 
     meta = ds.select_columns([id_col, *keep_cols])
-    return hash_join(
+    out = hash_join(
         pairs, meta, on=f"match_{id_col}", right_on=id_col, num_partitions=32
     )
+    if formatted:
+        from dupers_ray.functions.display import format_report
+
+        out = out.map_batches(format_report, batch_format="pyarrow")
+    return out
 
 
 def deletion_list(

@@ -74,20 +74,18 @@ class MinHasher:
         array, and per-doc windows are selected with a gather index, so no
         numpy call is issued per document."""
         k = self.shingle.k
-        vocab: dict[str, int] = {}
-        sd = vocab.setdefault
-        codes: list[int] = []
-        ext = codes.extend
         counts = np.empty(len(texts), np.int64)
         findall = self.tok.findall
         lower = self.shingle.lowercase
+        all_toks: list[str] = []
+        ext = all_toks.extend
         for i, t in enumerate(texts):
             s = t if t is not None else ""
             if lower:
                 s = s.lower()
             toks = findall(s)
             counts[i] = len(toks)
-            ext(sd(w, len(vocab)) for w in toks)
+            ext(toks)
 
         offsets = np.zeros(len(texts) + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
@@ -95,8 +93,14 @@ class MinHasher:
         if n_tok == 0:
             return np.empty(0, np.uint64), offsets
 
-        uniq_h = hash_str_u64(list(vocab.keys()))
-        tok_h = uniq_h[np.fromiter(codes, np.int64, count=n_tok)]
+        # intern at C speed: factorize(sort=False) assigns codes in first-
+        # appearance order (same result as a dict-setdefault loop, measured
+        # ~6x cheaper); each UNIQUE token is hashed once
+        codes_arr, uniq = pd.factorize(
+            np.asarray(all_toks, dtype=object), sort=False
+        )
+        uniq_h = hash_str_u64(list(uniq))
+        tok_h = uniq_h[codes_arr]
 
         # shingles per doc: n-k+1 for n>=k, 1 for 0<n<k (whole-doc shingle)
         m = np.where(counts >= k, counts - k + 1, np.minimum(counts, 1))

@@ -58,6 +58,28 @@ def test_deletion_list_and_report():
     assert set(rep["match_url"]) == {"b/1.txt", "c/3.txt"}
 
 
+def test_dupe_report_formatted():
+    import pandas as pd
+
+    t = pa.table({
+        "url": ["b/1.txt", "a/2.txt"],
+        "text": ["same", "same"],
+        "warc_ts": pa.array(
+            [pd.Timestamp("2006-01-02 15:04:05"),
+             pd.Timestamp("2007-03-04 05:06:07")],
+            pa.timestamp("us"),
+        ),
+        "n_chars": pa.array([1500, 82_854_982], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    rep = dupe_report(
+        ds, keep_cols=["warc_ts", "n_chars"], formatted=True
+    ).to_pandas()
+    assert len(rep) == 1
+    assert rep.iloc[0]["warc_ts_fmt"] == "02 Jan 2006 15:04"
+    assert rep.iloc[0]["n_chars_fmt"] == "1.5 kB"
+
+
 def test_sensen_keep_dirs():
     urls = [
         "root/games/DOOM.EXE",
