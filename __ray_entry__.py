@@ -187,6 +187,95 @@ def _q_exact_clusters_trunc(sf_dir: str):
     return dupe_clusters(docs.map_batches(trunc, batch_format="pyarrow"), cfg)
 
 
+_MOD64 = "18446744073709551616::UHUGEINT"
+
+
+def _simhash_oracle_sql(thr: int = 3) -> str:
+    """SQL restatement of the SEMANTIC definition of simhash_pairs: per-doc
+    64-bit sign-of-votes signature over md5-u64 token hashes (Charikar),
+    then ALL (node-ordered) pairs at hamming <= thr. The engine's banded
+    pigeonhole + per-bucket verify computes exactly this set (a pair at
+    distance <= thr agrees on >= 1 of thr+1 bands), so the O(n^2) SQL join
+    is a faithful oracle at sf0.01. Tokenizer note: '[a-z0-9_]+' on
+    lower() == Python \\w+ on this pure-ASCII-lowercase corpus (checked in
+    _q_ngram_jaccard's docstring)."""
+    vote_terms = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig_sum = "\n                     + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tk
+            FROM documents
+        ), th AS (
+            SELECT doc_id, ('0x'||substr(md5(tk),1,16))::UBIGINT AS h FROM toks
+        ), votes AS (
+            SELECT doc_id,
+                   {vote_terms}
+            FROM th GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id,
+                   ({sig_sum}) AS simhash,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
+            FROM votes
+        )
+        SELECT least(a.node, b.node) AS src,
+               greatest(a.node, b.node) AS dst,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {thr}
+    """
+
+
+def _fingerprint_oracle_sql() -> str:
+    """SQL restatement of stages/textstats.fingerprint: FNV-style fold of
+    md5-u64 token hashes (list_reduce with UHUGEINT mod-2^64 arithmetic —
+    DuckDB UBIGINT arithmetic is overflow-checked, so widen per step) then
+    the splitmix64 finalizer as a chain of lateral column aliases. Empty
+    docs keep acc = 0 before the finalizer, as in the Python kernel."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    def addmod(a: str, b: int) -> str:
+        return f"((({a})::UHUGEINT + {b}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+            FROM documents
+        ), hs AS (
+            SELECT doc_id,
+                   list_transform(tk, t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS hl
+            FROM toks
+        ), folded AS (
+            SELECT doc_id,
+                   CASE WHEN len(hl) = 0 THEN 0::UBIGINT
+                        ELSE list_reduce(
+                            list_prepend(14695981039346656037::UBIGINT, hl),
+                            (a, b) -> (((a::UHUGEINT * 1099511628211::UHUGEINT
+                                         + b::UHUGEINT)) % {_MOD64})::UBIGINT)
+                   END AS acc
+            FROM hs
+        ), sm AS (
+            SELECT doc_id,
+                   {addmod('acc', 11400714819323198485)} AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS fingerprint
+            FROM folded
+        )
+        SELECT doc_id, fingerprint FROM sm
+    """
+
+
 def _lang_id_oracle_sql() -> str:
     """SQL reimplementation of stages/textstats.lang_id (stopword-hit
     argmax, first-language-wins ties, threshold max(2, n_words // 50)) —
@@ -254,7 +343,9 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
-    """Rolling-hash fingerprints — rows-only (hash fn not in DuckDB)."""
+    """Rolling-hash document fingerprints. Full value oracle: md5-u64
+    token hashes + FNV fold + splitmix64, all restated in SQL
+    (_fingerprint_oracle_sql) with UHUGEINT mod-2^64 arithmetic."""
     from dupers_ray.stages.textstats import fingerprint
 
     return (
@@ -429,8 +520,10 @@ def _q_multi_term_search(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
-    """SimHash hamming<=3 near-dup pairs — rows-only (banded LSH +
-    pigeonhole, verified in tests/test_simhash.py)."""
+    """SimHash hamming<=3 near-dup pairs. Full value oracle: the banded
+    pigeonhole + per-bucket verify equals the semantic all-pairs-at-
+    hamming<=3 set, which _simhash_oracle_sql states directly (md5 token
+    hashes are SQL-reproducible)."""
     from dupers_ray.config import SimHashConfig
     from dupers_ray.stages.simhash import simhash_pairs
 
@@ -535,6 +628,8 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes
         """,
         "lang_id": _lang_id_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
+        "fingerprints": _fingerprint_oracle_sql(),
         # word-5-gram sets as unit-separator-joined strings; CASE arms
         # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
         # <k tokens→single whole-text shingle; both-empty→1.0, one→0.0)

@@ -14,7 +14,7 @@ byte-identical across processes, parallelism levels and runs.
 from __future__ import annotations
 
 import hashlib
-import zlib
+
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -61,26 +61,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_str_u64(values: Sequence[str]) -> np.ndarray:
-    """Deterministic 64-bit hash of strings: TWO independent crc32 passes
-    (plain and seeded-and-salted) fill both 32-bit halves, finalized by
-    splitmix64. The round-1 version used crc32 + length, which gave only
-    32 bits of entropy per length class — a web-scale vocabulary of
-    same-length tokens aliased thousands of distinct words in MinHash /
-    SimHash shingles (round-1 ADVICE). crc runs at C speed per call."""
-    crc = zlib.crc32
-    n = len(values)
-    encoded = [v.encode("utf-8", "surrogatepass") for v in values]
-    lo = np.fromiter((crc(b) for b in encoded), dtype=np.uint64, count=n)
-    # the second pass crcs SALTED data: crc32 with a different seed alone is
-    # affine in the seed for a fixed length (hi would equal lo xor a
-    # per-length constant) — prepending a salt byte genuinely decorrelates
-    # the two 32-bit halves
-    hi = np.fromiter(
-        (crc(b"\xa5" + b) for b in encoded), dtype=np.uint64, count=n
+    """Deterministic 64-bit hash of strings: first 8 bytes (big-endian) of
+    MD5. A genuinely uniform 64-bit family — the round-1 crc32 variant had
+    only 32 bits of entropy per length class (round-1 ADVICE), and the
+    crc32-pair replacement wasn't oracle-checkable; MD5 is reproducible
+    in DuckDB (``('0x' || substr(md5(tok), 1, 16))::UBIGINT``), which lets
+    simhash / fingerprint queries carry FULL value oracles. hashlib.md5
+    runs at C speed per call (~0.25 µs; hashing is per *unique* token in
+    the callers, folded through factorize/dict interning)."""
+    md5 = hashlib.md5
+    ib = int.from_bytes
+    return np.fromiter(
+        (
+            ib(md5(v.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
     )
-    with np.errstate(over="ignore"):
-        mixed = lo | (hi << np.uint64(32))
-    return splitmix64(mixed)
 
 
 def node_ids(urls: Sequence[str]) -> np.ndarray:
