@@ -330,8 +330,10 @@ def _verify_cosine_pairs(
                              "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
         n = t.num_rows
-        va = np.frombuffer(b"".join(t.column("eb_a").to_pylist()), np.float32).reshape(n, -1)
-        vb = np.frombuffer(b"".join(t.column("eb_b").to_pylist()), np.float32).reshape(n, -1)
+        from dupers_ray.functions.arrowview import binary_matrix
+
+        va = binary_matrix(t.column("eb_a"), np.float32)
+        vb = binary_matrix(t.column("eb_b"), np.float32)
         cos = np.einsum("ij,ij->i", va, vb)
         keep = cos >= threshold
         return pa.table({"a": t.column("a").filter(pa.array(keep)),

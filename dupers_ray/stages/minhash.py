@@ -266,9 +266,9 @@ def explode_bands(
                 "node": pa.array([], pa.uint64()),
             }
         )
-    bufs = sig.to_pylist()
-    flat = np.frombuffer(b"".join(bufs), dtype="<u4")
-    mat = flat.reshape(d, bands, rows).astype(np.uint64)
+    from dupers_ray.functions.arrowview import binary_matrix
+
+    mat = binary_matrix(sig, "<u4").reshape(d, bands, rows).astype(np.uint64)
     hashes = np.empty((d, bands), np.uint64)
     for b in range(bands):
         with np.errstate(over="ignore"):

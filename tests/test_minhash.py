@@ -130,3 +130,29 @@ def test_minhash_fuzz_deterministic_no_crash(texts):
     assert (n1 == n2).all()
     assert s1.shape == s2.shape and (s1 == s2).all()
     assert s1.shape[0] == int((n1 > 0).sum())
+
+
+def test_binary_matrix_zero_copy_and_fallback():
+    """binary_matrix views uniform-width binary columns without copying
+    (including sliced/chunked inputs) and falls back on ragged data."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dupers_ray.functions.arrowview import binary_matrix
+
+    rng = np.random.default_rng(5)
+    m = rng.integers(0, 2**16, (300, 64)).astype("<u4")
+    col = pa.array([m[i].tobytes() for i in range(300)], pa.binary())
+    v = binary_matrix(col, "<u4")
+    assert (v == m).all() and v.base is not None
+
+    chunked = pa.chunked_array([col.slice(0, 100), col.slice(100)])
+    assert (binary_matrix(chunked, "<u4") == m).all()
+    assert (binary_matrix(col.slice(50, 70), "<u4") == m[50:120]).all()
+
+    empty = pa.array([], pa.binary())
+    assert binary_matrix(empty, "<u4").shape == (0, 0)
+
+    with_null = pa.array([m[0].tobytes(), None, m[2].tobytes()], pa.binary())
+    out = binary_matrix(with_null.drop_null(), "<u4")
+    assert (out == m[[0, 2]]).all()
