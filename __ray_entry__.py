@@ -148,9 +148,11 @@ def _q_refresh_anti_shuffle(sf_dir: str):
 
 
 def _q_near_dup_clusters(sf_dir: str):
-    """MinHash/LSH + components clusters over documents. Not SQL-expressible
-    (iterative graph algorithm) → rows-only driver check; value conformance
-    is covered by tests/test_near_dedup.py recall >= 0.99 vs planted truth."""
+    """MinHash/LSH + components clusters over documents — the FLAGSHIP.
+    Now carries a FULL value oracle: _near_dup_clusters_oracle_sql
+    restates every stage (md5 token hashes, rolling shingles, OPH with
+    rotation densification, banded star candidates, uint16-fold verify,
+    exact-digest union, recursive-CTE components) in DuckDB."""
     from dupers_ray.config import DedupConfig
     from dupers_ray.pipelines.dupe import dupe_clusters
 
@@ -273,6 +275,160 @@ def _fingerprint_oracle_sql() -> str:
             FROM folded
         )
         SELECT doc_id, fingerprint FROM sm
+    """
+
+
+def _near_dup_clusters_oracle_sql() -> str:
+    """FULL SQL restatement of the flagship dupe pipeline at default
+    config — every stage of dupe_clusters reproduced in DuckDB:
+
+    1. tokens -> md5-u64 hashes (hash_str_u64 parity, see simhash oracle);
+    2. 5-token rolling-polynomial shingle hashes + splitmix64 (UHUGEINT
+       mod-2^64 arithmetic; short docs fold all tokens via list_reduce);
+    3. OPH signature: 128 bins from the hash top 7 bits, min of low-32
+       bits per bin, rotation densification via a doubled-bin window
+       (`last_value IGNORE NULLS` = borrow-from-left, distance-mixed);
+    4. LSH candidates: per (band, 4-component sub-signature) bucket,
+       star pairs from the min-node anchor (the sharded index's exact
+       emission rule; bucket tuples replace band hashes — equal tuples
+       iff equal hashes modulo 2^-64 collisions);
+    5. verify: uint16-fold equality mean >= jaccard_threshold, exactly
+       the broadcast verify's comparison;
+    6. exact-digest star pairs unioned (sha256(text) groups);
+    7. connected components via recursive-CTE transitive closure with
+       min-node labels; singletons keep their own node id.
+
+    O(n^2)-ish only in the closure (bounded at sf0.01); ~3 s in DuckDB.
+    This moves the FLAGSHIP query from rows-only to a full value oracle.
+    """
+    MOD = "18446744073709551616::UHUGEINT"
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {MOD})::UBIGINT"
+
+    def maddmod(a: str, m: int, b: str) -> str:
+        return (
+            f"((({a})::UHUGEINT * {m}::UHUGEINT + ({b})::UHUGEINT)"
+            f" % {MOD})::UBIGINT"
+        )
+
+    P = 0x9E3779B97F4A7C15
+    GAMMA, M1, M2 = (
+        11400714819323198485, 13787848793156543929, 10723151780598845931
+    )
+    poly5 = maddmod(
+        maddmod(maddmod(maddmod("h0", P, "h1"), P, "h2"), P, "h3"), P, "h4"
+    )
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                  t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
+            FROM documents
+        ), tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'h': th[i]}} FOR i IN range(1, len(th)+1)],
+                          recursive := true)
+            FROM toks WHERE len(th) >= 5
+        ), win AS (
+            SELECT doc_id, pos, h AS h0,
+                   lead(h,1) OVER w AS h1, lead(h,2) OVER w AS h2,
+                   lead(h,3) OVER w AS h3, lead(h,4) OVER w AS h4,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), folded AS (
+            SELECT doc_id, {poly5} AS acc FROM win WHERE pos <= n - 4
+        ), short_folded AS (
+            SELECT doc_id, list_reduce(th, (a, b) -> {maddmod('a', P, 'b')}) AS acc
+            FROM toks WHERE len(th) BETWEEN 1 AND 4
+        ), allf AS (
+            SELECT * FROM folded UNION ALL SELECT * FROM short_folded
+        ), shingles AS (
+            SELECT doc_id,
+                   ((acc::UHUGEINT + {GAMMA}::UHUGEINT) % {MOD})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', M1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', M2)} AS x4,
+                   xor(x4, x4 >> 31) AS sh
+            FROM allf
+        ), binned AS (
+            SELECT doc_id, CAST(sh >> 57 AS INTEGER) AS bin,
+                   min(sh & 4294967295::UBIGINT) AS val
+            FROM shingles GROUP BY 1, 2
+        ), grid AS (
+            SELECT d.doc_id, g.jj
+            FROM (SELECT DISTINCT doc_id FROM binned) d,
+                 (SELECT unnest(range(0, 256)) AS jj) g
+        ), doubled AS (
+            SELECT g.doc_id, g.jj, b.val,
+                   CASE WHEN b.val IS NOT NULL THEN g.jj END AS fpos
+            FROM grid g LEFT JOIN binned b
+              ON b.doc_id = g.doc_id AND b.bin = g.jj % 128
+        ), filledw AS (
+            SELECT doc_id, jj,
+                   last_value(val IGNORE NULLS) OVER w2 AS src,
+                   last_value(fpos IGNORE NULLS) OVER w2 AS pos
+            FROM doubled
+            WINDOW w2 AS (PARTITION BY doc_id ORDER BY jj
+                          ROWS UNBOUNDED PRECEDING)
+        ), sigcomp AS (
+            SELECT doc_id, jj - 128 AS bin,
+                   (CASE WHEN jj - pos = 0 THEN src
+                         ELSE (src::UHUGEINT
+                               + (jj - pos)::UHUGEINT * 2654435769::UHUGEINT)
+                              % 4294967296::UHUGEINT
+                    END)::UBIGINT AS comp
+            FROM filledw WHERE jj >= 128
+        ), nodes AS (
+            SELECT doc_id,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
+            FROM documents
+        ), bandrows AS (
+            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp s JOIN nodes n USING (doc_id)
+            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+        ), stars AS (
+            SELECT band, sub, min(node) AS anchor, list(node) AS members
+            FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
+        ), cand AS (
+            SELECT DISTINCT anchor AS a, unnest(members) AS b FROM stars
+        ), candf AS (
+            SELECT a, b FROM cand WHERE a <> b
+        ), folds AS (
+            SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
+            FROM sigcomp GROUP BY doc_id
+        ), nodefolds AS (
+            SELECT n.node, f.f16 FROM folds f JOIN nodes n USING (doc_id)
+        ), verified AS (
+            SELECT c.a AS src, c.b AS dst
+            FROM candf c
+            JOIN nodefolds fa ON fa.node = c.a
+            JOIN nodefolds fb ON fb.node = c.b
+            WHERE (len(list_filter([x FOR x IN range(1, 129)],
+                                   i -> fa.f16[i] = fb.f16[i])) / 128.0) >= 0.6
+        ), exact_stars AS (
+            SELECT min(n.node) AS anchor, list(n.node) AS members
+            FROM documents d JOIN nodes n USING (doc_id)
+            WHERE d.text IS NOT NULL AND length(d.text) > 0
+            GROUP BY sha256(d.text) HAVING count(*) >= 2
+        ), exact_pairs AS (
+            SELECT anchor AS src, unnest(members) AS dst FROM exact_stars
+        ), edges AS (
+            SELECT src, dst FROM verified
+            UNION SELECT src, dst FROM exact_pairs WHERE src <> dst
+        ), undirected AS (
+            SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges
+        ), reach(node, lbl) AS (
+            SELECT u, u FROM undirected
+            UNION
+            SELECT e.v, r.lbl FROM reach r JOIN undirected e ON e.u = r.node
+        ), comp AS (
+            SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+        )
+        SELECT n.doc_id, COALESCE(c.cluster, n.node) AS cluster_id
+        FROM nodes n LEFT JOIN comp c ON c.node = n.node
     """
 
 
@@ -491,8 +647,9 @@ def _q_deletion_list_trunc(sf_dir: str):
 
 def _q_near_dup_clusters_checkpointed(sf_dir: str):
     """Resumable flagship with per-partition lineage manifests
-    (state/manifest.py) — rows-only; identical-to-direct assignment is
-    asserted in tests/test_manifest.py. Reuses /tmp checkpoints across
+    (state/manifest.py). Shares the flagship's full SQL oracle —
+    checkpointed assignment must equal the direct pipeline (also
+    asserted in tests/test_manifest.py). Reuses /tmp checkpoints across
     invocations, which itself exercises the resume path."""
     import hashlib
 
@@ -500,7 +657,11 @@ def _q_near_dup_clusters_checkpointed(sf_dir: str):
     from dupers_ray.pipelines.dupe import dupe_clusters_checkpointed
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # salt the checkpoint key with a semantics version: the manifest
+    # fingerprints inputs+config, but a change to the hash KERNELS
+    # (e.g. crc32->md5 token hashing) is invisible to it — bumping the
+    # salt orphans checkpoints whose bytes a current run couldn't produce
+    key = hashlib.sha256(f"{sf_dir}|hash=md5-v2".encode()).hexdigest()[:12]
     workdir = f"/tmp/dupers_ray_ck/{key}"
     return dupe_clusters_checkpointed(
         [os.path.join(sf_dir, "documents.parquet")], workdir, cfg
@@ -629,6 +790,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
+        "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "near_dup_clusters_checkpointed": _near_dup_clusters_oracle_sql(),
         "fingerprints": _fingerprint_oracle_sql(),
         # word-5-gram sets as unit-separator-joined strings; CASE arms
         # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
