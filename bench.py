@@ -108,6 +108,34 @@ def run_bench() -> dict:
     timed("near_edges_pages", lambda: near_dup_edges(
         rd.read_parquet(pages_path, columns=["url", "text"]))[0].count())
 
+    from dupers_ray.config import SimHashConfig
+    from dupers_ray.stages.simhash import simhash_pairs
+
+    timed("simhash_pairs_docs", lambda: simhash_pairs(
+        rd.read_parquet(doc_path), SimHashConfig(), id_col="doc_id").count())
+
+    def topk_embeddings():
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from dupers_ray.stages.embed import topk_cosine
+
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        t = pq.read_table(emb_path)
+        ids = np.asarray(t.column("vec_id").to_numpy(), dtype=np.int64)
+        sel = ids < 20
+        qm = np.array(
+            t.column("embedding").filter(pa.array(sel)).to_pylist(),
+            dtype=np.float32,
+        )
+        return topk_cosine(
+            rd.read_parquet(emb_path), qm, k=10, query_ids=ids[sel]
+        ).count()
+
+    import pyarrow as pa
+
+    timed("topk_cosine_embeddings", topk_embeddings)
+
     headline_sec = queries["dupe_pages"]
     result = {
         "metric": "dupe_pipeline_pages_sec",

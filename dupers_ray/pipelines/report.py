@@ -16,8 +16,6 @@ DATASETS a caller can act on:
 
 from __future__ import annotations
 
-import posixpath
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -26,7 +24,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
-from dupers_ray.stages.digest import digest_dataset
 
 
 def dupe_report(
@@ -46,11 +43,7 @@ def dupe_report(
     pairs = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
     if not keep_cols:
         return pairs
-    from dupers_ray.pipelines.joins import cogroup_join  # noqa: F401 (doc pointer)
-
     # display metadata is per match row; hash-join pairs to the corpus rows
-    import pyarrow as pa_
-
     from dupers_ray.pipelines.joins import hash_join
 
     meta = ds.select_columns([id_col, *keep_cols])
