@@ -61,6 +61,14 @@ def all_pairs_candidates(
             pa.concat_tables(ray.get(ids_ds.to_arrow_refs())).column(id_col)
         ).astype(np.int64)
     )
+    if len(all_ids) > 1_000_000:
+        # n^2 pairs: 1M ids is already 5e11 pairs — this generator exists
+        # for the SQL-checkable oracle harness; production candidates come
+        # from LSH / SimHash / the sharded index
+        raise ValueError(
+            f"all_pairs_candidates over {len(all_ids)} ids would emit "
+            "O(n^2) pairs; pass id_cap or use an LSH candidate generator"
+        )
     ref = ray.put(all_ids)
 
     def emit(t: pa.Table) -> pa.Table:
