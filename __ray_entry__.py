@@ -312,10 +312,20 @@ def _near_dup_clusters_oracle_sql() -> str:
             f" % {MOD})::UBIGINT"
         )
 
-    P = 0x9E3779B97F4A7C15
-    GAMMA, M1, M2 = (
-        11400714819323198485, 13787848793156543929, 10723151780598845931
-    )
+    # pull every constant from the LIVE engine config/kernels so a change
+    # there breaks loudly in tests rather than silently in the driver
+    from dupers_ray.config import MinHashConfig, ShingleConfig
+    from dupers_ray.functions import hashing as _hk
+    from dupers_ray.stages import minhash as _mk
+
+    scfg, mcfg = ShingleConfig(), MinHashConfig()
+    assert scfg.k == 5 and scfg.lowercase, "oracle SQL assumes 5-gram lower"
+    assert (mcfg.method, mcfg.num_perm, mcfg.bands, mcfg.rows) == (
+        "oph", 128, 32, 4
+    ), "oracle SQL assumes OPH 128 = 32x4"
+    thr = mcfg.jaccard_threshold
+    P = int(_mk._POLY)
+    GAMMA, M1, M2 = int(_hk._SM_GAMMA), int(_hk._SM_M1), int(_hk._SM_M2)
     poly5 = maddmod(
         maddmod(maddmod(maddmod("h0", P, "h1"), P, "h2"), P, "h3"), P, "h4"
     )
@@ -407,7 +417,7 @@ def _near_dup_clusters_oracle_sql() -> str:
             JOIN nodefolds fa ON fa.node = c.a
             JOIN nodefolds fb ON fb.node = c.b
             WHERE (len(list_filter([x FOR x IN range(1, 129)],
-                                   i -> fa.f16[i] = fb.f16[i])) / 128.0) >= 0.6
+                                   i -> fa.f16[i] = fb.f16[i])) / 128.0) >= {thr}
         ), exact_stars AS (
             SELECT min(n.node) AS anchor, list(n.node) AS members
             FROM documents d JOIN nodes n USING (doc_id)
