@@ -570,6 +570,23 @@ def _q_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_topk_cosine_ivf(sf_dir: str):
+    """IVF (coarse-quantizer ANN) top-k driven at n_probe == n_cells —
+    provably exact (every cell probed), so it shares the brute-force
+    top-k oracle while value-checking the whole IVF machinery end to end
+    (driver-side k-means training, probe masks, per-batch cell pruning,
+    partial top-k, merge). The approximate regime (n_probe < n_cells) is
+    recall-tested in tests/test_embed.py."""
+    from dupers_ray.stages.embed import topk_cosine_ivf
+
+    qids, qm = _emb_queries(sf_dir)
+    out = topk_cosine_ivf(
+        _tbl(sf_dir, "embeddings"), qm, k=10, n_cells=16, n_probe=16,
+        query_ids=qids, train_sample=10_000,
+    )
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_cosine_pairs(sf_dir: str):
     """Exact all-pairs cosine >= 0.4 via broadcast corpus matrix (0.4
     gives nonzero pairs at sf0.01; no pair sits within 1e-4 of the
@@ -725,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "topk_cosine": _q_topk_cosine,
+        "topk_cosine_ivf": _q_topk_cosine_ivf,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "window_agg": _q_window_agg,
@@ -736,6 +754,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deletion_list_trunc": _q_deletion_list_trunc,
         "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
     }
+
+
+_TOPK_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(q.qe, e.embedding) AS score
+        FROM q CROSS JOIN embeddings e
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id FROM ranked WHERE rk <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,26 +880,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_q
             FROM documents
         """,
-        "topk_cosine": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
-                FROM embeddings WHERE vec_id < 5
-            ),
-            scored AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(q.qe, e.embedding) AS score
-                FROM q CROSS JOIN embeddings e
-            ),
-            ranked AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY score DESC, vec_id ASC
-                       ) AS rk
-                FROM scored
-            )
-            SELECT query_id, vec_id FROM ranked WHERE rk <= 10
-        """,
+        "topk_cosine": _TOPK_ORACLE,
+        "topk_cosine_ivf": _TOPK_ORACLE,
         "cosine_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
