@@ -90,22 +90,40 @@ class ImageDecoder:
 
 class ImageFeaturizer:
     """Actor-pool stage: decoded pixels → feature vector (channel-mean +
-    16-bin histogram = 51 float32s). Deterministic, vectorized."""
+    16-bin histogram = 51 float32s). Fully batch-vectorized: the
+    fixed-size pixel payloads view zero-copy as an (n, h*w*3) matrix
+    (functions/arrowview), channel means are one mean over axis 1, and
+    all n×3 histograms come from ONE bincount over a composite
+    (row, channel, bin) index. Bin index (v*16)//255 clipped to 15 is
+    exactly np.histogram(bins=16, range=(0, 255)) (edges i*15.9375 are
+    binary-exact), so outputs are bit-identical to the per-row version."""
 
     DIM = 3 + 48
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for buf in batch.column("pixels").to_pylist():
-            img = np.frombuffer(buf, np.uint8).astype(np.float32)
-            px = img.reshape(-1, 3)
-            chan_mean = px.mean(axis=0) / 255.0
-            hist = np.concatenate(
-                [np.histogram(px[:, c], bins=16, range=(0, 255))[0] for c in range(3)]
-            ).astype(np.float32)
-            hist /= max(1.0, hist.sum())
-            feats.append(np.concatenate([chan_mean, hist]).astype(np.float32))
-        flat = np.concatenate(feats) if feats else np.empty(0, np.float32)
+        from dupers_ray.functions.arrowview import binary_matrix
+
+        n = batch.num_rows
+        if n == 0:
+            flat = np.empty(0, np.float32)
+        else:
+            px = binary_matrix(batch.column("pixels"), np.uint8)
+            px = px.reshape(n, -1, 3)
+            chan_mean = (px.astype(np.float32).mean(axis=1) / 255.0)  # (n, 3)
+            binidx = np.minimum(
+                (px.astype(np.uint32) * 16) // 255, 15
+            )  # (n, pix, 3)
+            row = np.arange(n, dtype=np.int64)[:, None, None]
+            chan = np.arange(3, dtype=np.int64)[None, None, :]
+            composite = (row * 3 + chan) * 16 + binidx
+            hist = np.bincount(
+                composite.reshape(-1), minlength=n * 48
+            ).reshape(n, 48)
+            histf = hist.astype(np.float32)
+            histf /= np.maximum(1.0, histf.sum(axis=1, keepdims=True))
+            flat = np.concatenate(
+                [chan_mean.astype(np.float32), histf], axis=1
+            ).reshape(-1)
         emb = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), self.DIM)
         return pa.table({"media_id": batch.column("media_id"), "embedding": emb})
 
