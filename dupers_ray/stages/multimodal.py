@@ -244,21 +244,28 @@ def sample_frames(
 ) -> pa.Table:
     """Video stage: 1→N fan-out of frame-sample rows (media_id, frame_ts_ms,
     payload) based on duration metadata. The frame EXTRACTION is the stub
-    (payload passed through); the fan-out plumbing is real."""
-    ids = batch.column("media_id").to_pylist()
-    durs = batch.column("duration_ms").to_pylist()
-    payloads = batch.column("payload").to_pylist()
-    out_id, out_ts, out_p = [], [], []
-    for mid, dur, p in zip(ids, durs, payloads):
-        ts = list(range(0, max(int(dur or 0), 1), every_ms))
-        out_id.extend([mid] * len(ts))
-        out_ts.extend(ts)
-        out_p.extend([p] * len(ts))
+    (payload passed through); the fan-out plumbing is real and vectorized
+    (repeat counts + arange-minus-group-start, the same gather trick as
+    the shingle windower; Arrow take for the variable-width columns)."""
+    import pyarrow.compute as pc
+
+    durs = np.asarray(
+        pc.fill_null(batch.column("duration_ms"), 0).to_numpy(
+            zero_copy_only=False
+        ),
+        np.int64,
+    )
+    counts = (np.maximum(durs, 1) + every_ms - 1) // every_ms
+    total = int(counts.sum())
+    rep = np.repeat(np.arange(len(durs), dtype=np.int64), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    frame_ix = np.arange(total, dtype=np.int64) - starts
+    idx = pa.array(rep)
     return pa.table(
         {
-            "media_id": pa.array(out_id, pa.string()),
-            "frame_ts_ms": pa.array(out_ts, pa.int32()),
-            "payload": pa.array(out_p, pa.binary()),
+            "media_id": batch.column("media_id").take(idx),
+            "frame_ts_ms": pa.array((frame_ix * every_ms).astype(np.int32)),
+            "payload": batch.column("payload").take(idx),
         }
     )
 
