@@ -220,3 +220,65 @@ def test_wav_decode_matches_stdlib_writer():
 
     with pytest.raises(ValueError):
         AudioDecoder._decode_wav(b"garbage")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+    level=st.integers(0, 9),
+)
+def test_png_roundtrip_property(h, w, seed, level):
+    """encode→decode is the identity for any RGB image size/content."""
+    from dupers_ray.functions.png import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert (decode_png(encode_png(img, level=level)) == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=16),
+)
+def test_png_decode_any_filter_sequence(h, w, seed, filters):
+    """decode reconstructs rows filtered with ANY per-row filter choice,
+    checked against an independent per-pixel reference encoder."""
+    import struct
+    import zlib
+
+    from dupers_ray.functions.png import _SIG, _chunk, decode_png
+
+    ch = 3
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, ch), np.uint8)
+    flat = img.reshape(h, w * ch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+
+    rows = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        prev = flat[y - 1] if y else np.zeros(w * ch, np.int32)
+        cur, filt = flat[y], np.empty(w * ch, np.int32)
+        for i in range(w * ch):
+            a = cur[i - ch] if i >= ch else 0
+            b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+            pred = [0, a, b, (a + b) // 2, paeth(a, b, c)][f]
+            filt[i] = (cur[i] - pred) & 0xFF
+        rows.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img).all()
