@@ -615,6 +615,21 @@ def _q_cosine_pairs_lsh(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_cosine_pairs_lsh_fullprobe(sf_dir: str):
+    """Hyperplane LSH run at n_planes=0: every row lands in ONE bucket per
+    table, so the candidate stage emits ALL pairs and the pipeline's exact-
+    cosine verify makes the output EXACT — giving the LSH candidate →
+    cross-table dedup → verify machinery a full value oracle (the same
+    full-probe technique as `topk_cosine_ivf`). The approximate
+    configuration stays covered rows-only by `cosine_pairs_lsh`."""
+    from dupers_ray.stages.embed import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        _tbl(sf_dir, "embeddings"), threshold=0.4, dim=64,
+        n_planes=0, n_tables=2,
+    ).select_columns(["a", "b"])
+
+
 def _q_window_agg(sf_dir: str):
     """Oracle-compared columns exclude sum_value: double accumulation order
     differs between engines (last-bit FP noise would flake a value-hash);
@@ -745,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
         "window_agg": _q_window_agg,
         "sessionize": _q_sessionize,
         "bucket_rename": _q_bucket_rename,
@@ -883,6 +899,11 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine": _TOPK_ORACLE,
         "topk_cosine_ivf": _TOPK_ORACLE,
         "cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "cosine_pairs_lsh_fullprobe": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4

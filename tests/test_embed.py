@@ -93,6 +93,20 @@ def test_cosine_pairs_lsh_recall():
     assert (approx["cosine"] >= 0.95).all()
 
 
+def test_cosine_pairs_lsh_fullprobe_exact():
+    """n_planes=0 puts every row in one bucket per table: candidates = all
+    pairs, so the LSH pipeline's exact verify must reproduce the brute-force
+    pair set EXACTLY (the full-probe oracle configuration the driver runs)."""
+    tbl, ids, m = _corpus(n=250, n_dup=12)
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = cosine_pairs_broadcast(ds, ids, m, threshold=0.95).to_pandas()
+    full = cosine_pairs_lsh(
+        ds, threshold=0.95, dim=16, n_planes=0, n_tables=2
+    ).to_pandas()
+    assert set(zip(exact["a"], exact["b"])) == set(zip(full["a"], full["b"]))
+    assert len(exact) > 0
+
+
 def test_topk_cosine_ivf_recall():
     """IVF probes only n_probe/n_cells of the corpus yet must keep high
     recall vs exact top-k; with n_probe == n_cells it IS exact."""
