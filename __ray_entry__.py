@@ -698,12 +698,14 @@ def _q_near_dup_clusters_checkpointed(sf_dir: str):
     from dupers_ray.config import DedupConfig
     from dupers_ray.pipelines.dupe import dupe_clusters_checkpointed
 
+    from dupers_ray.functions.hashing import KERNEL_VERSION
+
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    # salt the checkpoint key with a semantics version: the manifest
-    # fingerprints inputs+config, but a change to the hash KERNELS
-    # (e.g. crc32->md5 token hashing) is invisible to it — bumping the
-    # salt orphans checkpoints whose bytes a current run couldn't produce
-    key = hashlib.sha256(f"{sf_dir}|hash=md5-v2".encode()).hexdigest()[:12]
+    # the checkpoint fingerprint now folds in KERNEL_VERSION itself
+    # (pipelines/dupe.py cfg_fp); keeping it in the workdir key too means a
+    # kernel bump simply starts a fresh directory instead of recomputing
+    # in place over orphaned old-kernel partitions
+    key = hashlib.sha256(f"{sf_dir}|hash={KERNEL_VERSION}".encode()).hexdigest()[:12]
     workdir = f"/tmp/dupers_ray_ck/{key}"
     return dupe_clusters_checkpointed(
         [os.path.join(sf_dir, "documents.parquet")], workdir, cfg

@@ -45,25 +45,28 @@ def humanize_bytes(col: pa.ChunkedArray | pa.Array | np.ndarray) -> pa.Array:
         vals = np.asarray(col, dtype="float64")
     isnan = np.isnan(vals)
     safe = np.where(isnan, 0.0, np.abs(vals))
+    # go-humanize humanateBytes exactly: s<10 prints raw; otherwise
+    # e = floor(log_1000(s)); val = floor(s/1000^e*10 + 0.5)/10 (round to
+    # ONE decimal first — the displayed unit can round up, e.g. 9950 ->
+    # "10 kB"); then %.0f when val>=10 else %.1f
+    small = safe < 10
     exp = np.zeros(len(safe), np.int64)
-    nz = safe >= 1000
-    exp[nz] = np.minimum(
-        (np.log10(safe[nz]) // 3).astype(np.int64), len(_UNITS) - 1
-    )
-    scaled = safe / np.power(1000.0, exp)
-    # humanize prints "999 B", "1.0 kB", "9.9 MB", "10 MB", "100 GB"
+    big = ~small
+    with np.errstate(divide="ignore"):
+        exp[big] = np.minimum(
+            np.floor(np.log(safe[big]) / np.log(1000.0)).astype(np.int64),
+            len(_UNITS) - 1,
+        )
+    val = np.floor(safe / np.power(1000.0, exp) * 10.0 + 0.5) / 10.0
     out: list[str | None] = []
     for i in range(len(vals)):
         if isnan[i]:
             out.append(None)
-            continue
-        v, u = scaled[i], _UNITS[exp[i]]
-        if exp[i] == 0:
-            out.append(f"{int(round(v))} {u}")
-        elif v < 10:
-            out.append(f"{v:.1f} {u}")
+        elif small[i]:
+            out.append(f"{int(safe[i])} B")
         else:
-            out.append(f"{int(round(v))} {u}")
+            v, u = val[i], _UNITS[exp[i]]
+            out.append(f"{v:.0f} {u}" if v >= 10 else f"{v:.1f} {u}")
     return pa.array(out, pa.string())
 
 

@@ -60,6 +60,13 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# bumped whenever a hash/signature kernel changes semantics (token hash,
+# shingle mixing, signature layout). Folded into checkpoint fingerprints so
+# partitions written by an older kernel are recomputed instead of being
+# silently mixed with new-kernel partitions in the same workdir.
+KERNEL_VERSION = "md5-v2"
+
+
 def hash_str_u64(values: Sequence[str]) -> np.ndarray:
     """Deterministic 64-bit hash of strings: first 8 bytes (big-endian) of
     MD5. A genuinely uniform 64-bit family — the round-1 crc32 variant had

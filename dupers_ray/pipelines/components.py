@@ -124,12 +124,9 @@ def _add_part(t: pa.Table, *, col: str, p: int) -> pa.Table:
 
 
 def _edge_sort_dedup(u: np.ndarray, v: np.ndarray):
-    order = np.lexsort((v, u))
-    u, v = u[order], v[order]
-    if len(u):
-        keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
-        u, v = u[keep], v[keep]
-    return u, v
+    from dupers_ray.functions.pairs import unique_pairs
+
+    return unique_pairs(u, v)
 
 
 def _large_star(g: pa.Table) -> pa.Table:

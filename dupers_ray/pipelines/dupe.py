@@ -211,9 +211,17 @@ def dupe_clusters_checkpointed(
         run_phased,
     )
 
+    from dupers_ray.functions.hashing import KERNEL_VERSION
+
     cfg = cfg or DedupConfig()
     id_col, text_col = cfg.id_col, cfg.text_col
-    cfg_fp = _hl.sha256(cfg.to_json().encode()).hexdigest()[:16]
+    # KERNEL_VERSION makes hash-kernel changes invisible to DedupConfig
+    # invalidate old partitions: without it, a resume after a kernel upgrade
+    # with one touched input recomputes only that partition and then compares
+    # new-kernel signatures against old-kernel ones across partitions
+    cfg_fp = _hl.sha256(
+        (cfg.to_json() + "|" + KERNEL_VERSION).encode()
+    ).hexdigest()[:16]
 
     sig_dir = f"{workdir}/signatures"
     sig_res = run_partitioned(

@@ -40,17 +40,18 @@ def dupe_report(
     columns (mtime layout dupe.go:41, humanized size dupe.go:496) via
     functions/display.format_report — a leaf map over the small report."""
     keep_cols = keep_cols or []
-    pairs = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
-    if not keep_cols:
-        return pairs
-    # display metadata is per match row; hash-join pairs to the corpus rows
-    from dupers_ray.pipelines.joins import hash_join
+    out = exact_dupe_pairs(ds, id_col=id_col, content_col=content_col)
+    if keep_cols:
+        # display metadata is per match row; hash-join pairs to corpus rows
+        from dupers_ray.pipelines.joins import hash_join
 
-    meta = ds.select_columns([id_col, *keep_cols])
-    out = hash_join(
-        pairs, meta, on=f"match_{id_col}", right_on=id_col, num_partitions=32
-    )
+        meta = ds.select_columns([id_col, *keep_cols])
+        out = hash_join(
+            out, meta, on=f"match_{id_col}", right_on=id_col, num_partitions=32
+        )
     if formatted:
+        # applies on the pairs-only path too (format_report no-ops on
+        # missing columns rather than silently dropping the request)
         from dupers_ray.functions.display import format_report
 
         out = out.map_batches(format_report, batch_format="pyarrow")

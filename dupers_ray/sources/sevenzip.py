@@ -106,13 +106,16 @@ class _Coder:
 
 
 class _Folder:
-    __slots__ = ("coders", "bind_pairs", "packed_indices", "unpack_sizes")
+    __slots__ = (
+        "coders", "bind_pairs", "packed_indices", "unpack_sizes", "crc_defined"
+    )
 
     def __init__(self):
         self.coders: list[_Coder] = []
         self.bind_pairs: list[tuple[int, int]] = []
         self.packed_indices: list[int] = []
         self.unpack_sizes: list[int] = []
+        self.crc_defined = False
 
     @property
     def num_packed(self) -> int:
@@ -198,6 +201,11 @@ def _parse_streams_info(f: io.BytesIO) -> dict:
                 if sub == _K_CRC:
                     defined = _read_optional_bitvector(f, num_folders)
                     f.read(4 * sum(defined))
+                    # remembered so SubStreamsInfo kCRC can count exactly the
+                    # streams whose CRC is still unknown (7zFormat.txt: a
+                    # 1-stream folder with a defined folder CRC gets none)
+                    for folder, dfn in zip(folders, defined):
+                        folder.crc_defined = dfn
                 else:
                     raise Bad7z(f"unexpected id {sub:#x} in UnpackInfo")
             info["folders"] = folders
@@ -221,11 +229,14 @@ def _parse_streams_info(f: io.BytesIO) -> dict:
                         sizes.extend(explicit)
                         sizes.append(folder.output_size() - sum(explicit))
                 elif sub == _K_CRC:
+                    # digests exist only for streams whose CRC is unknown:
+                    # every stream of an n!=1 folder, plus 1-stream folders
+                    # WITHOUT a folder CRC from UnpackInfo (7zFormat.txt).
+                    # CRC values are unused here, only the byte count matters.
                     n_undigested = sum(
-                        n for folder, n in zip(folders, nums) if not (n == 1)
-                    ) + sum(1 for folder, n in zip(folders, nums) if n == 1)
-                    # count streams lacking a folder CRC; reading exact is
-                    # fiddly — CRCs are unused here, consume conservatively
+                        n for folder, n in zip(folders, nums)
+                        if not (n == 1 and folder.crc_defined)
+                    )
                     defined = _read_optional_bitvector(f, n_undigested)
                     f.read(4 * sum(defined))
                     digests_read = True
@@ -384,11 +395,15 @@ def read_7z_members(data: bytes) -> list[tuple[str, bytes]]:
             packed = data[offset : offset + pack_sizes[pack_idx]]
             offset += pack_sizes[pack_idx]
             pack_idx += 1
+            if n_sub == 0:
+                # folder output feeds no file: appending it would shift every
+                # later member onto the wrong bytes (silent corruption)
+                continue
             out = _decode_folder(folder, packed)
-            if n_sub <= 1:
+            if n_sub == 1:
                 substreams.append(out)
                 if sizes is not None:
-                    size_idx += n_sub
+                    size_idx += 1
             else:
                 pos = 0
                 for _ in range(n_sub):

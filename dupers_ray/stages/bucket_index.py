@@ -64,17 +64,27 @@ def _await_rows(shards, expected: int, timeout_s: float = 600.0) -> None:
     flagship's top cost under load); this poll is the replacement barrier.
     A retried ingest task re-submits its adds, so counts can only overshoot
     (duplicate rows dedup inside the shards) — never stall short, except in
-    the worker-died-mid-submit case the timeout converts into an error."""
+    the worker-died-mid-submit case the timeout converts into an error.
+
+    ``timeout_s`` is a NO-PROGRESS window, not a total wall-clock budget:
+    the deadline resets whenever the received count advances, so a large
+    corpus draining a deep spill backlog (each spill flush sorts + writes
+    parquet runs inside add()) is never misclassified as a stall."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
+    last_got = -1
     while True:
         got = sum(ray.get([s.rows_received.remote() for s in shards]))
         if got >= expected:
             return
-        if _time.monotonic() > deadline:
+        if got > last_got:
+            last_got = got
+            deadline = _time.monotonic() + timeout_s
+        elif _time.monotonic() > deadline:
             raise RuntimeError(
-                f"bucket index ingest stalled: {got}/{expected} rows received"
+                f"bucket index ingest stalled: {got}/{expected} rows received, "
+                f"no progress for {timeout_s:.0f}s"
             )
         _time.sleep(0.02)
 
@@ -154,12 +164,9 @@ def _emit_star_pairs(
 def _dedup_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Drop identical (src, dst) rows repeated across bands: same pair ⇒
     adjacent after a sort."""
-    if not len(src):
-        return src, dst
-    o2 = np.lexsort((dst, src))
-    src, dst = src[o2], dst[o2]
-    uniq = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
-    return src[uniq], dst[uniq]
+    from dupers_ray.functions.pairs import unique_pairs
+
+    return unique_pairs(src, dst)
 
 
 @ray.remote

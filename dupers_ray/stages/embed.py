@@ -236,13 +236,13 @@ def cosine_pairs_lsh(
         return t.append_column("__part", pa.array((h % np.uint64(256)).astype(np.int64)))
 
     def dedup(g: pa.Table) -> pa.Table:
+        from dupers_ray.functions.pairs import unique_pairs
+
         a = np.asarray(g.column("a"), dtype=np.int64)
         b = np.asarray(g.column("b"), dtype=np.int64)
-        o = np.lexsort((b, a))
-        a, b = a[o], b[o]
-        uniq = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] if len(a) else np.empty(0, bool)
-        return pa.table({"a": pa.array(a[uniq], pa.int64()),
-                         "b": pa.array(b[uniq], pa.int64())})
+        a, b = unique_pairs(a, b)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
 
     pairs = (
         candidates.map_batches(pair_part, batch_format="pyarrow")
@@ -278,9 +278,13 @@ def _verify_cosine_pairs(
             ray.get(r)
             for r in ds.select_columns([id_col, emb_col]).to_arrow_refs()
         ]
-        t = pa.concat_tables([p for p in parts if p.num_rows] or parts)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        mat = _norm(_mat(t.column(emb_col)))
+        if parts:
+            t = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = _norm(_mat(t.column(emb_col)))
+        else:  # empty corpus yields no blocks at all — score() passes empties through
+            ids = np.empty(0, np.int64)
+            mat = np.empty((0, 0), np.float32)
         order = np.argsort(ids)
         cref = ray.put((ids[order], np.ascontiguousarray(mat[order])))
 
@@ -306,11 +310,19 @@ def _verify_cosine_pairs(
 
     def emb_bytes(col_out: str):
         def f(t: pa.Table) -> pa.Table:
-            m = _norm(_mat(t.column(emb_col)))
+            m = np.ascontiguousarray(_norm(_mat(t.column(emb_col))), np.float32)
+            n = m.shape[0]
+            w = m.shape[1] * 4 if m.ndim == 2 else 0
+            # binary column built straight from the matrix buffer (one
+            # memcpy + an arange of offsets) instead of a per-row Python
+            # tobytes() loop
+            offs = np.arange(n + 1, dtype=np.int32) * np.int32(w)
+            arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())],
+            )
             ids = t.column(id_col).cast(pa.int64())
-            return pa.table({id_col: ids,
-                             col_out: pa.array([m[i].tobytes() for i in range(m.shape[0])],
-                                               pa.binary())})
+            return pa.table({id_col: ids, col_out: arr})
         return f
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -387,6 +399,14 @@ def topk_cosine_ivf(
     Recall is tunable via n_probe (== n_cells → exact)."""
     sample_tbl = ds.limit(train_sample).select_columns([emb_col]).take_all()
     sample = np.array([r[emb_col] for r in sample_tbl], dtype=np.float32)
+    if sample.size == 0:  # empty corpus: no cells to train, no rows to score
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
     cents = _spherical_kmeans(sample, n_cells, seed=seed)
 
     qm = _norm(np.asarray(queries, np.float32))

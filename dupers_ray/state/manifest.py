@@ -150,9 +150,14 @@ def run_partitioned(
             continue
         if idx >= len(groups) or d.endswith(".tmp"):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
-            mp = _manifest_path(out_dir, base)
-            if os.path.exists(mp):
-                os.remove(mp)
+            if idx >= len(groups):
+                # only out-of-range partitions lose their manifest; a torn
+                # ".tmp" sibling must NOT invalidate the completed partition
+                # of the same index (two runs sharing a workdir would
+                # otherwise silently drop each other's finished work)
+                mp = _manifest_path(out_dir, base)
+                if os.path.exists(mp):
+                    os.remove(mp)
             pruned.append(d)
     # combined fingerprint over every current partition: one value downstream
     # phases can pin so edits to ANY input invalidate them (round-1 ADVICE:

@@ -156,9 +156,18 @@ def test_display_formatting_parity():
     )
     assert format_mtime(ts).to_pylist() == ["02 Jan 2006 15:04", "31 Dec 2024 23:59", None]
 
-    sizes = pa.array([0, 999, 1000, 9_940, 82_854_982, 123_456_789_000, None], pa.int64())
+    # boundary parity with go-humanize humanateBytes: it rounds to ONE
+    # decimal FIRST (floor(v*10+0.5)/10) and only then picks %.0f/%.1f, so
+    # 9950 rounds UP across the format boundary to "10 kB" and 123.456 GB
+    # becomes 123.5 -> %.0f (half-to-even) -> "124 GB"
+    sizes = pa.array(
+        [0, 9, 999, 1000, 9_940, 9_950, 9_999, 82_854_982, 123_456_789,
+         123_456_789_000, None],
+        pa.int64(),
+    )
     assert humanize_bytes(sizes).to_pylist() == [
-        "0 B", "999 B", "1.0 kB", "9.9 kB", "83 MB", "123 GB", None,
+        "0 B", "9 B", "999 B", "1.0 kB", "9.9 kB", "10 kB", "10 kB",
+        "83 MB", "124 MB", "124 GB", None,
     ]
 
     t = pa.table({"url": ["a"], "warc_ts": ts.slice(0, 1), "n_chars": pa.array([1500])})

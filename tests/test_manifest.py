@@ -85,6 +85,24 @@ def test_run_partitioned_input_change_invalidates(shards, tmp_path):
     assert r["rows"] == 190
 
 
+def test_tmp_sibling_does_not_invalidate_completed_partition(shards, tmp_path):
+    """A torn 'partition=NNNNN.tmp' leftover must be swept WITHOUT deleting
+    the completed sibling partition's manifest — two resumable runs sharing
+    a workdir would otherwise silently drop each other's finished work."""
+    out = str(tmp_path / "out")
+    markers = str(tmp_path / "markers")
+    run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    # simulate a torn write next to a valid completed partition
+    os.makedirs(os.path.join(out, "partition=00001.tmp"))
+    open(os.path.join(out, "partition=00001.tmp", "part.parquet"), "w").close()
+    r = run_partitioned(shards, out, _count_pipeline(markers), stage="s1")
+    assert "partition=00001.tmp" in r["pruned"]
+    assert not os.path.exists(os.path.join(out, "partition=00001.tmp"))
+    # the completed partition survived: nothing recomputed, all rows present
+    assert len(r["skipped"]) == 4 and not r["completed"]
+    assert read_partitioned(out).count() == 200
+
+
 def test_run_partitioned_config_change_invalidates(shards, tmp_path):
     out = str(tmp_path / "out")
     markers = str(tmp_path / "markers")

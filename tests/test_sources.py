@@ -131,10 +131,19 @@ def test_classify_mime_batch():
 
 # ------------------------------------------------------------------ 7z reader
 
-def _write_7z_copy(files: list[tuple[str, bytes]]) -> bytes:
+def _write_7z_copy(
+    files: list[tuple[str, bytes]],
+    *,
+    folder_crc: bool = False,
+    substream_crc: bool = False,
+) -> bytes:
     """Minimal 7z WRITER (Copy codec, one folder, unencoded header) — test
     harness for the from-scratch reader in sources/sevenzip.py; exercises
-    multi-file substream splitting and empty-file bit vectors."""
+    multi-file substream splitting and empty-file bit vectors. With
+    ``folder_crc`` the folder CRC is defined in UnpackInfo; with
+    ``substream_crc`` a kCRC section is written in SubStreamsInfo covering
+    exactly the streams whose CRC is still unknown (7zFormat.txt: a
+    1-stream folder with a defined folder CRC contributes none)."""
     import struct
     import zlib
 
@@ -156,6 +165,8 @@ def _write_7z_copy(files: list[tuple[str, bytes]]) -> bytes:
         hdr += num(0x0B) + num(1) + b"\x00"  # kFolder, 1 folder, internal
         hdr += num(1) + b"\x01" + b"\x00"  # 1 coder: idsize=1, codec=Copy
         hdr += num(0x0C) + num(len(body))  # kCodersUnpackSize
+        if folder_crc:
+            hdr += num(0x0A) + b"\x01" + struct.pack("<I", zlib.crc32(body))
         hdr += num(0x00)  # kEnd UnpackInfo
         hdr += num(0x08)  # kSubStreamsInfo
         hdr += num(0x0D) + num(len(nonempty))  # kNumUnpackStream
@@ -163,6 +174,12 @@ def _write_7z_copy(files: list[tuple[str, bytes]]) -> bytes:
             hdr += num(0x09)  # kSize: n-1 explicit sizes
             for _, b in nonempty[:-1]:
                 hdr += num(len(b))
+        if substream_crc:
+            known = len(nonempty) == 1 and folder_crc
+            hdr += num(0x0A) + b"\x01"  # kCRC, allAreDefined
+            if not known:
+                for _, b in nonempty:
+                    hdr += struct.pack("<I", zlib.crc32(b))
         hdr += num(0x00)  # kEnd SubStreams
         hdr += num(0x00)  # kEnd MainStreams
     # kFilesInfo — order: empty-stream files carry no substream; keep
@@ -226,6 +243,29 @@ def test_7z_multifile_and_empty():
     arc = _write_7z_copy(files)
     got = dict(read_7z_members(arc))
     assert got == {n: b for n, b in files}
+
+
+def test_7z_crc_sections():
+    """SubStreamsInfo kCRC digest COUNT depends on folder CRCs defined in
+    UnpackInfo: a 1-stream folder with a defined folder CRC gets no
+    substream digest (7zFormat.txt). Mis-counting over-reads the header
+    and rejects valid archives."""
+    from dupers_ray.sources.sevenzip import read_7z_members
+
+    # 1-stream folder WITH folder CRC: kCRC in SubStreamsInfo carries
+    # ZERO digests — the over-count bug read a phantom bitvector here
+    one = [("only.bin", b"payload-bytes")]
+    arc = _write_7z_copy(one, folder_crc=True, substream_crc=True)
+    assert dict(read_7z_members(arc)) == dict(one)
+
+    # n-stream folder with folder CRC: every substream gets a digest
+    many = [("a.txt", b"alpha"), ("b.txt", b"beta"), ("c.txt", b"gamma")]
+    arc = _write_7z_copy(many, folder_crc=True, substream_crc=True)
+    assert dict(read_7z_members(arc)) == dict(many)
+
+    # no folder CRC: the single stream's digest IS present
+    arc = _write_7z_copy(one, folder_crc=False, substream_crc=True)
+    assert dict(read_7z_members(arc)) == dict(one)
 
 
 def test_7z_explode_and_nested_tar_xz():
