@@ -9,8 +9,10 @@ archives are intentionally NOT walked (dupe.go:603) — same here.
 Engine: a 1→N ``map_batches`` fan-out over binary payload rows. ZIP/TAR/
 GZ/BZ2/XZ use the stdlib; 7z uses the from-scratch stdlib-only reader in
 sources/sevenzip.py (Read7Zip parity, dupe.go:648-693 — archives using
-unsupported 7z features flow through with ``archive_error`` set). rar and
-zstd have no stdlib codec: classified, members not extracted.
+unsupported 7z features flow through with ``archive_error`` set); zstd
+(.zst / .tar.zst) uses the from-scratch RFC 8878 decoder in
+sources/zstd_codec.py. rar has no stdlib codec and no writable spec-free
+path: classified, members not extracted.
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ _EXT_MIME = {
 EXTRACTABLE = {
     "application/zip", "application/gzip", "application/x-bzip2",
     "application/x-xz", "application/x-tar", "application/x-7z-compressed",
+    "application/zstd",
 }
 
 
@@ -115,6 +118,15 @@ def _members(data: bytes, mime: str, name: str) -> list[tuple[str, bytes]]:
         from dupers_ray.sources.sevenzip import read_7z_members
 
         return read_7z_members(data)
+    if mime == "application/zstd":
+        from dupers_ray.sources.zstd_codec import zstd_decompress
+
+        inner = zstd_decompress(data)
+        if len(inner) > 262 and inner[257:262] == b"ustar":  # .tar.zst
+            return _members(inner, "application/x-tar", name)
+        base = posixpath.basename(name)
+        stem = base[:-4] if base.lower().endswith(".zst") else base + ".out"
+        return [(stem, inner)]
     raise ValueError(f"unsupported archive mime {mime!r}")
 
 
