@@ -11,8 +11,9 @@ GZ/BZ2/XZ use the stdlib; 7z uses the from-scratch stdlib-only reader in
 sources/sevenzip.py (Read7Zip parity, dupe.go:648-693 — archives using
 unsupported 7z features flow through with ``archive_error`` set); zstd
 (.zst / .tar.zst) uses the from-scratch RFC 8878 decoder in
-sources/zstd_codec.py. rar has no stdlib codec and no writable spec-free
-path: classified, members not extracted.
+sources/zstd_codec.py; RAR5 uses the from-scratch header reader in
+sources/rar5.py (stored members extracted with CRC checks; members using
+the proprietary RAR compression flow through with ``archive_error``).
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ _EXT_MIME = {
 EXTRACTABLE = {
     "application/zip", "application/gzip", "application/x-bzip2",
     "application/x-xz", "application/x-tar", "application/x-7z-compressed",
-    "application/zstd",
+    "application/zstd", "application/vnd.rar",
 }
 
 
@@ -127,6 +128,10 @@ def _members(data: bytes, mime: str, name: str) -> list[tuple[str, bytes]]:
         base = posixpath.basename(name)
         stem = base[:-4] if base.lower().endswith(".zst") else base + ".out"
         return [(stem, inner)]
+    if mime == "application/vnd.rar":
+        from dupers_ray.sources.rar5 import read_rar5_members
+
+        return read_rar5_members(data)
     raise ValueError(f"unsupported archive mime {mime!r}")
 
 
