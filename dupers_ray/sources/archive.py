@@ -27,6 +27,7 @@ import tarfile
 import zipfile
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # magic-byte table (subset of archive.go:16-33's 14 MIME consts)
 _MAGICS: list[tuple[bytes, str]] = [
@@ -55,28 +56,52 @@ EXTRACTABLE = {
 }
 
 
-def sniff_mime(data: bytes | None, name: str = "") -> str | None:
-    """Magic-byte sniff with extension fallback (archive.go MIME +
-    Extension semantics: content wins, extension breaks ties)."""
-    if data:
+_MAX_MAGIC = 8  # longest prefix any magic needs
+
+
+def _sniff_parts(
+    prefix: bytes | None, tar_mark: bytes | None, length: int | None, name: str,
+) -> str | None:
+    if prefix:
         for magic, mime in _MAGICS:
             if mime == "application/x-tar":
                 continue
-            if data[: len(magic)] == magic:
+            if prefix[: len(magic)] == magic:
                 return mime
-        if len(data) > 262 and data[257:262] == b"ustar":
+        if length is not None and length > 262 and tar_mark == b"ustar":
             return "application/x-tar"
-    ext = posixpath.splitext(name.lower())[1]
+    ext = posixpath.splitext((name or "").lower())[1]
     return _EXT_MIME.get(ext)
+
+
+def sniff_mime(data: bytes | None, name: str = "") -> str | None:
+    """Magic-byte sniff with extension fallback (archive.go MIME +
+    Extension semantics: content wins, extension breaks ties)."""
+    if data is None:
+        return _sniff_parts(None, None, None, name)
+    return _sniff_parts(data[:_MAX_MAGIC], data[257:262], len(data), name)
+
+
+def _sniff_column(batch: pa.Table, content_col: str, name_col: str) -> list[str | None]:
+    """Per-row MIME without materializing payloads: only 8-byte prefixes,
+    the 5-byte tar mark, lengths and names cross into Python — the payload
+    bytes stay in the Arrow buffer (100-TB ingest is mostly non-archives)."""
+    col = batch.column(content_col)
+    prefixes = pc.binary_slice(col, 0, _MAX_MAGIC).to_pylist()
+    tar_marks = pc.binary_slice(col, 257, 262).to_pylist()
+    lengths = pc.binary_length(col).to_pylist()
+    names = batch.column(name_col).to_pylist()
+    return [
+        _sniff_parts(p, t, ln, n or "")
+        for p, t, ln, n in zip(prefixes, tar_marks, lengths, names)
+    ]
 
 
 def classify_mime(
     batch: pa.Table, *, content_col: str = "html", name_col: str = "url",
     out_col: str = "mime",
 ) -> pa.Table:
-    datas = batch.column(content_col).to_pylist()
-    names = batch.column(name_col).to_pylist()
-    mimes = [sniff_mime(d, n or "") for d, n in zip(datas, names)]
+    mimes = _sniff_column(batch, content_col, name_col)
     return batch.append_column(out_col, pa.array(mimes, pa.string()))
 
 
@@ -142,35 +167,53 @@ def explode_archives(
     ``url = join(archive_url, member)`` (dupe.go:665,776 path-join parity);
     non-archive rows pass through unchanged. Failed extractions keep the
     original row with ``archive_error`` set (never drop data silently).
-    Output: (url, content: binary, is_member: bool, archive_error)."""
+    Output: (url, content: binary, is_member: bool, archive_error).
+
+    Non-archive rows (the overwhelming majority of a web corpus) never
+    cross into Python — they are mask-filtered in Arrow and re-emitted
+    with constant metadata columns; only rows whose magic/extension says
+    "archive" are materialized for extraction. Output row order is
+    pass-through rows then member rows (no order contract)."""
+    mimes = _sniff_column(batch, content_col, name_col)
+    lengths = pc.binary_length(batch.column(content_col)).to_pylist()
+    is_arch = pa.array(
+        [m in EXTRACTABLE and bool(ln) for m, ln in zip(mimes, lengths)],
+        pa.bool_(),
+    )
+    plain = batch.filter(pc.invert(is_arch))
+    plain_out = pa.table(
+        {
+            name_col: plain.column(name_col).cast(pa.string()),
+            content_col: plain.column(content_col).cast(pa.binary()),
+            "is_member": pa.array([False] * plain.num_rows, pa.bool_()),
+            "archive_error": pa.nulls(plain.num_rows, pa.string()),
+        }
+    )
+    arch = batch.filter(is_arch)
+    if arch.num_rows == 0:
+        return plain_out
     urls_out: list[str] = []
     content_out: list[bytes | None] = []
     member_out: list[bool] = []
     err_out: list[str | None] = []
-    datas = batch.column(content_col).to_pylist()
-    names = batch.column(name_col).to_pylist()
-    for data, name in zip(datas, names):
-        mime = sniff_mime(data, name or "")
-        if mime in EXTRACTABLE and data:
-            try:
-                members = _members(data, mime, name or "")
-            except Exception as ex:  # noqa: BLE001 — corrupt archives flow on
-                urls_out.append(name)
-                content_out.append(data)
-                member_out.append(False)
-                err_out.append(f"{type(ex).__name__}: {ex}")
-                continue
-            for mname, mdata in members:
-                urls_out.append(posixpath.join(name or "", mname))
-                content_out.append(mdata)
-                member_out.append(True)
-                err_out.append(None)
-        else:
+    arch_mimes = [m for m, keep in zip(mimes, is_arch.to_pylist()) if keep]
+    datas = arch.column(content_col).to_pylist()
+    names = arch.column(name_col).to_pylist()
+    for data, name, mime in zip(datas, names, arch_mimes):
+        try:
+            members = _members(data, mime, name or "")
+        except Exception as ex:  # noqa: BLE001 — corrupt archives flow on
             urls_out.append(name)
             content_out.append(data)
             member_out.append(False)
+            err_out.append(f"{type(ex).__name__}: {ex}")
+            continue
+        for mname, mdata in members:
+            urls_out.append(posixpath.join(name or "", mname))
+            content_out.append(mdata)
+            member_out.append(True)
             err_out.append(None)
-    return pa.table(
+    exploded = pa.table(
         {
             name_col: pa.array(urls_out, pa.string()),
             content_col: pa.array(content_out, pa.binary()),
@@ -178,3 +221,4 @@ def explode_archives(
             "archive_error": pa.array(err_out, pa.string()),
         }
     )
+    return pa.concat_tables([plain_out, exploded])
