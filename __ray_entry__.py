@@ -647,6 +647,78 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap="30m")
 
 
+def _q_asof_attrib(sf_dir: str):
+    """Each event attributed to the same user's most recent purchase at or
+    before it — the as-of join (pipelines/temporal.asof_join), an operator
+    Ray Data lacks natively; oracle is DuckDB ASOF LEFT JOIN."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.temporal import asof_join
+
+    ev = _tbl(sf_dir, "events")
+    lsch = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+    )
+    rsch = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("anchor_id", pa.int64()), ("anchor_value", pa.float64())]
+    )
+
+    def mk_right(t: "pa.Table") -> "pa.Table":
+        m = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table(
+            {"user_id": m.column("user_id"), "ts": m.column("ts"),
+             "anchor_id": m.column("event_id"), "anchor_value": m.column("value")}
+        )
+
+    out = asof_join(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        ev.map_batches(mk_right, batch_format="pyarrow"),
+        key="user_id", ts="ts", left_schema=lsch, right_schema=rsch,
+        tiebreak="anchor_id",
+    )
+    return out.select_columns(["event_id", "anchor_id", "anchor_value"])
+
+
+def _q_purchase_window_pairs(sf_dir: str):
+    """(event, purchase) pairs where the event falls in the purchase's
+    30-minute follow-up window — the banded range join
+    (pipelines/temporal.range_join_banded); oracle is a DuckDB inequality
+    self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.temporal import range_join_banded
+
+    ev = _tbl(sf_dir, "events")
+    lsch = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+    )
+    rsch = pa.schema(
+        [("user_id", pa.int64()), ("w_start", pa.timestamp("us")),
+         ("w_end", pa.timestamp("us")), ("anchor_id", pa.int64())]
+    )
+
+    def mk_right(t: "pa.Table") -> "pa.Table":
+        m = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        half_hour = pa.scalar(30 * 60 * 1_000_000, pa.duration("us"))
+        return pa.table(
+            {"user_id": m.column("user_id"), "w_start": m.column("ts"),
+             "w_end": pc.add(m.column("ts"), half_hour),
+             "anchor_id": m.column("event_id")}
+        )
+
+    out = range_join_banded(
+        ev.select_columns(["event_id", "user_id", "ts"]),
+        ev.map_batches(mk_right, batch_format="pyarrow"),
+        key="user_id", ts="ts", start="w_start", end="w_end",
+        band_us=15 * 60 * 1_000_000,  # 15-min bands: ≤3 replicas per window
+        left_schema=lsch, right_schema=rsch,
+    )
+    return out.select_columns(["event_id", "anchor_id"])
+
+
 def _q_bucket_rename(sf_dir: str):
     """`mv` parity (database.go:693-716)."""
     from dupers_ray.pipelines.maintenance import rename_bucket
@@ -765,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
         "window_agg": _q_window_agg,
         "sessionize": _q_sessionize,
+        "asof_attrib": _q_asof_attrib,
+        "purchase_window_pairs": _q_purchase_window_pairs,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
@@ -942,6 +1016,23 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "asof_attrib": """
+            SELECT e.event_id,
+                   a.event_id AS anchor_id,
+                   a.value AS anchor_value
+            FROM events e
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') a
+              ON e.user_id = a.user_id AND a.ts <= e.ts
+        """,
+        "purchase_window_pairs": """
+            SELECT e.event_id, p.event_id AS anchor_id
+            FROM events e
+            JOIN events p
+              ON e.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND e.ts >= p.ts
+             AND e.ts < p.ts + INTERVAL 30 MINUTE
         """,
         "bucket_rename": """
             SELECT doc_id,
