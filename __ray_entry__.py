@@ -647,6 +647,49 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap="30m")
 
 
+def _q_top_tokens(sf_dir: str):
+    """Corpus-wide top-100 frequent tokens via per-batch combiner +
+    vocabulary groupby (stages/textstats.top_tokens)."""
+    from dupers_ray.stages.textstats import top_tokens
+
+    docs = _tbl(sf_dir, "documents").select_columns(["text"])
+    return top_tokens(docs, k=100)
+
+
+def _q_sample_hash(sf_dir: str):
+    """Deterministic 7% hash-Bernoulli sample (stages/filters.sample_hash);
+    oracle restates the splitmix64 chain in SQL."""
+    from dupers_ray.stages.filters import sample_hash
+
+    return _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]).map_batches(
+        sample_hash, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"percent": 7},
+    )
+
+
+def _sample_hash_oracle_sql() -> str:
+    """splitmix64 finalizer chain (same constants as functions/hashing.py)
+    over doc_id, then the mod-100 threshold."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH sm AS (
+            SELECT doc_id, source,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        )
+        SELECT doc_id, source FROM sm WHERE h % 100 < 7
+    """
+
+
 def _q_asof_attrib(sf_dir: str):
     """Each event attributed to the same user's most recent purchase at or
     before it — the as-of join (pipelines/temporal.asof_join), an operator
@@ -839,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
+        "top_tokens": _q_top_tokens,
+        "sample_hash": _q_sample_hash,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
@@ -1034,6 +1079,13 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= p.ts
              AND e.ts < p.ts + INTERVAL 30 MINUTE
         """,
+        "top_tokens": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "sample_hash": _sample_hash_oracle_sql(),
         "bucket_rename": """
             SELECT doc_id,
                    CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source

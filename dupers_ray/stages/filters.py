@@ -97,3 +97,21 @@ def mark_term(
         f"[{term}]",
     )
     return batch.append_column(out_col, marked)
+
+
+def sample_hash(
+    batch: pa.Table, *, id_col: str = "doc_id", percent: int = 7,
+    salt: int = 0,
+) -> pa.Table:
+    """Deterministic hash-Bernoulli sample: keep rows whose
+    ``splitmix64(id ^ salt) % 100 < percent``. Embarrassingly parallel
+    (no shuffle, no RNG state), reproducible across runs/cluster sizes,
+    and restatable in SQL for the oracle. Change ``salt`` to draw an
+    independent sample."""
+    import numpy as np
+
+    from dupers_ray.functions.hashing import splitmix64
+
+    ids = np.asarray(batch.column(id_col), dtype=np.uint64)
+    keep = (splitmix64(ids ^ np.uint64(salt)) % np.uint64(100)) < np.uint64(percent)
+    return batch.filter(pa.array(keep))

@@ -132,3 +132,47 @@ def fingerprint(batch: pa.Table, *, text_col: str = "text", out_col: str = "fing
             out[i] = acc
         out = splitmix64(out)
     return batch.append_column(out_col, pa.array(out))
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def partial_token_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch term-frequency combiner: tokenize (lowercased
+    ``[a-z0-9_]+`` runs, the same class the n-gram/fingerprint oracles
+    restate in SQL) and pre-aggregate counts INSIDE the batch, so the
+    downstream groupby shuffles one row per distinct token per batch —
+    bounded by batch vocabulary, not corpus token count. At web scale the
+    shuffle moves ~|vocab|·n_blocks short rows instead of ~10^15 tokens."""
+    from collections import Counter
+
+    c: "Counter[str]" = Counter()
+    for t in batch.column(text_col).to_pylist():
+        if t:
+            c.update(_TOKEN_RE.findall(t.lower()))
+    return pa.table(
+        {
+            "token": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def top_tokens(ds, *, k: int = 100, text_col: str = "text"):
+    """Corpus-wide top-k frequent tokens: per-batch combiner →
+    ``groupby(token).sum`` (the only all-to-all, over pre-aggregated
+    vocabulary rows) → deterministic top-k ordered by (count desc, token
+    asc) so cutoff ties are stable across runs and engines.
+
+    The post-aggregation table is vocabulary-sized (≪ corpus); the final
+    sort+limit runs on few coalesced blocks (sort cost scales with block
+    count on this Ray build — see BASELINE.md notes)."""
+    parts = ds.map_batches(
+        partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col}, zero_copy_batch=True,
+    )
+    agg = parts.groupby("token").sum("n")
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
+    )
+    return agg.repartition(2).sort(["n", "token"], descending=[True, False]).limit(k)

@@ -3,11 +3,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from dupers_ray.stages.filters import sample_hash
 from dupers_ray.stages.textstats import (
     fingerprint,
     lang_id,
     quality_stats,
     token_counts,
+    top_tokens,
 )
 
 
@@ -55,3 +57,37 @@ def test_fingerprint_order_sensitive_ws_insensitive():
     assert out[0] == out[1]      # whitespace-insensitive
     assert out[0] != out[2]      # order-sensitive
     assert out[3] != out[0]
+
+
+def test_top_tokens_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    tbl = pa.table({"text": [
+        "b b b a a c", "a a d e", None, "", "c c b", "z y x w v u t s",
+    ]})
+    out = top_tokens(rd.from_arrow(tbl), k=5).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute("""
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+            FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 5
+    """).df()
+    # deterministic (count desc, token asc) order incl. the tie at the cutoff
+    assert out.token.tolist() == exp.token.tolist()
+    assert out.n.tolist() == exp.n.tolist()
+
+
+def test_sample_hash_deterministic_and_salted():
+    t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    a = sample_hash(t, percent=10)
+    b = sample_hash(t, percent=10)
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    # rate is approximately right and supersets grow with percent
+    assert 350 < a.num_rows < 650
+    wider = set(sample_hash(t, percent=20).column("doc_id").to_pylist())
+    assert set(a.column("doc_id").to_pylist()) <= wider
+    other = set(sample_hash(t, percent=10, salt=1).column("doc_id").to_pylist())
+    assert other != set(a.column("doc_id").to_pylist())
