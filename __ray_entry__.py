@@ -690,6 +690,52 @@ def _sample_hash_oracle_sql() -> str:
     """
 
 
+def _tokens_ds(sf_dir: str):
+    from dupers_ray.stages.textstats import partial_token_counts
+
+    return _tbl(sf_dir, "documents").select_columns(["text"]).map_batches(
+        partial_token_counts, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_distinct_tokens(sf_dir: str):
+    """Exact distinct-token count via combiner + groupby
+    (stages/sketch.distinct_count)."""
+    from dupers_ray.stages.sketch import distinct_count
+
+    return distinct_count(_tokens_ds(sf_dir), col="token")
+
+
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog register table over corpus tokens
+    (stages/sketch.hll_registers, p=12) — integers, so the full sketch
+    state is value-oracled; the float estimate derives from it on the
+    driver (hll_estimate, pytest-bounded)."""
+    from dupers_ray.stages.sketch import hll_registers
+
+    return hll_registers(_tokens_ds(sf_dir), col="token", p=12)
+
+
+_HLL_W_MASK = 4503599627370495  # 2^52 - 1 (p = 12)
+
+_HLL_ORACLE = f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), hs AS (
+        SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ), pr AS (
+        SELECT CAST(h >> 52 AS BIGINT) AS idx,
+               CAST(52 + 1 - (CASE WHEN (h & {_HLL_W_MASK}::UBIGINT) = 0::UBIGINT
+                                   THEN 0
+                                   ELSE length(bin(h & {_HLL_W_MASK}::UBIGINT))
+                              END) AS BIGINT) AS rho
+        FROM hs
+    )
+    SELECT idx, CAST(max(rho) AS BIGINT) AS rho FROM pr GROUP BY idx
+"""
+
+
 def _q_asof_attrib(sf_dir: str):
     """Each event attributed to the same user's most recent purchase at or
     before it — the as-of join (pipelines/temporal.asof_join), an operator
@@ -884,6 +930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_window_pairs": _q_purchase_window_pairs,
         "top_tokens": _q_top_tokens,
         "sample_hash": _q_sample_hash,
+        "distinct_tokens": _q_distinct_tokens,
+        "hll_registers": _q_hll_registers,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
@@ -1086,6 +1134,13 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         "sample_hash": _sample_hash_oracle_sql(),
+        "distinct_tokens": r"""
+            SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_distinct FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                FROM documents
+            )
+        """,
+        "hll_registers": _HLL_ORACLE,
         "bucket_rename": """
             SELECT doc_id,
                    CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source

@@ -1,0 +1,111 @@
+"""Cardinality sketches: exact distinct count and HyperLogLog.
+
+Engine-new (the reference counts exact items only — A4/A5 rows in
+SURVEY §2 — never approximate): at web scale "how many distinct
+tokens/urls/digests" is a first-class question, and an exact answer
+costs a full shuffle of the distinct keys. Two tiers:
+
+- :func:`distinct_count` — exact, via the same combiner-then-groupby
+  pattern as ``top_tokens`` (shuffle is vocabulary-sized, not
+  corpus-sized).
+- HyperLogLog (Flajolet et al. 2007, public algorithm): per-batch
+  register rows → one tiny ``groupby(idx).max(rho)`` — the shuffle is at
+  most ``2^p`` rows per batch and the merged register table is ``2^p``
+  rows TOTAL, independent of corpus size. The register table is pure
+  integers, so the driver oracles it value-exactly in SQL
+  (``hll_registers`` query); the float estimate derives from those
+  registers on the driver (:func:`hll_estimate`), with the standard
+  small-range linear-counting correction.
+
+Merging two sketches is elementwise register max — associative and
+idempotent, so re-processed batches (task retries) cannot skew the
+estimate. ``p`` must be ≤ 12 so the rank computation stays in float64's
+exact-integer range (w < 2^52 < 2^53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+
+
+def _register_rows(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(idx, rho) per hash: idx = top p bits; rho = leading-zero rank + 1
+    of the remaining 64-p bits. frexp exponent == exact bit length for
+    integers < 2^53 (hence p ≥ 12 → w < 2^52)."""
+    if not 4 <= p <= 12:
+        raise ValueError("p must be in [4, 12] (rank math stays exact in float64)")
+    rem = np.uint64(64 - p)
+    idx = (h >> rem).astype(np.int64)
+    w = h & ((np.uint64(1) << rem) - np.uint64(1))
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = (int(rem) - exp + 1).astype(np.int64)  # w == 0 → exp 0 → rem+1
+    return idx, rho
+
+
+def hll_partial(
+    batch: pa.Table, *, col: str, p: int = 12, hash_kind: str = "str",
+) -> pa.Table:
+    """Per-batch HLL combiner: emit at most 2^p (idx, rho) rows holding
+    the batch-local register maxima. ``hash_kind``: 'str' → md5-u64
+    (SQL-restatable), 'int' → splitmix64 of the integer column."""
+    if hash_kind == "str":
+        vals = [v for v in batch.column(col).to_pylist() if v is not None]
+        h = hash_str_u64(vals) if vals else np.empty(0, np.uint64)
+    elif hash_kind == "int":
+        arr = batch.column(col).drop_null()
+        h = splitmix64(np.asarray(arr, dtype=np.uint64))
+    else:
+        raise ValueError(f"unknown hash_kind {hash_kind!r}")
+    m = 1 << p
+    reg = np.zeros(m, np.int64)
+    if len(h):
+        idx, rho = _register_rows(h, p)
+        np.maximum.at(reg, idx, rho)
+    nz = np.flatnonzero(reg)
+    return pa.table(
+        {"idx": pa.array(nz, pa.int64()), "rho": pa.array(reg[nz], pa.int64())}
+    )
+
+
+def hll_registers(ds, *, col: str, p: int = 12, hash_kind: str = "str"):
+    """Merged register table (idx, rho), ≤ 2^p rows: the global sketch.
+    The only all-to-all moves ≤ 2^p rows per input block."""
+    parts = ds.map_batches(
+        hll_partial, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"col": col, "p": p, "hash_kind": hash_kind},
+    )
+    agg = parts.groupby("idx").max("rho")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["idx", "rho"]), batch_format="pyarrow"
+    )
+
+
+def hll_estimate(registers: pa.Table, *, p: int = 12) -> float:
+    """Cardinality estimate from a merged register table (tiny —
+    driver-side). Flajolet's alpha_m raw estimator with the linear-counting
+    small-range correction."""
+    m = 1 << p
+    reg = np.zeros(m, np.float64)
+    reg[np.asarray(registers.column("idx"))] = np.asarray(registers.column("rho"))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-reg))
+    zeros = m - np.count_nonzero(reg)
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(raw)
+
+
+def distinct_count(ds, *, col: str) -> pa.Table:
+    """Exact distinct count of ``col``: per-batch dedup combiner, then a
+    groupby over the (already-thinned) distinct keys. Returns a 1-row
+    table ``{n_distinct}``."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table({col: t.column(col).combine_chunks().unique()})
+
+    thinned = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    n = thinned.groupby(col).count().count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})

@@ -1,0 +1,82 @@
+"""HyperLogLog + exact distinct (stages/sketch.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dupers_ray.stages.sketch import (
+    distinct_count,
+    hll_estimate,
+    hll_partial,
+    hll_registers,
+)
+
+
+def _merge(parts: list[pa.Table], p: int) -> pa.Table:
+    m = 1 << p
+    reg = np.zeros(m, np.int64)
+    for t in parts:
+        np.maximum.at(reg, np.asarray(t.column("idx")), np.asarray(t.column("rho")))
+    nz = np.flatnonzero(reg)
+    return pa.table({"idx": pa.array(nz, pa.int64()), "rho": pa.array(reg[nz], pa.int64())})
+
+
+@pytest.mark.parametrize("n,tol", [(100, 0.05), (5000, 0.05), (50000, 0.04)])
+def test_hll_error_bound(n, tol):
+    vals = [f"tok_{i}" for i in range(n)]
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    est = hll_estimate(hll_partial(t, col="v"), p=12)
+    assert abs(est - n) / n < tol  # p=12 → σ ≈ 1.6%
+
+
+def test_hll_merge_equals_single_pass():
+    vals = [f"x{i}" for i in range(30000)]
+    whole = hll_partial(pa.table({"v": vals}), col="v")
+    parts = [
+        hll_partial(pa.table({"v": vals[i::3]}), col="v") for i in range(3)
+    ]
+    merged = _merge(parts, 12)
+    assert merged.sort_by("idx").equals(whole.sort_by("idx"))
+
+
+def test_hll_duplicate_invariance():
+    uniq = [f"d{i}" for i in range(2000)]
+    dup = uniq * 7
+    a = hll_partial(pa.table({"v": uniq}), col="v")
+    b = hll_partial(pa.table({"v": dup}), col="v")
+    assert a.sort_by("idx").equals(b.sort_by("idx"))
+
+
+def test_hll_int_hash_kind():
+    ids = pa.table({"v": pa.array(range(20000), pa.int64())})
+    est = hll_estimate(hll_partial(ids, col="v", hash_kind="int"), p=12)
+    assert abs(est - 20000) / 20000 < 0.05
+
+
+def test_hll_rejects_bad_p():
+    with pytest.raises(ValueError, match="p must be"):
+        hll_partial(pa.table({"v": ["a"]}), col="v", p=13)
+
+
+def test_hll_registers_dataset_matches_kernel(ray_session):
+    vals = [f"w{i % 4000}" for i in range(20000)]  # duplicates across blocks
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    got = pa.concat_tables(
+        hll_registers(ds, col="v").iter_batches(batch_format="pyarrow")
+    ).sort_by("idx")
+    exp = hll_partial(pa.table({"v": list(dict.fromkeys(vals))}), col="v").sort_by("idx")
+    assert got.equals(exp)
+
+
+def test_distinct_count_exact(ray_session):
+    import duckdb
+
+    vals = [f"t{i % 1234}" for i in range(10000)]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(6)
+    out = distinct_count(ds, col="v")
+    assert out.column("n_distinct").to_pylist() == [1234]
+    assert duckdb.sql("SELECT count(DISTINCT v) FROM (SELECT unnest(?) AS v)",
+                      params=[vals]).fetchone()[0] == 1234
