@@ -641,6 +641,17 @@ def _q_window_agg(sf_dir: str):
     )
 
 
+def _q_hopping_window(sf_dir: str):
+    """1h windows hopping every 15m (pipelines/events.hopping_window_agg);
+    sum_value excluded from the compare like window_agg (FP accumulation
+    order)."""
+    from dupers_ray.pipelines.events import hopping_window_agg
+
+    return hopping_window_agg(
+        _tbl(sf_dir, "events"), window="1h", hop="15m"
+    ).select_columns(["user_id", "win_start", "n", "min_value", "max_value"])
+
+
 def _q_sessionize(sf_dir: str):
     from dupers_ray.pipelines.events import sessionize
 
@@ -925,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
         "window_agg": _q_window_agg,
+        "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
@@ -1109,6 +1121,21 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "hopping_window": """
+            WITH ev AS (
+                SELECT user_id, value, epoch_us(ts) AS tus FROM events
+            ), w AS (
+                SELECT user_id, value,
+                       (tus // 900000000) * 900000000 - g.i * 900000000 AS win_us
+                FROM ev CROSS JOIN (SELECT unnest(range(4)) AS i) g
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   make_timestamp(win_us) AS win_start
+            FROM w GROUP BY user_id, win_us
         """,
         "asof_attrib": """
             SELECT e.event_id,

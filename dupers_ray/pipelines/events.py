@@ -64,6 +64,75 @@ def tumbling_window_agg(
     return final.map_batches(finish, batch_format="pyarrow")
 
 
+def _width_us(spec: str) -> int:
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}[spec[-1]]
+    return int(spec[:-1]) * mult * 1_000_000
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window: str = "1h",
+    hop: str = "15m",
+) -> "ray.data.Dataset":
+    """Sliding/hopping windows: per (key, window-start every ``hop``):
+    count/sum/min/max of value over [start, start+window). ``window`` must
+    be a multiple of ``hop``.
+
+    Each event is replicated to its window/hop containing windows INSIDE
+    the partial-aggregation batch fn, so the shuffle still moves one row
+    per (key, window) per batch — replication happens before the combiner,
+    never through the exchange. Replication factor = window/hop (keep it
+    small at scale; a 24h window sliding by 1m wants a two-level
+    tumbling-then-merge plan instead)."""
+    width_us = _width_us(window)
+    hop_us = _width_us(hop)
+    if width_us % hop_us:
+        raise ValueError("window must be a multiple of hop")
+    k = width_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        last = (ts // hop_us) * hop_us  # latest window start containing ts
+        win = np.repeat(last, k) - np.tile(np.arange(k, dtype=np.int64) * hop_us, n)
+        df = pd.DataFrame(
+            {
+                key_col: np.repeat(
+                    t.column(key_col).to_numpy(zero_copy_only=False), k
+                ),
+                "win_us": win,
+                value_col: np.repeat(
+                    t.column(value_col).to_numpy(zero_copy_only=False), k
+                ),
+            }
+        )
+        gb = df.groupby([key_col, "win_us"], sort=False)[value_col]
+        out = gb.agg(["count", "sum", "min", "max"]).reset_index()
+        out.columns = [key_col, "win_us", "n", "sum_value", "min_value", "max_value"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.select_columns([ts_col, key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    final = partials.groupby([key_col, "win_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        win = t.column("win_us").cast(pa.int64())
+        t = t.append_column("win_start", win.cast(pa.timestamp("us")))
+        return t.drop_columns(["win_us"])
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     *,

@@ -3,9 +3,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
-from dupers_ray.pipelines.events import sessionize, tumbling_window_agg
+from dupers_ray.pipelines.events import hopping_window_agg, sessionize, tumbling_window_agg
 
 
 def _events():
@@ -69,3 +70,49 @@ def test_sessionize():
     assert u1["n_events"].tolist() == [2, 1]
     u2 = out[out.user_id == 2]
     assert u2["n_events"].tolist() == [1, 1]
+
+
+def test_hopping_window_agg(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    tbl = pa.table({
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        "ts": pa.array(1_700_000_000_000_000 + rng.integers(0, 10**10, n),
+                       pa.timestamp("us")),
+        "value": rng.random(n),
+    })
+    out = (
+        hopping_window_agg(rd.from_arrow(tbl), window="1h", hop="15m")
+        .to_pandas()
+        .sort_values(["user_id", "win_start"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    exp = con.execute("""
+        WITH ev AS (SELECT user_id, value, epoch_us(ts) AS tus FROM events),
+        w AS (SELECT user_id, value,
+                     (tus // 900000000) * 900000000 - g.i * 900000000 AS win_us
+              FROM ev CROSS JOIN (SELECT unnest(range(4)) AS i) g)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               min(value) AS min_value, max(value) AS max_value,
+               make_timestamp(win_us) AS win_start
+        FROM w GROUP BY user_id, win_us
+        ORDER BY user_id, win_start
+    """).df()
+    assert len(out) == len(exp)
+    assert out.n.tolist() == exp.n.tolist()
+    assert np.allclose(out.min_value, exp.min_value)
+    assert np.allclose(out.max_value, exp.max_value)
+    # every event is counted in exactly window/hop = 4 windows
+    assert out.n.sum() == 4 * n
+
+
+def test_hopping_window_rejects_nonmultiple(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_agg(rd.range(1), window="1h", hop="7m")
