@@ -747,6 +747,71 @@ _HLL_ORACLE = f"""
 """
 
 
+def _q_decontam_clean(sf_dir: str):
+    """Corpus minus docs sharing any 5-gram with a blocklist (the 5%
+    hash-sample plays the held-out test set) — pipelines/decontam.py."""
+    from dupers_ray.pipelines.decontam import decontaminate
+    from dupers_ray.stages.filters import sample_hash
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "source", "text"])
+    block = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+        sample_hash, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"percent": 5},
+    )
+    return decontaminate(docs, block).select_columns(["doc_id", "source"])
+
+
+def _decontam_oracle_sql() -> str:
+    """splitmix64 5% sample as the blocklist + the ngram-oracle shingle
+    CASE, EXISTS-joined."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    grams = """
+        CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(tk) < 5 THEN [array_to_string(tk, chr(31))]
+             ELSE list_distinct([array_to_string(tk[i:i+4], chr(31))
+                                 FOR i IN range(1, len(tk) - 3)])
+        END
+    """
+    return f"""
+        WITH sm AS (
+            SELECT doc_id,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        ), blockids AS (
+            SELECT doc_id FROM sm WHERE h % 100 < 5
+        ), sh AS (
+            SELECT doc_id, {grams} AS grams
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                  FROM documents)
+        ), bsh AS (
+            SELECT DISTINCT unnest(s.grams) AS g
+            FROM sh s JOIN blockids b USING (doc_id)
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN sh s USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM bsh WHERE list_contains(s.grams, bsh.g))
+    """
+
+
+def _q_cap_per_domain(sf_dir: str):
+    """Keep ≤10 docs per source by doc_id order (stages/filters.cap_per_group)."""
+    from dupers_ray.stages.filters import cap_per_group
+
+    return cap_per_group(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        group_col="source", order_col="doc_id", n=10,
+    )
+
+
 def _q_asof_attrib(sf_dir: str):
     """Each event attributed to the same user's most recent purchase at or
     before it — the as-of join (pipelines/temporal.asof_join), an operator
@@ -944,6 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": _q_sample_hash,
         "distinct_tokens": _q_distinct_tokens,
         "hll_registers": _q_hll_registers,
+        "decontam_clean": _q_decontam_clean,
+        "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
@@ -1168,6 +1235,14 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "hll_registers": _HLL_ORACLE,
+        "decontam_clean": _decontam_oracle_sql(),
+        "cap_per_domain": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
         "bucket_rename": """
             SELECT doc_id,
                    CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source

@@ -115,3 +115,25 @@ def sample_hash(
     ids = np.asarray(batch.column(id_col), dtype=np.uint64)
     keep = (splitmix64(ids ^ np.uint64(salt)) % np.uint64(100)) < np.uint64(percent)
     return batch.filter(pa.array(keep))
+
+
+def cap_per_group(
+    ds: "ray.data.Dataset", *, group_col: str, order_col: str, n: int,
+) -> "ray.data.Dataset":
+    """Keep at most ``n`` rows per group, the ones with the smallest
+    ``order_col`` (ties by ``order_col`` must not exist — use a unique id
+    or a hash for a deterministic 'random' cap). The per-domain-cap
+    curation op (keep ≤N pages per domain).
+
+    Per-batch combiner first: each batch forwards at most n rows per group
+    it sees, so the groupby shuffles ≤ n·groups·blocks rows — never the
+    full corpus. The same kernel then finishes per group globally."""
+    import pandas as pd  # noqa: F401 — sort/head are pandas C kernels
+
+    def topn(df):
+        return df.sort_values([group_col, order_col], kind="mergesort").groupby(
+            group_col, sort=False
+        ).head(n)
+
+    parts = ds.map_batches(topn, batch_format="pandas")
+    return parts.groupby(group_col).map_groups(topn, batch_format="pandas")

@@ -1,0 +1,117 @@
+"""Decontamination (pipelines/decontam.py) + per-group cap (filters)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dupers_ray.pipelines.decontam import decontaminate
+from dupers_ray.stages.filters import cap_per_group
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n):
+    return " ".join(rng.choice(WORDS, n))
+
+
+def test_decontaminate_planted(ray_session):
+    block = pa.table({"doc_id": [100], "text": ["alpha beta gamma delta epsilon zeta"]})
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "alpha beta gamma delta epsilon zeta",     # identical -> out
+            "xx yy alpha beta gamma delta epsilon zz",  # shares a 5-gram -> out
+            "kappa iota theta eta zeta",                # disjoint 5-gram -> kept
+            "",                                         # empty -> kept
+            "alpha beta",                               # short, != any block short shingle -> kept
+        ],
+    })
+    out = decontaminate(rd.from_arrow(docs), rd.from_arrow(block)).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [2, 3, 4]
+
+
+def test_decontaminate_short_doc_exact_match(ray_session):
+    block = pa.table({"doc_id": [9], "text": ["alpha beta"]})  # <k: whole-text shingle
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["alpha beta", "alpha beta gamma"],
+    })
+    out = decontaminate(rd.from_arrow(docs), rd.from_arrow(block)).to_pandas()
+    # doc 0 == the short blocklist shingle; doc 1's shingles are 3-token-full
+    # text (also <k) which differs
+    assert out.doc_id.tolist() == [1]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_decontaminate_matches_duckdb(ray_session, strategy):
+    rng = np.random.default_rng(13)
+    docs = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": [_doc(rng, int(rng.integers(2, 30))) for _ in range(300)],
+    })
+    block = pa.table({
+        "doc_id": pa.array(range(1000, 1020), pa.int64()),
+        "text": [_doc(rng, int(rng.integers(2, 30))) for _ in range(20)],
+    })
+    out = decontaminate(
+        rd.from_arrow(docs), rd.from_arrow(block), strategy=strategy,
+        num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    con.register("block", block)
+    exp = con.execute(r"""
+        WITH sh AS (
+            SELECT doc_id, tk,
+                CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(tk) < 5 THEN [array_to_string(tk, chr(31))]
+                     ELSE list_distinct([array_to_string(tk[i:i+4], chr(31))
+                                         FOR i IN range(1, len(tk) - 3)])
+                END AS grams
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                  FROM documents)
+        ), bsh AS (
+            SELECT DISTINCT unnest(
+                CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(tk) < 5 THEN [array_to_string(tk, chr(31))]
+                     ELSE list_distinct([array_to_string(tk[i:i+4], chr(31))
+                                         FOR i IN range(1, len(tk) - 3)])
+                END) AS g
+            FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                  FROM block)
+        )
+        SELECT s.doc_id FROM sh s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bsh WHERE list_contains(s.grams, bsh.g)
+        )
+        ORDER BY s.doc_id
+    """).df()
+    assert sorted(out.doc_id.tolist()) == exp.doc_id.tolist()
+
+
+def test_cap_per_group_matches_duckdb(ray_session):
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(rng.permutation(n), pa.int64()),
+        "source": pa.array([f"s{i % 13}" for i in range(n)], pa.string()),
+    })
+    out = cap_per_group(
+        rd.from_arrow(t).repartition(7), group_col="source",
+        order_col="doc_id", n=10,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT doc_id, source FROM (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM t
+        ) WHERE rn <= 10 ORDER BY source, doc_id
+    """).df()
+    got = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.source.tolist() == exp.source.tolist()
