@@ -701,6 +701,33 @@ def _sample_hash_oracle_sql() -> str:
     """
 
 
+def _stratified_sample_oracle_sql() -> str:
+    """Same splitmix64 chain as _sample_hash_oracle_sql, ranked per
+    source (splitmix64 is a bijection on doc_id — no ties)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH sm AS (
+            SELECT doc_id, source,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        )
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM sm
+        ) WHERE rn <= 5
+    """
+
+
 def _tokens_ds(sf_dir: str):
     from dupers_ray.stages.textstats import partial_token_counts
 
@@ -974,6 +1001,76 @@ def _q_simhash_pairs(sf_dir: str):
     )
 
 
+def _q_segment_revenue(sf_dir: str):
+    """Generic fact-x-dimension equi-join + rollup (engine-new relational
+    shape): orders pre-combined per custkey inside map_batches, ONE
+    cogroup shuffle on the shared key, tiny segment rollup."""
+    from dupers_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(_tbl(sf_dir, "orders"), _tbl(sf_dir, "customer"))
+
+
+def _q_nation_revenue(sf_dir: str):
+    """Same rollup grouped by customer nation — the 25-row nation
+    dimension is broadcast (ray.put once, vectorized searchsorted per
+    batch), never shuffled."""
+    from dupers_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(
+        _tbl(sf_dir, "orders"), _tbl(sf_dir, "customer"),
+        nation=_tbl(sf_dir, "nation"),
+    )
+
+
+def _q_normalized_canonical(sf_dir: str):
+    """Fuzzy-exact dedup: canonicalized text (lower / strip punct /
+    collapse ws — stages/normalize.py, C4-style) through the unchanged
+    exact-dedup path; digests are of the NORMALIZED view."""
+    from dupers_ray.pipelines.exact_dedup import exact_canonical
+    from dupers_ray.stages.normalize import normalize_text
+
+    docs = _tbl(sf_dir, "documents").map_batches(
+        normalize_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exact_canonical(docs, id_col="doc_id", content_col="text_norm")
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Per-source exact p50/p90 of n_chars via the distributed counting
+    histogram (stages/sketch.grouped_quantiles_disc) — percentile_disc
+    semantics, shuffle moves histogram rows only."""
+    from dupers_ray.stages.sketch import grouped_quantiles_disc
+
+    return grouped_quantiles_disc(
+        _tbl(sf_dir, "documents").select_columns(["source", "n_chars"]),
+        group_col="source", value_col="n_chars", qs=(0.5, 0.9),
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per source, chosen by
+    smallest splitmix64(doc_id) — cap_per_group over a hash order gives
+    a shuffle-light per-stratum uniform draw, reproducible at any
+    parallelism."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dupers_ray.functions.hashing import splitmix64
+    from dupers_ray.stages.filters import cap_per_group
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def addh(t: "pa.Table") -> "pa.Table":
+        ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
+        return t.append_column("h", pa.array(splitmix64(ids)))
+
+    ds = docs.map_batches(addh, batch_format="pyarrow", zero_copy_batch=True)
+    out = cap_per_group(ds, group_col="source", order_col="h", n=5)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1017,6 +1114,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "deletion_list_trunc": _q_deletion_list_trunc,
         "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
+        "segment_revenue": _q_segment_revenue,
+        "nation_revenue": _q_nation_revenue,
+        "normalized_canonical": _q_normalized_canonical,
+        "length_quantiles": _q_length_quantiles,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1243,6 +1345,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 10
         """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(o_totalprice) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   sum(o_totalprice) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "normalized_canonical": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\s]+', '', 'g'),
+                           '\s+', ' ', 'g'), ' ') AS tn
+                FROM documents
+            )
+            SELECT min(doc_id) AS doc_id,
+                   sha256(tn) AS digest,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM n WHERE tn IS NOT NULL AND length(tn) > 0
+            GROUP BY sha256(tn)
+        """,
+        "length_quantiles": """
+            SELECT source,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                        AS BIGINT) AS q50,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                        AS BIGINT) AS q90
+            FROM documents GROUP BY source
+        """,
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "bucket_rename": """
             SELECT doc_id,
                    CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source

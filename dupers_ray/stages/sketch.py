@@ -109,3 +109,65 @@ def distinct_count(ds, *, col: str) -> pa.Table:
     thinned = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
     n = thinned.groupby(col).count().count()
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def _value_count_partials(group_col: str, value_col: str):
+    """Per-batch combiner: (group, value, cnt) — the counting-histogram
+    rows. Shuffle size is distinct-(group,value) pairs per block, never
+    the corpus."""
+
+    def f(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col, value_col])
+            .group_by([group_col, value_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([group_col, value_col, "cnt"])
+
+    return f
+
+
+def grouped_quantiles_disc(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    out_cols: tuple[str, ...] | None = None,
+):
+    """Exact discrete quantiles per group over an integer-ish column via
+    a distributed counting histogram.
+
+    Semantics = SQL ``percentile_disc(q)``: the value at 1-indexed
+    position ``max(1, ceil(q*n))`` of the sorted group. Each batch emits
+    (group, value, cnt) partials; ONE groupby co-locates a group's
+    partials and a numpy cumsum picks the quantiles — the shuffle moves
+    histogram rows (distinct values x blocks), not corpus rows. Exact at
+    any scale where per-group DISTINCT-value counts fit a worker (true
+    for bounded-domain columns: lengths, scores, counts); unbounded
+    float columns want a mergeable sketch instead.
+    """
+    import math
+
+    import pandas as pd
+
+    if out_cols is None:
+        out_cols = tuple(f"q{int(q * 100)}" for q in qs)
+    parts = ds.map_batches(
+        _value_count_partials(group_col, value_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def per_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        agg = df.groupby(value_col, sort=True)["cnt"].sum()
+        vals = agg.index.to_numpy()
+        cum = agg.to_numpy().cumsum()
+        n = int(cum[-1])
+        row: dict = {group_col: [df[group_col].iloc[0]]}
+        for q, name in zip(qs, out_cols):
+            target = max(1, math.ceil(q * n))
+            row[name] = [vals[int(np.searchsorted(cum, target))]]
+        return pd.DataFrame(row)
+
+    return parts.groupby(group_col).map_groups(per_group, batch_format="pandas")

@@ -1,0 +1,99 @@
+"""revenue_rollup: combiner + cogroup join + broadcast dimension vs pandas."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dupers_ray.pipelines.relational import (
+    apply_lookup,
+    broadcast_lookup,
+    revenue_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def tables():
+    rng = np.random.default_rng(7)
+    n_cust, n_ord = 40, 500
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_mktsegment": [f"SEG{i % 4}" for i in range(n_cust)],
+            "c_nationkey": (rng.integers(0, 5, n_cust)).astype(np.int32),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+            "o_totalprice": rng.uniform(1, 1000, n_ord).round(2),
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.arange(5, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(5)],
+        }
+    )
+    return orders, customer, nation
+
+
+def test_segment_rollup_matches_pandas(tables):
+    orders, customer, nation = tables
+    got = (
+        revenue_rollup(rd.from_pandas(orders), rd.from_pandas(customer))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    exp = (
+        orders.merge(customer, left_on="o_custkey", right_on="c_custkey")
+        .groupby("c_mktsegment")
+        .agg(n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum"))
+        .reset_index()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert list(got["c_mktsegment"]) == list(exp["c_mktsegment"])
+    assert list(got["n_orders"]) == list(exp["n_orders"])
+    np.testing.assert_allclose(got["revenue"], exp["revenue"], rtol=1e-9)
+
+
+def test_nation_rollup_broadcast(tables):
+    orders, customer, nation = tables
+    got = (
+        revenue_rollup(
+            rd.from_pandas(orders),
+            rd.from_pandas(customer),
+            nation=rd.from_pandas(nation),
+        )
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    exp = (
+        orders.merge(customer, left_on="o_custkey", right_on="c_custkey")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby("n_name")
+        .agg(n_orders=("o_orderkey", "size"), revenue=("o_totalprice", "sum"))
+        .reset_index()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_name"]) == list(exp["n_name"])
+    assert list(got["n_orders"]) == list(exp["n_orders"])
+    np.testing.assert_allclose(got["revenue"], exp["revenue"], rtol=1e-9)
+
+
+def test_lookup_miss_raises(tables):
+    _, _, nation = tables
+    ref = broadcast_lookup(
+        rd.from_pandas(nation), key_col="n_nationkey", value_col="n_name"
+    )
+    bad = rd.from_arrow(pa.table({"c_nationkey": pa.array([99], pa.int32())}))
+    with pytest.raises(Exception, match="lookup misses"):
+        apply_lookup(bad, ref, key_col="c_nationkey", out_col="n_name").take_all()
