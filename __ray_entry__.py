@@ -1071,6 +1071,30 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition counts (top token / top bigram
+    concentration as integer numerators/denominators)."""
+    from dupers_ray.stages.repetition import repetition_stats
+
+    return _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]
+    ).map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_dup_ngram_coverage(sf_dir: str):
+    """Cross-doc duplicate-passage measure (Lee et al. 2022 shape): per
+    doc, distinct word-8-gram shingles and how many are shared with
+    another doc. One shingle pass, two count-row shuffles, no joins."""
+    from dupers_ray.stages.repetition import dup_ngram_coverage
+
+    return dup_ngram_coverage(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        id_col="doc_id", k=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1119,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_canonical": _q_normalized_canonical,
         "length_quantiles": _q_length_quantiles,
         "stratified_sample": _q_stratified_sample,
+        "repetition_stats": _q_repetition_stats,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
     }
 
 
@@ -1384,6 +1410,78 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "stratified_sample": _stratified_sample_oracle_sql(),
+        # tokenizer note: '[a-z0-9_]+' on lower() — see simhash oracle
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9_]+') AS tk
+                FROM documents
+            ), uni AS (
+                SELECT doc_id, tk, unnest(tk) AS t FROM toks
+            ), ucnt AS (
+                SELECT doc_id, t, count(*) AS c FROM uni GROUP BY doc_id, t
+            ), ustat AS (
+                SELECT doc_id, count(*) AS n_distinct_tokens,
+                       max(c) AS top_token_n
+                FROM ucnt GROUP BY doc_id
+            ), big AS (
+                SELECT doc_id,
+                       [tk[i] || chr(31) || tk[i+1]
+                        FOR i IN range(1, len(tk))] AS bg
+                FROM toks WHERE len(tk) >= 2
+            ), bgu AS (
+                SELECT doc_id, unnest(bg) AS b FROM big
+            ), bcnt AS (
+                SELECT doc_id, b, count(*) AS c FROM bgu GROUP BY doc_id, b
+            ), bstat AS (
+                SELECT doc_id, sum(c) AS n_bigrams,
+                       count(*) AS n_distinct_bigrams, max(c) AS top_bigram_n
+                FROM bcnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(len(t.tk), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(u.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+                   CAST(coalesce(u.top_token_n, 0) AS BIGINT) AS top_token_n,
+                   CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+                   CAST(coalesce(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+            FROM documents d
+            LEFT JOIN toks t USING (doc_id)
+            LEFT JOIN ustat u USING (doc_id)
+            LEFT JOIN bstat b USING (doc_id)
+        """,
+        # shingle semantics = stages/ngram.shingle_set (see decontam
+        # oracle): empty -> no shingles (doc absent), <k tokens -> one
+        # whole-text shingle, else distinct k-windows
+        "dup_ngram_coverage": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(tk) < 8 THEN [array_to_string(tk, chr(31))]
+                        ELSE list_distinct([array_to_string(tk[i:i+7], chr(31))
+                                            FOR i IN range(1, len(tk) - 6)])
+                    END AS grams
+                FROM toks
+            ), g AS (
+                SELECT doc_id, unnest(grams) AS gr FROM sh
+            ), dup AS (
+                SELECT gr FROM g GROUP BY gr HAVING count(*) >= 2
+            ), cnt AS (
+                SELECT g.doc_id, count(*) AS n_dup
+                FROM g JOIN dup USING (gr) GROUP BY g.doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(len(s.grams) AS BIGINT) AS n_grams,
+                   CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_grams
+            FROM sh s LEFT JOIN cnt c USING (doc_id)
+            WHERE len(s.grams) > 0
+        """,
         "bucket_rename": """
             SELECT doc_id,
                    CASE WHEN source = 'src0' THEN 'src0_renamed' ELSE source END AS source
