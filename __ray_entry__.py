@@ -1095,6 +1095,122 @@ def _q_dup_ngram_coverage(sf_dir: str):
     )
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrub value-checked end to end: deterministic PII spans are
+    planted from doc_id (corpus text has none), then stages/pii.redact_pii
+    counts and rewrites them with Arrow RE2 kernels; the oracle replants
+    and re-redacts in DuckDB (also RE2)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.stages.pii import redact_pii
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def plant(t: "pa.Table") -> "pa.Table":
+        ids = pc.cast(t.column("doc_id"), pa.string())
+        head = pc.utf8_slice_codeunits(t.column("text"), 0, 30)
+        # doc_id % 256 == doc_id & 255 (ids are non-negative); pyarrow
+        # has no modulo kernel
+        octet = pc.cast(pc.bit_wise_and(t.column("doc_id"), 255), pa.string())
+        planted = pc.binary_join_element_wise(
+            head, " user", ids, "@mail.example.com or 10.0.0.", octet,
+            " call 555-123-4567 now", "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": planted})
+
+    return docs.map_batches(plant, batch_format="pyarrow").map_batches(
+        redact_pii, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_props_k_stats(sf_dir: str):
+    """Vectorized JSON field extraction (stages/jsonx.extract_json_int)
+    + per-type rollup with a per-batch combiner."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Min, Sum
+    from dupers_ray.stages.jsonx import extract_json_int
+
+    ev = _tbl(sf_dir, "events").select_columns(["event_type", "props"])
+    withk = ev.map_batches(
+        extract_json_int, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        g = (
+            t.select(["event_type", "k"])
+            .group_by(["event_type"])
+            .aggregate([("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    parts = withk.map_batches(combine, batch_format="pyarrow")
+    out = parts.groupby("event_type").aggregate(
+        Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink→source round-trip (sources/jsonl.py): events written as
+    .jsonl shards, read back with schema re-cast (ISO timestamps), rolled
+    up per event_type — the oracle computes the same rollup from the
+    original parquet, so any round-trip loss breaks the value hash."""
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+
+    from ray.data.aggregate import Max, Min, Sum
+    from dupers_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    outdir = f"/tmp/dupers_ray_jsonl/{key}"
+    shutil.rmtree(outdir, ignore_errors=True)
+    ev = _tbl(sf_dir, "events").select_columns(
+        ["event_id", "event_type", "ts", "value"]
+    )
+    write_jsonl(ev, outdir)
+    back = read_jsonl(
+        outdir,
+        schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("ts", pa.timestamp("us")),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        g = (
+            t.group_by(["event_type"])
+            .aggregate([("event_id", "count"), ("value", "sum"),
+                        ("ts", "min"), ("ts", "max")])
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_value", "min_ts", "max_ts"]
+        )
+
+    parts = back.map_batches(combine, batch_format="pyarrow")
+    out = parts.groupby("event_type").aggregate(
+        Sum("n"), Sum("sum_value"), Min("min_ts"), Max("max_ts")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["event_type", "n", "sum_value", "min_ts", "max_ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1145,6 +1261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_stats": _q_repetition_stats,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "pii_redact": _q_pii_redact,
+        "props_k_stats": _q_props_k_stats,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -1450,6 +1569,52 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN toks t USING (doc_id)
             LEFT JOIN ustat u USING (doc_id)
             LEFT JOIN bstat b USING (doc_id)
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       substr(text, 1, 30) || ' user' || doc_id ||
+                       '@mail.example.com or 10.0.0.' || (doc_id % 256) ||
+                       ' call 555-123-4567 now' AS text
+                FROM documents
+            )
+            SELECT doc_id, text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+                       AS text_redacted
+            FROM planted
+        """,
+        "props_k_stats": r"""
+            WITH k AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(k) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM k GROUP BY event_type
+        """,
+        "jsonl_roundtrip": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(value) AS sum_value,
+                   min(ts) AS min_ts,
+                   max(ts) AS max_ts
+            FROM events GROUP BY event_type
         """,
         # shingle semantics = stages/ngram.shingle_set (see decontam
         # oracle): empty -> no shingles (doc absent), <k tokens -> one
