@@ -1211,6 +1211,20 @@ def _q_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style cross-document line dedup (stages/linededup.py): lines
+    are deterministic 10-token chunks of the space-split token stream;
+    any chunk occurring in >=2 distinct docs is boilerplate and dropped.
+    Full value oracle on the cleaned text itself (string_split + list
+    slices + anti-join + ordered string_agg in SQL)."""
+    from dupers_ray.stages.linededup import remove_duplicate_lines
+
+    return remove_duplicate_lines(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        id_col="doc_id", tokens_per_line=10, min_docs=2,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1264,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -1615,6 +1630,35 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS min_ts,
                    max(ts) AS max_ts
             FROM events GROUP BY event_type
+        """,
+        # lines = 1-based 10-token list slices of string_split(text,' ')
+        # (exactly stages/linededup._doc_lines); frequent = line string in
+        # >=2 distinct docs; clean_text = kept chunks rejoined in order
+        "line_dedup": """
+            WITH split AS (
+                SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, li,
+                       array_to_string(tk[li*10+1 : li*10+10], ' ') AS line
+                FROM split,
+                     LATERAL (SELECT unnest(generate_series(
+                                  0, (len(tk)-1)//10)) AS li)
+            ), freq AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+                SELECT doc_id, li, line FROM lines
+                WHERE line NOT IN (SELECT line FROM freq)
+            )
+            SELECT s.doc_id,
+                   CAST((len(s.tk)-1)//10 + 1 AS BIGINT) AS n_lines,
+                   CAST((len(s.tk)-1)//10 + 1 - count(k.line)
+                        AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.line, ' ' ORDER BY k.li), '')
+                       AS clean_text
+            FROM split s LEFT JOIN kept k ON s.doc_id = k.doc_id
+            GROUP BY s.doc_id, len(s.tk)
         """,
         # shingle semantics = stages/ngram.shingle_set (see decontam
         # oracle): empty -> no shingles (doc absent), <k tokens -> one

@@ -1,0 +1,96 @@
+"""Cross-document line dedup (stages/linededup.py) vs a brute-force
+string-level oracle, plus chunking edge cases."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from dupers_ray.stages.linededup import (
+    _doc_lines,
+    frequent_lines,
+    remove_duplicate_lines,
+)
+
+BOILER = "cookie notice please accept all cookies to continue reading now"
+FOOTER = "copyright twenty twenty four all rights reserved contact us here"
+
+
+def _corpus() -> pa.Table:
+    texts = [
+        # 3 docs share BOILER (10 tokens = exactly one chunk)
+        BOILER + " unique alpha text one two three four five six seven",
+        BOILER + " different body for the second document goes right here",
+        "prefix tokens a b c d e f g h " + BOILER,
+        # 2 docs share FOOTER
+        FOOTER + " body of the fourth document with its own words",
+        FOOTER,
+        # unique docs, one short (<10 tokens), one empty
+        "totally unique words nobody else repeats anywhere at all ever",
+        "short doc",
+        "",
+        # doc repeating BOILER twice internally (counts once per doc)
+        BOILER + " middle filler words to pad the chunk grid out " + BOILER,
+    ]
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def _brute(table: pa.Table, w: int, min_docs: int):
+    texts = table.column("text").to_pylist()
+    lines = _doc_lines(texts, w)
+    from collections import Counter
+
+    c = Counter()
+    for ls in lines:
+        for line in set(ls):
+            c[line] += 1
+    freq = {line for line, n in c.items() if n >= min_docs}
+    out = []
+    for i, ls in enumerate(lines):
+        kept = [s for s in ls if s not in freq]
+        out.append(
+            {
+                "doc_id": i,
+                "n_lines": len(ls),
+                "n_removed": len(ls) - len(kept),
+                "clean_text": " ".join(kept),
+            }
+        )
+    return out, freq
+
+
+def test_doc_lines_chunking():
+    # single-space split parity: empty -> [''], short doc -> one chunk,
+    # exact multiple -> no ragged tail
+    assert _doc_lines([""], 10) == [[""]]
+    assert _doc_lines(["short doc"], 10) == [["short doc"]]
+    ten = " ".join(str(i) for i in range(10))
+    assert _doc_lines([ten], 10) == [[ten]]
+    assert _doc_lines([ten + " tail"], 10) == [[ten, "tail"]]
+
+
+def test_remove_duplicate_lines_matches_brute():
+    table = _corpus()
+    exp, freq = _brute(table, 10, 2)
+    assert BOILER in freq and FOOTER in freq  # the plant works
+
+    ds = rd.from_arrow(table).repartition(3)
+    got = sorted(
+        remove_duplicate_lines(ds, tokens_per_line=10, min_docs=2).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [dict(r) for r in got] == exp
+    # doc 8 repeats BOILER twice but the second copy sits off the 10-token
+    # grid (9-token filler) — fixed-grid chunking only drops aligned copies
+    assert got[8]["n_removed"] == 1
+
+
+def test_frequent_lines_threshold():
+    ds = rd.from_arrow(_corpus()).repartition(2)
+    f2 = frequent_lines(ds, tokens_per_line=10, min_docs=2)
+    f3 = frequent_lines(ds, tokens_per_line=10, min_docs=3)
+    f9 = frequent_lines(ds, tokens_per_line=10, min_docs=9)
+    assert len(f3) < len(f2)  # FOOTER (2 docs) drops out at min_docs=3
+    assert len(f9) == 0
+    assert np.all(np.diff(f2.view(np.int64)) != 0)  # sorted distinct
