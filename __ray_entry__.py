@@ -1225,6 +1225,56 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_quality_score(sf_dir: str):
+    """Hashed-BoW linear quality filter (stages/quality.py): md5-u64
+    token hash -> 4096-bucket projection -> splitmix64-derived integer
+    weight -> per-doc dot product. Integer-exact, full SQL value oracle
+    restating the identical hash/weight chain."""
+    from dupers_ray.stages.quality import quality_score
+
+    return _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]
+    ).map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _quality_oracle_sql() -> str:
+    """Same kernel as stages/quality.py in SQL: bucket = md5-u64(tok) %
+    4096; weight = splitmix64(bucket) % 201 - 100; score = sum over
+    token occurrences (splitmix64 chain as in _sample_hash_oracle_sql)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ), sm AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                    % 4096)::UBIGINT AS bk,
+                   ((bk::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM toks
+        ), w AS (
+            SELECT doc_id, CAST(h % 201 AS BIGINT) - 100 AS wt FROM sm
+        )
+        SELECT d.doc_id,
+               CAST(count(w.wt) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sum(w.wt), 0) AS BIGINT) AS score,
+               CAST(CASE WHEN COALESCE(sum(w.wt), 0) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS "keep"
+        FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        GROUP BY d.doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1279,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "line_dedup": _q_line_dedup,
+        "quality_score": _q_quality_score,
     }
 
 
@@ -1631,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS max_ts
             FROM events GROUP BY event_type
         """,
+        "quality_score": _quality_oracle_sql(),
         # lines = 1-based 10-token list slices of string_split(text,' ')
         # (exactly stages/linededup._doc_lines); frequent = line string in
         # >=2 distinct docs; clean_text = kept chunks rejoined in order

@@ -1,0 +1,46 @@
+"""Hashed-BoW quality scorer (stages/quality.py) kernel semantics."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.functions.hashing import hash_str_u64
+from dupers_ray.stages.quality import DIM, _weights, quality_score
+
+
+def _w(tok: str) -> int:
+    return int(_weights(hash_str_u64([tok]) % np.uint64(DIM))[0])
+
+
+def test_quality_score_kernel():
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta", "alpha alpha", "", None],
+        }
+    )
+    out = quality_score(t)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    wa, wb = _w("alpha"), _w("beta")
+    assert rows[0]["n_tokens"] == 2 and rows[0]["score"] == wa + wb
+    # occurrences count, not distinct tokens
+    assert rows[1]["n_tokens"] == 2 and rows[1]["score"] == 2 * wa
+    for d in (2, 3):
+        assert rows[d]["n_tokens"] == 0 and rows[d]["score"] == 0
+        assert rows[d]["keep"] == 0
+    assert rows[0]["keep"] == int(wa + wb > 0)
+
+
+def test_weights_bounded_and_deterministic():
+    b = np.arange(DIM, dtype=np.uint64)
+    w = _weights(b)
+    assert w.min() >= -100 and w.max() <= 100
+    assert np.array_equal(w, _weights(b))
+    # non-degenerate table: both signs present
+    assert (w > 0).any() and (w < 0).any()
+
+
+def test_case_fold_and_tokenizer():
+    t = pa.table({"doc_id": [0, 1], "text": ["Alpha BETA", "alpha beta"]})
+    out = quality_score(t).to_pylist()
+    assert out[0]["score"] == out[1]["score"]
