@@ -1275,6 +1275,96 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _q_bloom_stats(sf_dir: str):
+    """Bloom membership sketch over the corpus token vocabulary
+    (stages/sketch.bloom_*): distributed OR-merged bitmap, probed with
+    2000 deterministic non-member strings. m is deliberately TINY (256
+    bits) so the probe set hits real false positives — the single-row
+    result (bits_set + n_hits) value-checks the whole kernel including
+    the FP behavior; production sizes m to the vocabulary instead."""
+    import pyarrow as pa
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.stages.sketch import bloom_build_tokens, bloom_contains
+
+    m_bits, k, n_probes = 256, 4, 2000
+    bm = bloom_build_tokens(
+        _tbl(sf_dir, "documents").select_columns(["text"]),
+        m_bits=m_bits, k=k,
+    )
+    import numpy as np
+
+    probes = [f"probe_{i}" for i in range(n_probes)]
+    hits = bloom_contains(bm, hash_str_u64(probes), k=k)
+    return pa.table(
+        {
+            "m_bits": pa.array([m_bits], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "bits_set": pa.array(
+                [int(np.unpackbits(bm.view(np.uint8)).sum())], pa.int64()
+            ),
+            "n_probes": pa.array([n_probes], pa.int64()),
+            "n_hits": pa.array([int(hits.sum())], pa.int64()),
+        }
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    """SQL restatement of the Bloom kernel: h1 = md5-u64, h2 =
+    splitmix64(h1) | 1, pos_j = (h1 + j*h2) mod 2^64 mod m for j<k;
+    bits_set = distinct positions over the distinct token vocabulary;
+    a probe hits iff all k of its position rows are set."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    def sm_chain() -> str:
+        return f"""
+                   ((h1::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   (xor(x4, x4 >> 31) | 1::UBIGINT) AS h2"""
+
+    pos = (
+        f"(((h1::UHUGEINT + j::UHUGEINT * h2::UHUGEINT) % {_MOD64})"
+        f"::UBIGINT % 256)"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), th AS (
+            SELECT ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h1,
+                   {sm_chain()}
+            FROM toks
+        ), setbits AS (
+            SELECT DISTINCT {pos} AS p
+            FROM th, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+        ), ph AS (
+            SELECT i, ('0x' || substr(md5('probe_' || i), 1, 16))::UBIGINT AS h1,
+                   {sm_chain()}
+            FROM (SELECT unnest(generate_series(0, 1999)) AS i)
+        ), phit AS (
+            SELECT i,
+                   count(*) FILTER (
+                       WHERE {pos} IN (SELECT p FROM setbits)
+                   ) AS nset
+            FROM ph, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+            GROUP BY i
+        )
+        SELECT CAST(256 AS BIGINT) AS m_bits,
+               CAST(4 AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM setbits) AS BIGINT) AS bits_set,
+               CAST(2000 AS BIGINT) AS n_probes,
+               CAST((SELECT count(*) FROM phit WHERE nset = 4)
+                    AS BIGINT) AS n_hits
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1330,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "line_dedup": _q_line_dedup,
         "quality_score": _q_quality_score,
+        "bloom_stats": _q_bloom_stats,
     }
 
 
@@ -1683,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "quality_score": _quality_oracle_sql(),
+        "bloom_stats": _bloom_oracle_sql(),
         # lines = 1-based 10-token list slices of string_split(text,' ')
         # (exactly stages/linededup._doc_lines); frequent = line string in
         # >=2 distinct docs; clean_text = kept chunks rejoined in order

@@ -1,4 +1,4 @@
-"""Cardinality sketches: exact distinct count and HyperLogLog.
+"""Set sketches: exact distinct count, HyperLogLog, Bloom filter.
 
 Engine-new (the reference counts exact items only — A4/A5 rows in
 SURVEY §2 — never approximate): at web scale "how many distinct
@@ -21,6 +21,15 @@ Merging two sketches is elementwise register max — associative and
 idempotent, so re-processed batches (task retries) cannot skew the
 estimate. ``p`` must be ≤ 12 so the rank computation stays in float64's
 exact-integer range (w < 2^52 < 2^53).
+
+The Bloom filter (:func:`bloom_build_tokens` et al., Bloom 1970 +
+Kirsch–Mitzenmacher double hashing) is the membership-sketch sibling:
+fixed m-bit bitmap, per-batch partials merged by OR (same
+associative/idempotent retry story), used for cheap "probably seen"
+pre-filters (incremental ingest skips, blocklist pre-checks) before an
+exact anti-join. Entirely integer/bit arithmetic over md5-u64 hashes, so
+the driver value-oracles the whole filter (bit count + probe hits,
+INCLUDING deterministic false positives) in SQL.
 """
 
 from __future__ import annotations
@@ -109,6 +118,78 @@ def distinct_count(ds, *, col: str) -> pa.Table:
     thinned = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
     n = thinned.groupby(col).count().count()
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via Kirsch–Mitzenmacher double hashing:
+    pos_j = (h1 + j*h2) mod 2^64 mod m, h2 = splitmix64(h1) | 1 (odd, so
+    the stride never degenerates). Natural uint64 wraparound on both
+    sides keeps the SQL restatement exact (UHUGEINT % 2^64)."""
+    h1 = h.astype(np.uint64, copy=False)
+    h2 = splitmix64(h1) | np.uint64(1)
+    j = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_from_hashes(h: np.ndarray, *, m_bits: int, k: int) -> np.ndarray:
+    """uint64-word bitmap (m_bits/64 words) with every hash's k bits set."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    bitmap = np.zeros(m_bits // 64, np.uint64)
+    if len(h):
+        pos = _bloom_positions(h, m_bits, k).ravel()
+        np.bitwise_or.at(
+            bitmap, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return bitmap
+
+
+def bloom_contains(bitmap: np.ndarray, h: np.ndarray, *, k: int) -> np.ndarray:
+    """bool per hash: all k probe bits set (true members always hit;
+    non-members hit at the usual (1-e^{-kn/m})^k false-positive rate)."""
+    if not len(h):
+        return np.zeros(0, bool)
+    pos = _bloom_positions(h, len(bitmap) * 64, k)
+    word = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+    bit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+    return bit.all(axis=1)
+
+
+def bloom_build_tokens(
+    ds, *, text_col: str = "text", m_bits: int = 1 << 16, k: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom filter over the corpus's token vocabulary
+    (md5-u64 token hashes — the SQL-restatable family).
+
+    Per-batch combiner: tokenize, dedup, hash, fold into ONE fixed-size
+    partial bitmap row (m_bits/8 bytes regardless of batch size). Merge
+    is bitwise OR — associative and idempotent, so task retries cannot
+    corrupt the filter. The driver ORs one small row per block
+    (tree-reduce via repartition first if m_bits is huge)."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for s in t.column(text_col).to_pylist():
+            if s:
+                toks.update(tok_re.findall(s.lower()))
+        bm = bloom_from_hashes(
+            hash_str_u64(sorted(toks)) if toks else np.empty(0, np.uint64),
+            m_bits=m_bits, k=k,
+        )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bitmap = np.zeros(m_bits // 64, np.uint64)
+    for r in rows:
+        bitmap |= np.frombuffer(r["bm"], np.uint64)
+    return bitmap
 
 
 def _value_count_partials(group_col: str, value_col: str):

@@ -80,3 +80,32 @@ def test_distinct_count_exact(ray_session):
     assert out.column("n_distinct").to_pylist() == [1234]
     assert duckdb.sql("SELECT count(DISTINCT v) FROM (SELECT unnest(?) AS v)",
                       params=[vals]).fetchone()[0] == 1234
+
+
+def test_bloom_no_false_negatives_and_merge(ray_session):
+    import numpy as np
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.stages.sketch import (
+        bloom_build_tokens,
+        bloom_contains,
+        bloom_from_hashes,
+    )
+
+    texts = [f"alpha{i} beta{i % 7} gamma" for i in range(300)]
+    vocab = sorted({t for s in texts for t in s.split()})
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(5)
+    bm = bloom_build_tokens(ds, m_bits=1 << 12, k=4)
+
+    # every member hits (no false negatives, regardless of partitioning)
+    assert bloom_contains(bm, hash_str_u64(vocab), k=4).all()
+    # distributed OR-merge == single-shot build over the whole vocabulary
+    solo = bloom_from_hashes(hash_str_u64(vocab), m_bits=1 << 12, k=4)
+    assert np.array_equal(bm, solo)
+    # non-members nearly all miss at this sizing (fp rate ~(n*k/m)^k)
+    miss = bloom_contains(
+        bm, hash_str_u64([f"zz{i}" for i in range(2000)]), k=4
+    )
+    assert miss.sum() < 20
+    # retry idempotence: OR-ing the filter with itself changes nothing
+    assert np.array_equal(bm | solo, bm)
