@@ -1275,6 +1275,16 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped rollup over lineitem (pipelines/relational.py):
+    integer-exact rescaled sums (cents / 1e-4 / 1e-6 dollar units) so the
+    value hash is parallelism-independent; combiner shrinks the shuffle
+    to ≤6 rows per block."""
+    from dupers_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(_tbl(sf_dir, "lineitem"))
+
+
 def _q_bloom_stats(sf_dir: str):
     """Bloom membership sketch over the corpus token vocabulary
     (stages/sketch.bloom_*): distributed OR-merged bitmap, probed with
@@ -1421,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "quality_score": _q_quality_score,
         "bloom_stats": _q_bloom_stats,
+        "pricing_summary": _q_pricing_summary,
     }
 
 
@@ -1775,6 +1786,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(round(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_charge_e6
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
         # lines = 1-based 10-token list slices of string_split(text,' ')
         # (exactly stages/linededup._doc_lines); frequent = line string in
         # >=2 distinct docs; clean_text = kept chunks rejoined in order

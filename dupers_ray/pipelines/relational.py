@@ -167,6 +167,66 @@ def revenue_rollup(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def pricing_summary(lineitem: "ray.data.Dataset") -> "ray.data.Dataset":
+    """TPC-H Q1-shaped pricing summary over the fact table: per
+    (l_returnflag, l_linestatus) row counts and the qty / base-price /
+    discounted-price / charge sums.
+
+    No join, ONE tiny shuffle: each batch is rescaled to EXACT integer
+    units (prices are 2-decimal, discount/tax 2-decimal ⇒ cents, 1e-4 $
+    and 1e-6 $ units are integers; |sum| < 2^62) and pre-combined per
+    flag/status inside ``map_batches``, so the groupby moves ≤ 6 partial
+    rows per block and the result is bit-exact at any parallelism —
+    float accumulation-order noise never enters."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = np.rint(
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            np.asarray(t.column("l_discount"), np.float64) * 100
+        ).astype(np.int64)
+        tax = np.rint(
+            np.asarray(t.column("l_tax"), np.float64) * 100
+        ).astype(np.int64)
+        qty = np.rint(np.asarray(t.column("l_quantity"), np.float64)).astype(
+            np.int64
+        )
+        scaled = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "base_cents": pa.array(price),
+                "disc_e4": pa.array(price * (100 - disc)),
+                "charge_e6": pa.array(price * (100 - disc) * (100 + tax)),
+            }
+        )
+        g = scaled.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "count"), ("qty", "sum"), ("base_cents", "sum"),
+             ("disc_e4", "sum"), ("charge_e6", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sum_qty",
+             "sum_base_cents", "sum_disc_e4", "sum_charge_e6"]
+        )
+
+    parts = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["n", "sum_qty", "sum_base_cents", "sum_disc_e4", "sum_charge_e6"]
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sum_qty",
+             "sum_base_cents", "sum_disc_e4", "sum_charge_e6"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _partial_rollup(group_col: str):
     def f(t: pa.Table) -> pa.Table:
         g = (

@@ -97,3 +97,51 @@ def test_lookup_miss_raises(tables):
     bad = rd.from_arrow(pa.table({"c_nationkey": pa.array([99], pa.int32())}))
     with pytest.raises(Exception, match="lookup misses"):
         apply_lookup(bad, ref, key_col="c_nationkey", out_col="n_name").take_all()
+
+
+def test_pricing_summary_integer_exact(ray_session):
+    import numpy as np
+
+    from dupers_ray.pipelines.relational import pricing_summary
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n)),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(float)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 100000, n), 2)
+            ),
+            "l_discount": pa.array(rng.integers(0, 11, n) / 100.0),
+            "l_tax": pa.array(rng.integers(0, 9, n) / 100.0),
+        }
+    )
+    out4 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(
+            rd.from_arrow(t).repartition(4)
+        ).take_all()
+    }
+    out13 = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in pricing_summary(
+            rd.from_arrow(t).repartition(13)
+        ).take_all()
+    }
+    assert out4 == out13  # bit-exact at any parallelism (integer units)
+
+    price = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+    disc = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+    tax = np.rint(t.column("l_tax").to_numpy() * 100).astype(np.int64)
+    flags = t.column("l_returnflag").to_pylist()
+    stats = t.column("l_linestatus").to_pylist()
+    for key, row in out4.items():
+        m = np.array([(f, s) == key for f, s in zip(flags, stats)])
+        assert row["n"] == int(m.sum())
+        assert row["sum_base_cents"] == int(price[m].sum())
+        assert row["sum_disc_e4"] == int((price[m] * (100 - disc[m])).sum())
+        assert row["sum_charge_e6"] == int(
+            (price[m] * (100 - disc[m]) * (100 + tax[m])).sum()
+        )
