@@ -1,0 +1,361 @@
+"""Command-line surface — dupers' task verbs over Parquet corpora.
+
+The reference's CLI maps commands to its engine (pkg/cmd/task/task.go:42-56:
+``dupe search backup clean database/db export import ls mv rm up up+``); this
+module maps the same verbs onto the Ray Data pipelines so a dupers user can
+run the familiar workflow on a cluster:
+
+    python -m dupers_ray.cli up     --index /data/index corpus.parquet
+    python -m dupers_ray.cli dupe   --index /data/index source.parquet
+    python -m dupers_ray.cli search --index /data/index "term" --name
+    ray job submit --working-dir . -- python -m dupers_ray.cli near corpus/
+
+Differences from the reference, by design (SURVEY §1.2):
+
+- the "database" is an immutable Parquet index dataset directory
+  (bucket, url, digest, digest_u64) rewritten atomically (tmp → rename),
+  not a bbolt file — mutating verbs (import/mv/rm/clean) rewrite it;
+- ``dupe``/``search`` write result datasets (or CSV) instead of printing
+  per-row matches (use --out; a summary goes to stdout);
+- ``near`` is engine-new: the MinHash/LSH near-duplicate clustering
+  flagship the reference lacks.
+
+This module OWNS a Ray session (the one place outside bench/tests allowed
+to): ``ray.init(address="local")`` unless RAY_ADDRESS points elsewhere,
+guarded by ``is_initialized`` so ``ray job submit`` drivers work unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _ray_ready() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def _read(path: str):
+    """Corpus/index reader: a parquet file, a directory of them, or a
+    manifest-tracked partition dir (state/manifest layout)."""
+    import ray.data as rd
+
+    if os.path.isdir(path) and os.path.isdir(os.path.join(path, "_manifests")):
+        from dupers_ray.state.manifest import read_partitioned
+
+        return read_partitioned(path)
+    return rd.read_parquet(path)
+
+
+_INDEX_SCHEMA = [
+    ("bucket", "string"), ("url", "string"),
+    ("digest", "string"), ("digest_u64", "uint64"),
+]
+
+
+def _write_index(ds, index_dir: str) -> int:
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dupers_ray.state.manifest import _atomic_write_parquet
+
+    ds = ds.materialize()  # count + write from one execution
+    n = ds.count()
+    if n:
+        _atomic_write_parquet(ds, index_dir)
+    else:
+        # Ray writes no files for an empty dataset (and an all-empty
+        # dataset loses its schema) — pin the canonical index schema
+        empty = pa.table(
+            {name: pa.array([], type=t) for name, t in _INDEX_SCHEMA}
+        )
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(empty, os.path.join(tmp, "empty.parquet"))
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.replace(tmp, index_dir)
+    return n
+
+
+def _emit(ds, out: str | None, label: str) -> None:
+    """Write a result dataset (parquet dir or .csv by suffix) or print a
+    small preview when no --out is given."""
+    if out:
+        if out.endswith(".csv"):
+            ds.write_csv(out)
+        else:
+            ds.write_parquet(out)
+        print(f"{label}: wrote {out}")
+    else:
+        rows = ds.take(20)
+        for r in rows:
+            print(dict(r))
+        print(f"{label}: {ds.count()} rows (showing ≤20; use --out for all)")
+
+
+def cmd_up(a) -> int:
+    from dupers_ray.pipelines.ingest import ingest_binary_files, ingest_pages
+
+    if a.files:
+        pages = ingest_binary_files(
+            a.corpus, bucket=a.bucket, explode_archive_members=a.archives
+        )
+        extract = True
+    else:
+        pages = _read(a.corpus)
+        extract = "text" not in pages.schema().names
+    idx = ingest_pages(pages, bucket=a.bucket, extract=extract)
+    if os.path.isdir(a.index) or os.path.exists(a.index):
+        # incremental `up` (walkCompare J3): only urls NOT already indexed
+        # are added; existing rows are kept as-is
+        from dupers_ray.pipelines.maintenance import anti_join_broadcast
+
+        old = _read(a.index)
+        known = [r["url"] for r in old.select_columns(["url"]).take_all()]
+        fresh = anti_join_broadcast(idx, known, key_col="url")
+        n = _write_index(old.union(fresh), a.index)
+    else:
+        n = _write_index(idx, a.index)
+    print(f"up: index now {n} rows at {a.index}")
+    return 0
+
+
+def cmd_dupe(a) -> int:
+    src = _read(a.source)
+    if a.self_only:
+        from dupers_ray.pipelines.report import dupe_report
+
+        out = dupe_report(src, id_col="url", content_col="text")
+    else:
+        # lookupOne semantics (dupe.go:919-931): source hashed fresh, index
+        # digests trusted (`-fast` path); pairs grouped per digest
+        from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
+
+        out = exact_dupe_pairs(
+            _index_union(src, _read(a.index)), id_col="url", has_digests=True
+        )
+    _emit(out, a.out, "dupe")
+    return 0
+
+
+def _index_union(src, idx):
+    """Source rows (hashed fresh) unioned with stored index rows (digests
+    trusted — the `-fast` path semantics) for the pair report."""
+    import pyarrow as pa
+
+    from dupers_ray.stages.digest import digest_dataset
+
+    src_d = digest_dataset(src, content_col="text").select_columns(
+        ["url", "digest", "digest_u64"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["url", "digest", "digest_u64"])
+
+    idx_d = idx.map_batches(project, batch_format="pyarrow")
+    return src_d.union(idx_d)
+
+
+def cmd_near(a) -> int:
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    out = dupe_clusters(_read(a.corpus).select_columns([a.id_col, "text"]))
+    _emit(out, a.out, "near")
+    return 0
+
+
+def cmd_search(a) -> int:
+    from dupers_ray.pipelines.search import search
+
+    out = search(
+        _read(a.index), a.term, column=a.column,
+        exact=not a.nocase, basename=a.name,
+    )
+    _emit(out, a.out, "search")
+    return 0
+
+
+def cmd_ls(a) -> int:
+    ds = _read(a.index)
+    if a.bucket:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("bucket"), a.bucket)),
+            batch_format="pyarrow",
+        )
+    for r in ds.select_columns(["bucket", "url"]).sort("url").iter_rows():
+        print(f"{r['bucket']}\t{r['url']}")
+    return 0
+
+
+def cmd_export(a) -> int:
+    import pyarrow.compute as pc
+
+    from dupers_ray.sources.csv_io import export_csv
+
+    ds = _read(a.index).map_batches(
+        lambda t: t.filter(pc.equal(t.column("bucket"), a.bucket)),
+        batch_format="pyarrow",
+    )
+    n = export_csv(ds, a.bucket, a.out)
+    print(f"export: {n} rows -> {a.out}")
+    return 0
+
+
+def cmd_import(a) -> int:
+    from dupers_ray.sources.csv_io import import_csv
+
+    bucket, ds = import_csv(a.csv)
+    old = _read(a.index)
+    n = _write_index(old.union(ds), a.index)
+    print(f"import: bucket {bucket!r}; index now {n} rows")
+    return 0
+
+
+def cmd_mv(a) -> int:
+    from dupers_ray.pipelines.maintenance import rename_bucket
+
+    n = _write_index(rename_bucket(_read(a.index), a.old, a.new), a.index)
+    print(f"mv: {a.old!r} -> {a.new!r}; index {n} rows")
+    return 0
+
+
+def cmd_rm(a) -> int:
+    from dupers_ray.pipelines.maintenance import remove_bucket
+
+    n = _write_index(remove_bucket(_read(a.index), a.bucket), a.index)
+    print(f"rm: dropped {a.bucket!r}; index now {n} rows")
+    return 0
+
+
+def cmd_clean(a) -> int:
+    # reference Clean (database.go:141-169): drop index rows whose source
+    # row no longer exists = index ANTI-join live corpus on url
+    from dupers_ray.pipelines.maintenance import anti_join_broadcast
+
+    live = [
+        r["url"]
+        for r in _read(a.corpus).select_columns(["url"]).take_all()
+    ]
+    kept = anti_join_broadcast(_read(a.index), live, key_col="url", invert=True)
+    n = _write_index(kept, a.index)
+    print(f"clean: index now {n} rows")
+    return 0
+
+
+def cmd_backup(a) -> int:
+    from dupers_ray.state.manifest import list_snapshots, snapshot_index
+
+    if a.list:
+        for t in list_snapshots(a.index):
+            print(t)
+        return 0
+    info = snapshot_index(a.index, a.tag)
+    print(f"backup: {info['files']} files -> {info['dir']}")
+    return 0
+
+
+def cmd_db(a) -> int:
+    from dupers_ray.pipelines.maintenance import info_table
+
+    for r in info_table(_read(a.index), bucket_col="bucket").iter_rows():
+        print(dict(r))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dupers_ray", description=__doc__.splitlines()[0]
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def idx(sp):
+        sp.add_argument("--index", required=True, help="index dataset dir")
+        return sp
+
+    s = idx(sub.add_parser("up", help="build/refresh the index"))
+    s.add_argument("corpus")
+    s.add_argument("--bucket", default="default")
+    s.add_argument("--files", action="store_true",
+                   help="corpus is raw files, not parquet (reference walk)")
+    s.add_argument("--archives", action="store_true",
+                   help="up+: explode archive members (zip/tar/7z/zst/...)")
+    s.set_defaults(fn=cmd_up)
+
+    s = idx(sub.add_parser("dupe", help="exact duplicate report"))
+    s.add_argument("source")
+    s.add_argument("--out")
+    s.add_argument("--self-only", action="store_true",
+                   help="pairs within the source only (skip the index)")
+    s.set_defaults(fn=cmd_dupe)
+
+    s = sub.add_parser("near", help="near-duplicate clusters (MinHash/LSH)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_near)
+
+    s = idx(sub.add_parser("search", help="substring search over the index"))
+    s.add_argument("term")
+    s.add_argument("--column", default="url")
+    s.add_argument("--nocase", action="store_true")
+    s.add_argument("--name", action="store_true", help="basename only")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_search)
+
+    s = idx(sub.add_parser("ls", help="list index rows"))
+    s.add_argument("--bucket")
+    s.set_defaults(fn=cmd_ls)
+
+    s = idx(sub.add_parser("export", help="bucket -> dupers CSV"))
+    s.add_argument("--bucket", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_export)
+
+    s = idx(sub.add_parser("import", help="dupers CSV -> index"))
+    s.add_argument("csv")
+    s.set_defaults(fn=cmd_import)
+
+    s = idx(sub.add_parser("mv", help="rename a bucket"))
+    s.add_argument("old")
+    s.add_argument("new")
+    s.set_defaults(fn=cmd_mv)
+
+    s = idx(sub.add_parser("rm", help="remove a bucket"))
+    s.add_argument("bucket")
+    s.set_defaults(fn=cmd_rm)
+
+    s = idx(sub.add_parser("clean", help="drop index rows absent from corpus"))
+    s.add_argument("corpus")
+    s.set_defaults(fn=cmd_clean)
+
+    s = idx(sub.add_parser("backup", help="snapshot the index dir"))
+    s.add_argument("--tag", default="snap")
+    s.add_argument("--list", action="store_true")
+    s.set_defaults(fn=cmd_backup)
+
+    s = idx(sub.add_parser("db", help="per-bucket info + grand total"))
+    s.set_defaults(fn=cmd_db)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    a = build_parser().parse_args(argv)
+    _ray_ready()
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

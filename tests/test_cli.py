@@ -1,0 +1,126 @@
+"""CLI verb round-trip (dupers_ray/cli.py) — the reference's task surface
+(task.go:42-56) driven end-to-end against a tmp index dir."""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dupers_ray.cli import main
+
+
+def _corpus(path: str, rows: dict[str, str]) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "url": list(rows),
+                "text": list(rows.values()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+@pytest.fixture()
+def env(tmp_path):
+    corpus = _corpus(
+        str(tmp_path / "corpus.parquet"),
+        {
+            "http://a/1": "alpha text one",
+            "http://a/2": "beta text two",
+            "http://a/3": "alpha text one",  # exact dup of /1
+            "http://b/readme.txt": "readme body",
+        },
+    )
+    idx = str(tmp_path / "index")
+    return tmp_path, corpus, idx
+
+
+def test_up_ls_db_search(env, capsys):
+    tmp, corpus, idx = env
+    assert main(["up", "--index", idx, corpus, "--bucket", "b1"]) == 0
+    t = pq.read_table(idx)
+    assert t.num_rows == 4 and set(t.column_names) == {
+        "bucket", "url", "digest", "digest_u64"
+    }
+    assert main(["ls", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert "http://a/1" in out and out.index("http://a/1") < out.index("http://b/readme.txt")
+
+    assert main(["db", "--index", idx]) == 0
+    out = capsys.readouterr().out
+    assert "'n': 4" in out and "__total__" in out
+
+    assert main(["search", "--index", idx, "readme", "--name"]) == 0
+    out = capsys.readouterr().out
+    assert "readme.txt" in out and "http://a/1" not in out
+
+
+def test_up_incremental(env, tmp_path):
+    tmp, corpus, idx = env
+    main(["up", "--index", idx, corpus, "--bucket", "b1"])
+    c2 = _corpus(
+        str(tmp_path / "c2.parquet"),
+        {"http://a/1": "CHANGED", "http://c/new": "brand new page"},
+    )
+    main(["up", "--index", idx, c2, "--bucket", "b1"])
+    t = pq.read_table(idx)
+    assert t.num_rows == 5  # only the new url was added
+    kept = {
+        u: d
+        for u, d in zip(t.column("url").to_pylist(), t.column("digest").to_pylist())
+    }
+    # walkCompare semantics: existing url keeps its stored digest
+    from dupers_ray.functions.hashing import sha256_hex
+
+    assert kept["http://a/1"] == sha256_hex(b"alpha text one")
+    assert "http://c/new" in kept
+
+
+def test_dupe_against_index(env, tmp_path, capsys):
+    tmp, corpus, idx = env
+    main(["up", "--index", idx, corpus, "--bucket", "b1"])
+    src = _corpus(
+        str(tmp_path / "src.parquet"),
+        {"file:///downloads/x": "alpha text one", "file:///downloads/y": "nope"},
+    )
+    out_dir = str(tmp_path / "pairs")
+    assert main(["dupe", "--index", idx, src, "--out", out_dir]) == 0
+    pairs = pq.read_table(out_dir)
+    urls = set(pairs.column("url").to_pylist()) | set(
+        pairs.column("match_url").to_pylist()
+    )
+    assert "file:///downloads/x" in urls and "file:///downloads/y" not in urls
+
+
+def test_export_import_mv_rm_clean_backup(env, tmp_path, capsys):
+    tmp, corpus, idx = env
+    main(["up", "--index", idx, corpus, "--bucket", "b1"])
+
+    csv_path = str(tmp_path / "b1.csv")
+    assert main(["export", "--index", idx, "--bucket", "b1", "--out", csv_path]) == 0
+    assert open(csv_path).readline().startswith("sha256_sum,path#")
+
+    assert main(["rm", "--index", idx, "b1"]) == 0
+    assert pq.read_table(idx).num_rows == 0
+    assert main(["import", "--index", idx, csv_path]) == 0
+    assert pq.read_table(idx).num_rows == 4
+
+    assert main(["mv", "--index", idx, "b1", "b2"]) == 0
+    assert set(pq.read_table(idx).column("bucket").to_pylist()) == {"b2"}
+
+    assert main(["backup", "--index", idx, "--tag", "t1"]) == 0
+    assert main(["backup", "--index", idx, "--list"]) == 0
+    assert "t1" in capsys.readouterr().out
+
+    live = _corpus(
+        str(tmp_path / "live.parquet"),
+        {"http://a/1": "x", "http://a/2": "y"},
+    )
+    assert main(["clean", "--index", idx, live]) == 0
+    assert sorted(pq.read_table(idx).column("url").to_pylist()) == [
+        "http://a/1", "http://a/2",
+    ]
