@@ -160,6 +160,41 @@ def _q_near_dup_clusters(sf_dir: str):
     return dupe_clusters(_tbl(sf_dir, "documents"), cfg)
 
 
+def _q_near_incremental(sf_dir: str):
+    """Incremental flagship (dupers `up`/walkCompare at near-dup level,
+    dupe.go:940-966): a signature store is pre-built for doc_id%3==0, then
+    `dupe_clusters_incremental` anti-joins the corpus against the store
+    and hashes ONLY the remaining docs before clustering stored ∪ fresh
+    signatures. Incremental ≡ full recompute is the contract, so this
+    SHARES the flagship's full SQL value oracle — the check proves the
+    reuse path is value-identical, not merely row-shaped."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters_incremental
+    from dupers_ray.pipelines.near_dedup import minhash_signatures
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    docs = _tbl(sf_dir, "documents")
+
+    def mod3(t):
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    stored = minhash_signatures(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            mod3, batch_format="pyarrow"
+        ),
+        shingle=cfg.shingle, minhash=cfg.minhash,
+        id_col="doc_id", text_col="text", with_digests=True,
+    )
+    clusters, _sigs = dupe_clusters_incremental(
+        docs.select_columns(["doc_id", "text"]), stored, cfg,
+        mapping_ds=docs.select_columns(["doc_id"]),
+    )
+    return clusters
+
+
 def _q_exact_clusters_trunc(sf_dir: str):
     """The FLAGSHIP dupe pipeline (fused signatures + sharded LSH/digest
     indexes + verify + large/small-star components + assignment) driven to
@@ -1391,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refresh_anti_broadcast": _q_refresh_anti_broadcast,
         "refresh_anti_shuffle": _q_refresh_anti_shuffle,
         "near_dup_clusters": _q_near_dup_clusters,
+        "near_incremental": _q_near_incremental,
         "exact_clusters_trunc": _q_exact_clusters_trunc,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
@@ -1520,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
         "near_dup_clusters": _near_dup_clusters_oracle_sql(),
+        "near_incremental": _near_dup_clusters_oracle_sql(),
         "near_dup_clusters_checkpointed": _near_dup_clusters_oracle_sql(),
         "fingerprints": _fingerprint_oracle_sql(),
         # word-5-gram sets as unit-separator-joined strings; CASE arms

@@ -168,9 +168,38 @@ def _index_union(src, idx):
 
 
 def cmd_near(a) -> int:
-    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters, dupe_clusters_incremental
 
-    out = dupe_clusters(_read(a.corpus).select_columns([a.id_col, "text"]))
+    cfg = DedupConfig(id_col=a.id_col)
+    corpus = _read(a.corpus).select_columns([a.id_col, "text"])
+    if a.sigs and os.path.isdir(a.sigs):
+        # incremental: stored docs keep their signatures (walkCompare at
+        # near-dup level — only fresh docs pay the text scan)
+        from dupers_ray.state.manifest import _atomic_write_parquet
+
+        out, sigs = dupe_clusters_incremental(corpus, _read(a.sigs), cfg)
+        out = out.materialize()  # consume before the store is rewritten
+        _atomic_write_parquet(sigs, a.sigs)
+        print(f"near: signature index now {sigs.count()} rows at {a.sigs}")
+    elif a.sigs:
+        # first run with a store: ONE signature pass serves clustering now
+        # and the store for the next (incremental) run
+        from dupers_ray.pipelines.dupe import dupe_clusters_from_sigs
+        from dupers_ray.pipelines.near_dedup import minhash_signatures
+        from dupers_ray.state.manifest import _atomic_write_parquet
+
+        sigs = minhash_signatures(
+            corpus, shingle=cfg.shingle, minhash=cfg.minhash,
+            id_col=a.id_col, text_col="text", with_digests=True,
+        ).materialize()
+        out = dupe_clusters_from_sigs(
+            sigs, cfg, mapping_ds=corpus.select_columns([a.id_col])
+        ).materialize()
+        _atomic_write_parquet(sigs, a.sigs)
+        print(f"near: wrote signature index to {a.sigs}")
+    else:
+        out = dupe_clusters(corpus, cfg)
     _emit(out, a.out, "near")
     return 0
 
@@ -305,6 +334,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("corpus")
     s.add_argument("--id-col", default="url")
     s.add_argument("--out")
+    s.add_argument("--sigs", help="signature index dir: reuse stored "
+                   "signatures (incremental) and persist the updated store")
     s.set_defaults(fn=cmd_near)
 
     s = idx(sub.add_parser("search", help="substring search over the index"))

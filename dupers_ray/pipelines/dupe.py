@@ -62,11 +62,7 @@ def dupe_clusters(
         # pass over the (compact) signature table feeds both the LSH and
         # the exact-digest sharded indexes; LSH pairs get Jaccard-verified,
         # exact pairs are trusted (2^-128 digest collision)
-        from dupers_ray.pipelines.near_dedup import (
-            minhash_signatures,
-            verify_pairs,
-        )
-        from dupers_ray.stages.bucket_index import all_candidate_pairs_index
+        from dupers_ray.pipelines.near_dedup import minhash_signatures
 
         sigs = minhash_signatures(
             ds, shingle=cfg.shingle, minhash=cfg.minhash, id_col=id_col,
@@ -74,11 +70,13 @@ def dupe_clusters(
         ).materialize()
         # (no repartition: block coalescing only pays off ahead of sort
         # AllToAlls, and the sharded-index path has none)
-        lsh_pairs, exact_pairs = all_candidate_pairs_index(
-            sigs, minhash=cfg.minhash, id_col=id_col
+        mapping_src = mapping_ds if mapping_ds is not None else ds.select_columns([id_col])
+        return dupe_clusters_from_sigs(
+            sigs, cfg,
+            components_strategy=components_strategy,
+            broadcast_limit=broadcast_limit,
+            mapping_ds=mapping_src,
         )
-        near_edges = verify_pairs(lsh_pairs, sigs, minhash=cfg.minhash)
-        edges = near_edges.select_columns(["src", "dst"]).union(exact_pairs)
     else:
         near_edges, sigs = near_dup_edges(
             ds, shingle=cfg.shingle, minhash=cfg.minhash,
@@ -99,6 +97,128 @@ def dupe_clusters(
     return assign_clusters(
         mapping, assign, id_col=id_col, broadcast_limit=broadcast_limit
     )
+
+
+def dupe_clusters_from_sigs(
+    sigs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    components_strategy: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    mapping_ds: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Flagship tail over a PRECOMPUTED fused signature table (the output
+    of ``minhash_signatures(..., with_digests=True)``): sharded LSH +
+    exact-digest indexes → Jaccard verify → union edges → components →
+    cluster assignment.
+
+    Splitting the tail out lets callers reuse stored signatures — the
+    incremental `up`-style flow (``dupe_clusters_incremental``) and any
+    pipeline that persists the signature table as its index dataset.
+
+    ``mapping_ds``: rows to assign. If it already has a ``node`` column it
+    is used as-is; an id-only dataset gets nodes derived per batch; None
+    uses the signature table itself (ids with non-empty text)."""
+    from dupers_ray.pipelines.near_dedup import verify_pairs
+    from dupers_ray.stages.bucket_index import all_candidate_pairs_index
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+
+    lsh_pairs, exact_pairs = all_candidate_pairs_index(
+        sigs, minhash=cfg.minhash, id_col=id_col
+    )
+    near_edges = verify_pairs(lsh_pairs, sigs, minhash=cfg.minhash)
+    edges = near_edges.select_columns(["src", "dst"]).union(exact_pairs)
+    # materialize the (small) edge list once: components consumes it several
+    # times (count for strategy choice + iteration)
+    edges = edges.materialize()
+    assign = components(edges, strategy=components_strategy)
+
+    src = mapping_ds if mapping_ds is not None else sigs
+    names = src.schema().names
+    if "node" in names:
+        mapping = src.select_columns([id_col, "node"])
+    else:
+        mapping = src.select_columns([id_col]).map_batches(
+            _url_to_node, fn_kwargs={"id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    return assign_clusters(
+        mapping, assign, id_col=id_col, broadcast_limit=broadcast_limit
+    )
+
+
+def dupe_clusters_incremental(
+    ds: "ray.data.Dataset",
+    stored_sigs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    components_strategy: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    known_broadcast_limit: int = 5_000_000,
+    mapping_ds: "ray.data.Dataset | None" = None,
+):
+    """Incremental flagship — the near-dup analogue of dupers' walkCompare
+    (`up`, pkg/dupe/dupe.go:940-966): docs whose id is already in the
+    stored signature index are NOT re-shingled/re-hashed; only fresh docs
+    pay the text scan. Clustering then runs over stored ∪ fresh signatures,
+    so the result is IDENTICAL to a full recompute (signatures are a pure
+    per-doc function of the text).
+
+    At 10^12-doc scale this is the daily-update path: a 1% delta re-hashes
+    1% of corpus text; the wide stages downstream touch only the compact
+    signature table (~0.3 kB/doc vs ~4 kB of text).
+
+    ``stored_sigs``: dataset with the fused signature schema
+    (id, node, sig, n_shingles, digest, digest_u64, digest_u64b).
+    The anti-join broadcasts stored ids when the store is small
+    (< known_broadcast_limit rows), else hash-partitions — both paths
+    identical semantics (pipelines/maintenance.py).
+
+    Returns ``(clusters, sigs)``: the assignment for every mapped row AND
+    the updated signature table (callers persist it as the new index)."""
+    from dupers_ray.pipelines.maintenance import (
+        anti_join_broadcast,
+        anti_join_shuffle,
+    )
+    from dupers_ray.pipelines.near_dedup import minhash_signatures
+
+    cfg = cfg or DedupConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+
+    stored_sigs = stored_sigs.materialize()
+    n_known = stored_sigs.count()
+    if n_known <= known_broadcast_limit:
+        known = [
+            k
+            for b in stored_sigs.select_columns([id_col]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for k in b.column(id_col).to_pylist()
+        ]
+        fresh = anti_join_broadcast(ds, known, key_col=id_col)
+    else:
+        fresh = anti_join_shuffle(
+            ds, stored_sigs.select_columns([id_col]), key_col=id_col
+        )
+
+    fresh_sigs = minhash_signatures(
+        fresh, shingle=cfg.shingle, minhash=cfg.minhash,
+        id_col=id_col, text_col=text_col, with_digests=True,
+    )
+    sigs = stored_sigs.union(fresh_sigs).materialize()
+    # flagship parity: EVERY input row gets an assignment (empty-text docs
+    # have no signature row but remain singletons), same as dupe_clusters
+    if mapping_ds is None:
+        mapping_ds = ds.select_columns([id_col])
+    clusters = dupe_clusters_from_sigs(
+        sigs, cfg,
+        components_strategy=components_strategy,
+        broadcast_limit=broadcast_limit,
+        mapping_ds=mapping_ds,
+    )
+    return clusters, sigs
 
 
 def assign_clusters(
