@@ -665,6 +665,21 @@ def _q_cosine_pairs_lsh_fullprobe(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_embed_dup_clusters(sf_dir: str):
+    """Embedding near-dup CLUSTERS (cosine pairs → connected components →
+    per-row assignment — the flagship shape in embedding space), driven at
+    n_planes=0 full probe so the LSH candidate stage emits all pairs and
+    the exact-cosine verify makes the edge set exact; the oracle restates
+    pairs + recursive-CTE closure in SQL. The approximate LSH regime stays
+    recall-tested in tests/test_embed.py."""
+    from dupers_ray.stages.embed import embed_dup_clusters
+
+    return embed_dup_clusters(
+        _tbl(sf_dir, "embeddings"), threshold=0.4, method="lsh",
+        dim=64, n_planes=0, n_tables=2,
+    )
+
+
 def _q_window_agg(sf_dir: str):
     """Oracle-compared columns exclude sum_value: double accumulation order
     differs between engines (last-bit FP noise would flake a value-hash);
@@ -1437,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
+        "embed_dup_clusters": _q_embed_dup_clusters,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -1607,6 +1623,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # exact pairs (same predicate as cosine_pairs) + min-label
+        # transitive closure — the embedding-space flagship restated
+        "embed_dup_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ), undirected AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION SELECT b, a FROM pairs
+            ), reach(node, lbl) AS (
+                SELECT u, u FROM undirected
+                UNION
+                SELECT e.v, r.lbl FROM reach r JOIN undirected e ON e.u = r.node
+            ), comp AS (
+                SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+            )
+            SELECT v.vec_id,
+                   CAST(COALESCE(c.cluster, v.vec_id) AS UBIGINT) AS cluster_id
+            FROM embeddings v LEFT JOIN comp c ON c.node = v.vec_id
         """,
         "window_agg": """
             SELECT user_id,

@@ -355,6 +355,77 @@ def _verify_cosine_pairs(
     return j2.map_batches(score_joined, batch_format="pyarrow")
 
 
+def embed_dup_clusters(
+    ds: "ray.data.Dataset",
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    method: str = "lsh",
+    components_strategy: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """Embedding-space near-duplicate CLUSTERS — the flagship shape
+    (pairs → connected components → per-row assignment) applied to the
+    embedding column: every input row gets ``(id, cluster_id)`` with
+    cluster_id = min id in its cosine-similarity component; rows in no
+    pair keep their own id (singleton).
+
+    ``method="lsh"`` (default, the 10^12-row path): hyperplane-LSH
+    bucketed candidates + exact-cosine verify — only (bucket, id) rows
+    cross the shuffle. ``method="broadcast"``: exact all-pairs against a
+    broadcast corpus matrix (small corpora / verification runs).
+    Components and assignment reuse the text flagship's machinery
+    (pipelines/components, pipelines/dupe.assign_clusters), so scale
+    behavior (driver-UF vs large/small-star switch, broadcast-vs-join
+    assignment) is shared, not re-implemented."""
+    from dupers_ray.pipelines.components import components
+    from dupers_ray.pipelines.dupe import assign_clusters
+
+    if method == "broadcast":
+        parts = [
+            ray.get(r)
+            for r in ds.select_columns([id_col, emb_col]).to_arrow_refs()
+        ]
+        t = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _mat(t.column(emb_col))
+        pairs = cosine_pairs_broadcast(
+            ds, ids, mat, threshold=threshold, id_col=id_col, emb_col=emb_col
+        )
+    elif method == "lsh":
+        pairs = cosine_pairs_lsh(
+            ds, threshold=threshold, id_col=id_col, emb_col=emb_col,
+            **lsh_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("a").cast(pa.uint64()),
+            "dst": t.column("b").cast(pa.uint64()),
+        })
+
+    # materialize: components consumes the edge list more than once
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    assign = components(edges, strategy=components_strategy)
+
+    def to_mapping(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "node": t.column(id_col).cast(pa.uint64()),
+        })
+
+    mapping = ds.select_columns([id_col]).map_batches(
+        to_mapping, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return assign_clusters(
+        mapping, assign, id_col=id_col, broadcast_limit=broadcast_limit
+    )
+
+
 def _spherical_kmeans(
     sample: np.ndarray, n_cells: int, *, iters: int = 10, seed: int = 42
 ) -> np.ndarray:

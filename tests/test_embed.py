@@ -137,3 +137,67 @@ def test_topk_cosine_ivf_recall():
             ["score", "vec_id"], ascending=[False, True]
         )["vec_id"].tolist()
         assert got == [r[0] for r in rows]
+
+
+def _brute_clusters(ids, m, threshold):
+    """Reference clusters: exact cosine pairs + union-find, min-id label."""
+
+    def norm(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1
+        return x / n
+
+    s = norm(m) @ norm(m).T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai, bj = np.nonzero(s >= threshold)
+    for i, j in zip(ai.tolist(), bj.tolist()):
+        if i >= j:
+            continue
+        ra, rb = find(int(ids[i])), find(int(ids[j]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {int(i): find(int(i)) for i in ids}
+
+
+def test_embed_dup_clusters_matches_bruteforce():
+    from dupers_ray.stages.embed import embed_dup_clusters
+
+    tbl, ids, m = _corpus()
+    want = _brute_clusters(ids, m, 0.95)
+    got = (
+        embed_dup_clusters(rd.from_arrow(tbl), threshold=0.95, method="broadcast")
+        .to_pandas()
+        .set_index("vec_id")["cluster_id"]
+        .astype(int)
+        .to_dict()
+    )
+    assert got == want
+    # the planted near-dups actually clustered (non-trivial components)
+    assert sum(1 for k, v in got.items() if k != v) >= 10
+
+
+def test_embed_dup_clusters_lsh_fullprobe_equals_broadcast():
+    from dupers_ray.stages.embed import embed_dup_clusters
+
+    tbl, _, _ = _corpus()
+    bc = (
+        embed_dup_clusters(rd.from_arrow(tbl), threshold=0.95, method="broadcast")
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    fp = (
+        embed_dup_clusters(
+            rd.from_arrow(tbl), threshold=0.95, method="lsh",
+            dim=16, n_planes=0, n_tables=2,
+        )
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc, fp)
