@@ -665,6 +665,18 @@ def _q_cosine_pairs_lsh_fullprobe(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Cross-doc exact substring containment (stages/containment.py):
+    interior-min-shingle anchor candidates + raw-text verify. Full value
+    oracle: the SQL predicate is literally position(a.text IN b.text) > 0
+    with the same >= k+2 inner-token contract."""
+    from dupers_ray.stages.containment import containment_pairs
+
+    return containment_pairs(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+    )
+
+
 def _q_embed_dup_clusters(sf_dir: str):
     """Embedding near-dup CLUSTERS (cosine pairs → connected components →
     per-row assignment — the flagship shape in embedding space), driven at
@@ -1453,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
         "embed_dup_clusters": _q_embed_dup_clusters,
+        "containment_pairs": _q_containment_pairs,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -1623,6 +1636,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # raw-substring containment; >= 7 tokens mirrors the engine's
+        # k+2 interior-anchor contract (k=5 word shingles)
+        "containment_pairs": r"""
+            SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+            FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+            WHERE len(regexp_extract_all(lower(a.text), '\w+')) >= 7
+              AND position(a.text IN b.text) > 0
         """,
         # exact pairs (same predicate as cosine_pairs) + min-label
         # transitive closure — the embedding-space flagship restated
