@@ -108,6 +108,52 @@ def run_bench() -> dict:
     timed("near_edges_pages", lambda: near_dup_edges(
         rd.read_parquet(pages_path, columns=["url", "text"]))[0].count())
 
+    # incremental flagship: signatures for 2/3 of the corpus come from a
+    # prebuilt store (built once, untimed — it models yesterday's index);
+    # the timed path re-hashes only the 1/3 delta, then clusters the full
+    # signature table. Compare with dupe_pages: the gap is the text-scan
+    # cost the store amortizes on every update.
+    def ensure_sig_store() -> str:
+        import pyarrow as pa_
+
+        from dupers_ray.functions.hashing import node_ids
+        from dupers_ray.pipelines.near_dedup import minhash_signatures
+        from dupers_ray.state.manifest import _atomic_write_parquet
+
+        store = os.path.join(CACHE_ROOT, f"sigstore_n{BENCH_DOCS}_seed{SEED}")
+        marker = os.path.join(store, "_COMPLETE")
+        if not os.path.exists(marker):
+            def two_thirds(t: "pa_.Table") -> "pa_.Table":
+                import numpy as np
+
+                nodes = node_ids([str(u) for u in t.column("url").to_pylist()])
+                return t.filter(pa_.array(nodes % np.uint64(3) != 0))
+
+            sigs = minhash_signatures(
+                rd.read_parquet(pages_path, columns=["url", "text"])
+                .map_batches(two_thirds, batch_format="pyarrow"),
+                with_digests=True,
+            )
+            _atomic_write_parquet(sigs.materialize(), store)
+            with open(marker, "w") as f:
+                f.write("ok")
+        return store
+
+    store_path = ensure_sig_store()
+
+    def incremental():
+        from dupers_ray.pipelines.dupe import dupe_clusters_incremental
+
+        clusters, _sigs = dupe_clusters_incremental(
+            rd.read_parquet(pages_path, columns=["url", "text"]),
+            rd.read_parquet(store_path),
+            DedupConfig(),
+            mapping_ds=rd.read_parquet(pages_path, columns=["url"]),
+        )
+        return clusters.count()
+
+    timed("incremental_update_pages", incremental)
+
     from dupers_ray.config import SimHashConfig
     from dupers_ray.stages.simhash import simhash_pairs
 

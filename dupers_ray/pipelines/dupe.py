@@ -178,10 +178,7 @@ def dupe_clusters_incremental(
 
     Returns ``(clusters, sigs)``: the assignment for every mapped row AND
     the updated signature table (callers persist it as the new index)."""
-    from dupers_ray.pipelines.maintenance import (
-        anti_join_broadcast,
-        anti_join_shuffle,
-    )
+    from dupers_ray.pipelines.maintenance import anti_join_shuffle
     from dupers_ray.pipelines.near_dedup import minhash_signatures
 
     cfg = cfg or DedupConfig()
@@ -190,14 +187,33 @@ def dupe_clusters_incremental(
     stored_sigs = stored_sigs.materialize()
     n_known = stored_sigs.count()
     if n_known <= known_broadcast_limit:
-        known = [
-            k
+        # broadcast the known-id set once (ray.put) and filter with
+        # stateless TASKS: this stage sits in front of the full corpus
+        # text scan, so an actor-pool filter (bounded concurrency) would
+        # cap the scan's parallelism — tasks stay fully elastic
+        known_parts = [
+            b.column(id_col).combine_chunks()
             for b in stored_sigs.select_columns([id_col]).iter_batches(
                 batch_format="pyarrow"
             )
-            for k in b.column(id_col).to_pylist()
         ]
-        fresh = anti_join_broadcast(ds, known, key_col=id_col)
+        known_arr = (
+            pa.concat_arrays(known_parts)
+            if known_parts
+            else pa.array([], pa.string())
+        )
+        kref = ray.put(known_arr)
+
+        def drop_known(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keys = ray.get(kref)  # zero-copy plasma read per task
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=keys))
+            return batch.filter(mask)
+
+        fresh = ds.map_batches(
+            drop_known, batch_format="pyarrow", zero_copy_batch=True
+        )
     else:
         fresh = anti_join_shuffle(
             ds, stored_sigs.select_columns([id_col]), key_col=id_col
@@ -207,7 +223,10 @@ def dupe_clusters_incremental(
         fresh, shingle=cfg.shingle, minhash=cfg.minhash,
         id_col=id_col, text_col=text_col, with_digests=True,
     )
-    sigs = stored_sigs.union(fresh_sigs).materialize()
+    # both sides are individually materialized, so the union is a lazy
+    # zero-copy concat: downstream consumers (index ingest + verify) reuse
+    # the same blocks with no full-table re-materialization
+    sigs = stored_sigs.union(fresh_sigs.materialize())
     # flagship parity: EVERY input row gets an assignment (empty-text docs
     # have no signature row but remain singletons), same as dupe_clusters
     if mapping_ds is None:
