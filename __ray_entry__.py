@@ -1287,6 +1287,67 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _gopher_oracle_sql() -> str:
+    """stages/quality.gopher_rules restated: per-token signals aggregated
+    per doc, integer cross-multiplied thresholds, en stopword list
+    generated from the engine's own table (no drift)."""
+    from dupers_ray.stages.quality import (
+        GOPHER_ALPHA_DEN,
+        GOPHER_ALPHA_NUM,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from dupers_ray.stages.textstats import _STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in sorted(_STOPWORDS["en"]))
+    return rf"""
+        WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(length(w)) AS BIGINT) AS sum_word_len,
+                   CAST(sum(CASE WHEN regexp_matches(w, '[a-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+                   CAST(sum(CASE WHEN w IN ({stop})
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+            FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.sum_word_len, 0) AS sum_word_len,
+               COALESCE(a.n_alpha_words, 0) AS n_alpha_words,
+               COALESCE(a.n_stop_hits, 0) AS n_stop_hits,
+               CAST(CASE WHEN COALESCE(a.n_words, 0) >= {GOPHER_MIN_WORDS}
+                     AND COALESCE(a.n_words, 0) <= {GOPHER_MAX_WORDS}
+                     AND {GOPHER_MIN_MEAN_LEN} * COALESCE(a.n_words, 0)
+                         <= COALESCE(a.sum_word_len, 0)
+                     AND COALESCE(a.sum_word_len, 0)
+                         <= {GOPHER_MAX_MEAN_LEN} * COALESCE(a.n_words, 0)
+                     AND {GOPHER_ALPHA_DEN} * COALESCE(a.n_alpha_words, 0)
+                         >= {GOPHER_ALPHA_NUM} * COALESCE(a.n_words, 0)
+                     AND COALESCE(a.n_stop_hits, 0) >= {GOPHER_MIN_STOP_HITS}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+def _q_gopher_rules(sf_dir: str):
+    """Gopher-style rule-based page filter (stages/quality.gopher_rules):
+    integer rule signals + keep flag, value-oracled (all thresholds are
+    cross-multiplied into int64 comparisons; the en stopword table is the
+    same one that generates the lang_id oracle)."""
+    from dupers_ray.stages.quality import gopher_rules
+
+    return _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]
+    ).map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_quality_score(sf_dir: str):
     """Hashed-BoW linear quality filter (stages/quality.py): md5-u64
     token hash -> 4096-bucket projection -> splitmix64-derived integer
@@ -1495,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "line_dedup": _q_line_dedup,
         "quality_score": _q_quality_score,
+        "gopher_rules": _q_gopher_rules,
         "bloom_stats": _q_bloom_stats,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1880,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "quality_score": _quality_oracle_sql(),
+        "gopher_rules": _gopher_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -75,3 +75,86 @@ def quality_score(
             "keep": pa.array((score > 0).astype(np.int64)),
         }
     )
+
+
+# ------------------------------------------------------- Gopher page rules
+
+# Integer-exact adaptation of the Gopher rule-based page filters (Rae et
+# al. 2021, table A1 — the subset whose signals exist in a text-only
+# corpus; reused by Dolma/RefinedWeb/FineWeb-class pipelines). Mean-word-
+# length and alpha-fraction thresholds are cross-multiplied so every
+# comparison stays in int64 and the driver oracle hash-compares exactly.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3    # 3 <= sum_len / n  <=>  3*n <= sum_len
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_ALPHA_NUM = 8       # n_alpha / n >= 0.8  <=>  10*n_alpha >= 8*n
+GOPHER_ALPHA_DEN = 10
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per doc: integer rule signals + ``keep`` (1 iff every rule passes).
+
+    Signals over the lowercased ``\\w+`` token stream:
+    n_words, sum_word_len, n_alpha_words (>=1 ascii letter),
+    n_stop_hits (occurrences of the en stopword table — the same table
+    that generates the lang_id oracle, so they cannot drift).
+
+    One stateless streaming pass, no shuffle: tokens are flattened once
+    per batch; per-doc sums are single bincounts; the stopword/alpha
+    tests run per DISTINCT token via np.unique interning."""
+    from dupers_ray.stages.textstats import _STOPWORDS, _TOKEN_RE
+
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    toks: list[str] = []
+    counts = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        tt = _TOKEN_RE.findall((t or "").lower())
+        counts[i] = len(tt)
+        toks.extend(tt)
+    doc_idx = np.repeat(np.arange(n), counts)
+
+    n_words = counts
+    if toks:
+        arr = np.asarray(toks, dtype=object)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        u_len = np.fromiter((len(u) for u in uniq), np.int64, len(uniq))
+        u_alpha = np.fromiter(
+            (any("a" <= c <= "z" for c in u) for u in uniq), np.int64, len(uniq)
+        )
+        stop = _STOPWORDS["en"]
+        u_stop = np.fromiter((u in stop for u in uniq), np.int64, len(uniq))
+        sum_len = np.bincount(doc_idx, weights=u_len[inv], minlength=n).astype(np.int64)
+        n_alpha = np.bincount(doc_idx, weights=u_alpha[inv], minlength=n).astype(np.int64)
+        n_stop = np.bincount(doc_idx, weights=u_stop[inv], minlength=n).astype(np.int64)
+    else:
+        sum_len = np.zeros(n, np.int64)
+        n_alpha = np.zeros(n, np.int64)
+        n_stop = np.zeros(n, np.int64)
+
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (GOPHER_MIN_MEAN_LEN * n_words <= sum_len)
+        & (sum_len <= GOPHER_MAX_MEAN_LEN * n_words)
+        & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * n_words)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+    ).astype(np.int64)
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(n_words),
+            "sum_word_len": pa.array(sum_len),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_stop_hits": pa.array(n_stop),
+            "keep": pa.array(keep),
+        }
+    )

@@ -44,3 +44,37 @@ def test_case_fold_and_tokenizer():
     t = pa.table({"doc_id": [0, 1], "text": ["Alpha BETA", "alpha beta"]})
     out = quality_score(t).to_pylist()
     assert out[0]["score"] == out[1]["score"]
+
+
+def test_gopher_rules_boundaries(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.quality import gopher_rules
+
+    filler = "the of and to in a is that it for on was with as be at by "
+    # >=50 words, stopword hits, all-alpha, mean word length in [3, 10]
+    good = (filler * 2 + "wordiness " * 30).strip()
+    short = "the of tiny doc"                           # < 50 words
+    no_stop = ("zzzz " * 60).strip()                    # no stopword hits
+    longwords = ("the of " + "aaaaaaaaaaaaaaa " * 60).strip()  # mean len > 10
+    digits = ("the of " + "12345 " * 60).strip()        # alpha fraction < 0.8
+    empty = None
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array([good, short, no_stop, longwords, digits, empty],
+                         pa.string()),
+    })
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(gopher_rules, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "keep"] == 1
+    assert list(out.loc[1:5, "keep"]) == [0, 0, 0, 0, 0]
+    # signals are exact
+    assert out.loc[1, "n_words"] == 4
+    assert out.loc[2, "n_stop_hits"] == 0
+    assert out.loc[5, "n_words"] == 0
