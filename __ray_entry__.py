@@ -1287,6 +1287,56 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_token_budget(sf_dir: str):
+    """Global ordered prefix selection (stages/budget.py): running token
+    total in splitmix64(doc_id) order, selected while <= 10k tokens. The
+    oracle is the literal SQL ordered window — the distributed bucket-
+    offset plan must reproduce it bit-exactly at any parallelism."""
+    from dupers_ray.stages.budget import select_token_budget
+
+    return select_token_budget(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        budget=10_000,
+    )
+
+
+def _token_budget_oracle_sql(budget: int = 10_000) -> str:
+    """sum(n_tokens) OVER (ORDER BY splitmix64(doc_id), doc_id) <= budget
+    (same splitmix64 chain as _sample_hash_oracle_sql)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH sm AS (
+            SELECT doc_id, text,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                        AS BIGINT) AS n_tokens, h
+            FROM sm
+        ), w AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(CASE WHEN cum_tokens <= {budget} THEN 1 ELSE 0 END
+                    AS BIGINT) AS selected
+        FROM w
+    """
+
+
 def _gopher_oracle_sql() -> str:
     """stages/quality.gopher_rules restated: per-token signals aggregated
     per doc, integer cross-multiplied thresholds, en stopword list
@@ -1557,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "quality_score": _q_quality_score,
         "gopher_rules": _q_gopher_rules,
+        "token_budget": _q_token_budget,
         "bloom_stats": _q_bloom_stats,
         "pricing_summary": _q_pricing_summary,
     }
@@ -1943,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
+        "token_budget": _token_budget_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
