@@ -1548,6 +1548,129 @@ def _bloom_oracle_sql() -> str:
     """
 
 
+def _derive_messy_urls(t: "pa.Table") -> "pa.Table":
+    """Deterministic messy-URL column from doc_id (the corpus has no URL
+    column): every 3 consecutive ids share one logical page, published in
+    3 crawl variants — clean, UPPERCASE-host + default :443 port +
+    trailing slash + reordered params, and tracking-params + fragment.
+    Canonicalization (stages/urlnorm) must unify each triple; the oracle
+    replants and re-canonicalizes the same URLs in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    base, v = ids // 3, ids % 3
+    tld = np.array(["com", "org", "net"], dtype=object)[base % 3]
+
+    def s(a) -> "pa.Array":
+        return pc.cast(pa.array(a), pa.string())
+
+    host = pc.binary_join_element_wise(
+        "sub", s(base % 4), ".dom", s(base % 20), ".", s(tld), "")
+    page = pc.binary_join_element_wise("/page/", s(base), "")
+    p = s(base % 5)
+
+    v0 = pc.binary_join_element_wise(
+        "https://", host, page, "?a=1&b=", p, "")
+    v1 = pc.binary_join_element_wise(
+        "HTTPS://", pc.utf8_upper(host), ":443", page, "/?b=", p, "&a=1", "")
+    v2 = pc.binary_join_element_wise(
+        "https://", host, page, "?b=", p, "&utm_source=feed&a=1#sec", "")
+    url = pc.if_else(pa.array(v == 0), v0, pc.if_else(pa.array(v == 1), v1, v2))
+    return t.append_column("url", url)
+
+
+# SQL restatement of the stages/urlnorm canonical contract over the same
+# derived messy URLs (fragment strip -> scheme/host lowercase -> default
+# port drop -> trailing-slash collapse -> param filter+sort).
+_URL_DERIVE_CANON_SQL = r"""
+    derived AS (
+        SELECT doc_id, n_chars,
+               CASE (doc_id // 3) % 3
+                   WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net'
+               END AS tld,
+               'sub' || ((doc_id // 3) % 4) || '.dom' ||
+                   ((doc_id // 3) % 20) || '.' ||
+                   CASE (doc_id // 3) % 3
+                       WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net'
+                   END AS host,
+               '/page/' || (doc_id // 3) AS page,
+               CAST((doc_id // 3) % 5 AS VARCHAR) AS p
+        FROM documents
+    ),
+    messy AS (
+        SELECT doc_id, n_chars,
+               CASE doc_id % 3
+                   WHEN 0 THEN 'https://' || host || page || '?a=1&b=' || p
+                   WHEN 1 THEN 'HTTPS://' || upper(host) || ':443' || page
+                        || '/?b=' || p || '&a=1'
+                   ELSE 'https://' || host || page || '?b=' || p
+                        || '&utm_source=feed&a=1#sec'
+               END AS url
+        FROM derived
+    ),
+    defrag AS (
+        SELECT doc_id, n_chars,
+               trim(regexp_replace(url, '#.*$', '')) AS u
+        FROM messy
+    ),
+    parts AS (
+        SELECT doc_id, n_chars,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+                   AS scheme,
+               lower(regexp_extract(u,
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1)) AS auth,
+               regexp_extract(regexp_replace(u, '\?.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*([^?]*)$', 1) AS path,
+               CASE WHEN u LIKE '%?%'
+                    THEN regexp_extract(u, '\?(.*)$', 1) END AS q
+        FROM defrag
+    ),
+    canon AS (
+        SELECT doc_id, n_chars,
+               scheme || '://' ||
+               CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                    ELSE auth END ||
+               CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END ||
+               CASE WHEN qs IS NULL OR qs = '' THEN '' ELSE '?' || qs END
+                   AS url_canon
+        FROM (
+            SELECT *,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid)(=.*)?$')
+                   )), '&') AS qs
+            FROM parts
+        )
+    )
+"""
+
+
+def _q_url_canonical_dups(sf_dir: str):
+    """URL-level dedup: canonicalize crawl-variant URLs, group, keep the
+    min-id survivor (reference path-normalized first-match dedup lifted
+    to URLs)."""
+    from dupers_ray.pipelines.urls import url_dup_groups
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+        _derive_messy_urls, batch_format="pyarrow")
+    return url_dup_groups(docs)
+
+
+def _q_domain_stats(sf_dir: str):
+    """Registrable-domain rollup (Info/counts verb keyed by web domain)."""
+    from dupers_ray.pipelines.urls import domain_rollup
+
+    docs = _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"]).map_batches(
+        _derive_messy_urls, batch_format="pyarrow")
+    return domain_rollup(docs, size_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_canonical": _q_exact_canonical,
@@ -1610,6 +1733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": _q_token_budget,
         "bloom_stats": _q_bloom_stats,
         "pricing_summary": _q_pricing_summary,
+        "url_canonical_dups": _q_url_canonical_dups,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -2094,5 +2219,24 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT dg, min(doc_id) AS canon FROM d GROUP BY dg)
             SELECT d.doc_id FROM d JOIN g USING (dg)
             WHERE d.doc_id <> g.canon
+        """,
+        "url_canonical_dups": "WITH " + _URL_DERIVE_CANON_SQL + """
+            SELECT url_canon,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc
+            FROM canon GROUP BY url_canon
+        """,
+        "domain_stats": "WITH " + _URL_DERIVE_CANON_SQL + r"""
+            , hosts AS (
+                SELECT n_chars,
+                       regexp_replace(regexp_extract(url_canon,
+                           '://([^/?#]*)', 1), ':\d+$', '') AS host
+                FROM canon
+            )
+            SELECT coalesce(nullif(regexp_extract(host,
+                       '([^.]+\.[^.]+)$', 1), ''), host) AS domain,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_bytes
+            FROM hosts GROUP BY 1
         """,
     }

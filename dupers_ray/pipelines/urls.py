@@ -1,0 +1,59 @@
+"""URL-level dedup and per-domain rollups.
+
+The reference's path normalization + case-folded path compare
+(``pkg/dupe/dupe.go:519-530``, ``dupe.go:1001-1013``) lifted to the web
+corpus: canonicalize URLs (stages/urlnorm), then group — same canonical
+URL ⇒ same page identity, analogous to the reference's same-absolute-path
+dedup. Combiner discipline matches counts_by_bucket: per-batch partial
+groupby so the shuffle moves one row per distinct canonical URL per
+batch, never the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pyarrow as pa
+
+from dupers_ray.stages.urlnorm import canonical_url, registrable_domain
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def url_dup_groups(
+    ds: "ray.data.Dataset", *, url_col: str = "url", id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """→ (url_canon, n_dups, keep_doc): per canonical URL, the row count
+    and the deterministic survivor (min id — the reference's first-match
+    rule, dupe.go:919-931, restated at URL level)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = canonical_url(batch, url_col=url_col)
+        df = t.select(["url_canon", id_col]).to_pandas()
+        gb = df.groupby("url_canon", sort=False)[id_col]
+        out = gb.size().rename("n_dups").to_frame()
+        out["keep_doc"] = gb.min()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("url_canon").aggregate(
+        Sum("n_dups", alias_name="n_dups"), Min("keep_doc", alias_name="keep_doc")
+    )
+
+
+def domain_rollup(
+    ds: "ray.data.Dataset", *, url_col: str = "url", size_col: str | None = None,
+) -> "ray.data.Dataset":
+    """→ (domain, n, [total_bytes]): registrable-domain rollup over
+    canonical URLs — the per-bucket Info/counts verb (database.go:463-512)
+    keyed by web domain instead of bucket path."""
+    from dupers_ray.pipelines.maintenance import counts_by_bucket
+
+    def add_domain(batch: pa.Table) -> pa.Table:
+        t = canonical_url(batch, url_col=url_col)
+        return registrable_domain(t, url_col="url_canon")
+
+    with_dom = ds.map_batches(add_domain, batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by_bucket(with_dom, bucket_col="domain", size_col=size_col)

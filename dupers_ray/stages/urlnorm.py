@@ -1,0 +1,143 @@
+"""URL canonicalization for web-scale URL-level dedup.
+
+The reference dedups file paths after normalizing them (clean/abs in
+``pkg/dupe/dupe.go:519-530``, case-folded compares in ``dupe.go:1001-1013``);
+the web-corpus analogue is URL canonicalization: the same page is crawled
+as ``http://WWW.Site.com/a/?utm_source=feed#top`` and
+``https://www.site.com/a``, and URL-level dedup only works on a canonical
+form. This stage implements the standard normalization (RFC 3986 §6 plus
+the usual crawler extensions) with pure Arrow RE2 kernels and one
+numpy stable-sort for query-parameter reordering — no Python per row.
+
+Canonical contract (each step SQL-restatable, value-oracled by the driver):
+  1. trim ASCII whitespace; strip the fragment (``#...``).
+  2. rows not shaped ``scheme://authority...`` pass through unchanged
+     (they are not URLs; dedup still sees a deterministic value).
+  3. lowercase scheme and authority (host compare is case-insensitive).
+  4. drop the scheme's default port (``http…:80``, ``https…:443``).
+  5. collapse trailing ``/`` runs in the path; empty path becomes ``/``.
+  6. query string: split on ``&``, drop empty params and tracking params
+     (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``), sort the rest
+     bytewise, rejoin; an emptied query drops its ``?``.
+
+Idempotent: canonical(canonical(u)) == canonical(u) (property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tracking params dropped by step 6.  A param token matches key-only
+# ("utm_x") and key=value ("utm_x=1") forms.
+TRACKING_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid)(=.*)?$"
+
+_URL_RE = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<auth>[^/?]*)(?P<path>[^?]*)$"
+
+
+def _sort_join_params(q: pa.Array) -> pa.Array:
+    """Per-row: split '&', drop empty/tracking tokens, bytewise-sort,
+    rejoin.  Null in → null out.  Vectorized: one flatten, two numpy
+    stable argsorts (token then row — a lexsort), one list rebuild."""
+    toks = pc.split_pattern(q, pattern="&")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    n = len(toks)
+    lens = np.asarray(pc.list_value_length(toks).fill_null(0))
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    keep = pc.and_(
+        pc.invert(pc.match_substring_regex(flat, TRACKING_RE)),
+        pc.not_equal(flat, ""),
+    )
+    keep_np = np.asarray(keep.fill_null(False))
+    row = row[keep_np]
+    kept = flat.filter(pa.array(keep_np))
+
+    # stable sort by token, then stable sort by row ⇒ rows ascending,
+    # tokens bytewise-ascending within each row
+    tok_np = np.asarray(kept.to_numpy(zero_copy_only=False), dtype=object)
+    order = np.argsort(tok_np, kind="stable") if len(tok_np) else np.empty(0, np.int64)
+    order = order[np.argsort(row[order], kind="stable")] if len(order) else order
+
+    counts = np.bincount(row, minlength=n) if len(row) else np.zeros(n, np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    rebuilt = pa.ListArray.from_arrays(
+        pa.array(offsets), kept.take(pa.array(order, type=pa.int64()))
+    )
+    joined = pc.binary_join(rebuilt, "&")
+    # null query rows must stay null (no '?' in the source URL)
+    return pc.if_else(pc.is_null(q), pa.scalar(None, pa.string()), joined)
+
+
+def canonical_url(
+    batch: pa.Table, *, url_col: str = "url", out_col: str = "url_canon",
+) -> pa.Table:
+    u = pc.replace_substring_regex(
+        batch.column(url_col), pattern=r"#.*$", replacement=""
+    )
+    u = pc.utf8_trim_whitespace(u)
+
+    # query = text after the first '?' (null when absent); head = the rest
+    qm = pc.extract_regex(u, pattern=r"^[^?]*\?(?P<q>.*)$")
+    q = _sort_join_params(pc.struct_field(qm, "q"))
+    head = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
+
+    m = pc.extract_regex(head, pattern=_URL_RE)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    auth = pc.utf8_lower(pc.struct_field(m, "auth"))
+    path = pc.struct_field(m, "path")
+
+    auth = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(auth, pattern=r":80$", replacement=""),
+        auth,
+    )
+    auth = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(auth, pattern=r":443$", replacement=""),
+        auth,
+    )
+
+    path = pc.replace_substring_regex(path, pattern=r"/+$", replacement="")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+
+    # a query emptied by filtering (or absent) contributes nothing — the
+    # '?' is dropped with it
+    q_absent = pc.or_kleene(pc.is_null(q), pc.equal(q, ""))
+    qtail = pc.if_else(
+        q_absent, pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(pa.scalar("?"), q.cast(pa.string()), ""),
+    )
+    canon = pc.binary_join_element_wise(scheme, "://", auth, path, qtail, "")
+    # non-URL rows (regex miss ⇒ null struct fields) pass through trimmed
+    canon = pc.if_else(pc.is_null(canon), u, canon)
+
+    if out_col in batch.column_names:
+        return batch.set_column(batch.column_names.index(out_col), out_col, canon)
+    return batch.append_column(out_col, canon)
+
+
+def registrable_domain(
+    batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "domain",
+) -> pa.Table:
+    """Last two host labels (``a.b.example.com`` → ``example.com``) — the
+    public-suffix-list-free approximation; single-label hosts pass through.
+    Expects a canonical (lowercased) URL column; null for non-URL rows."""
+    m = pc.extract_regex(
+        batch.column(url_col),
+        pattern=r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<auth>[^/?#]*)",
+    )
+    host = pc.replace_substring_regex(
+        pc.struct_field(m, "auth"), pattern=r":\d+$", replacement=""
+    )
+    dm = pc.extract_regex(host, pattern=r"(?P<d>[^.]+\.[^.]+)$")
+    dom = pc.if_else(
+        pc.is_null(pc.struct_field(dm, "d")), host, pc.struct_field(dm, "d")
+    )
+    if out_col in batch.column_names:
+        return batch.set_column(batch.column_names.index(out_col), out_col, dom)
+    return batch.append_column(out_col, dom)

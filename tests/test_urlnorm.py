@@ -1,0 +1,145 @@
+"""URL canonicalization: kernel vs an independent urllib reference,
+idempotence (hypothesis), and the Dataset-level dedup/rollup pipelines."""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dupers_ray.stages.urlnorm import (
+    TRACKING_RE,
+    canonical_url,
+    registrable_domain,
+)
+
+_TRACK = re.compile(TRACKING_RE)
+
+
+def ref_canonical(url: str | None) -> str | None:
+    """Independent reference: urllib.parse + plain Python, same contract."""
+    if url is None:
+        return None
+    u = re.sub(r"#.*$", "", url).strip()
+    sp = urlsplit(u) if "://" in u else None
+    if sp is None or not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*$", sp.scheme or ""):
+        return u
+    scheme = sp.scheme.lower()
+    auth = sp.netloc.lower()
+    if scheme == "http":
+        auth = re.sub(r":80$", "", auth)
+    elif scheme == "https":
+        auth = re.sub(r":443$", "", auth)
+    path = re.sub(r"/+$", "", sp.path) or "/"
+    toks = sorted(
+        t for t in sp.query.split("&") if t and not _TRACK.match(t)
+    )
+    q = "&".join(toks)
+    return f"{scheme}://{auth}{path}" + (f"?{q}" if q else "")
+
+
+CASES = [
+    "  HTTP://WWW.Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag ",
+    "https://site.org:443/",
+    "https://site.org",
+    "http://h.example.net/path//",
+    "http://h.example.net/path/?utm_campaign=z",
+    "http://host/?&&",
+    "http://host/p?z=1&a=2&a=1",
+    "ftp://Host.Com:21/file",
+    "https://a.b.example.co.uk/x?fbclid=abc&keep=1",
+    "http://host:8080/q?gclid=1",
+    "https://x.com/%7Euser/Page?A=B&a=b",
+    None,
+]
+
+
+def _canon_list(urls):
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    return canonical_url(t).column("url_canon").to_pylist()
+
+
+def test_kernel_matches_urllib_reference():
+    assert _canon_list(CASES) == [ref_canonical(u) for u in CASES]
+
+
+def test_idempotent_on_cases():
+    once = _canon_list(CASES)
+    assert _canon_list(once) == once
+
+
+_part = st.text(
+    alphabet="abcXYZ019-._~%&=?/:#", min_size=0, max_size=12
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "ftp"]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    rest=_part,
+)
+def test_property_matches_reference_and_idempotent(scheme, host, port, rest):
+    url = f"{scheme}://{host}{port}/{rest}"
+    got = _canon_list([url])[0]
+    assert got == ref_canonical(url)
+    assert _canon_list([got])[0] == got
+
+
+def test_registrable_domain():
+    t = pa.table({"url_canon": pa.array(
+        ["https://a.b.example.com/x", "http://host/", "https://co.uk/",
+         "notaurl", None])})
+    assert registrable_domain(t).column("domain").to_pylist() == [
+        "example.com", "host", "co.uk", None, None]
+
+
+@pytest.fixture()
+def url_docs():
+    urls, ids = [], []
+    for i in range(60):
+        base, v = i // 3, i % 3
+        host = f"sub{base % 4}.dom{base % 20}.example.com"
+        if v == 0:
+            u = f"https://{host}/p/{base}?a=1&b={base % 5}"
+        elif v == 1:
+            u = f"HTTPS://{host.upper()}:443/p/{base}/?b={base % 5}&a=1"
+        else:
+            u = f"https://{host}/p/{base}?b={base % 5}&utm_source=f&a=1#s"
+        urls.append(u)
+        ids.append(i)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "url": pa.array(urls, pa.string()),
+                     "n_chars": pa.array([len(u) for u in urls], pa.int64())})
+
+
+def test_url_dup_groups_unifies_crawl_variants(ray_session, url_docs):
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import url_dup_groups
+
+    out = url_dup_groups(
+        rd.from_arrow(url_docs).repartition(7)).to_pandas()
+    assert len(out) == 20  # 60 docs / 3 variants
+    assert (out["n_dups"] == 3).all()
+    # survivor is the min doc_id of each triple: 0, 3, 6, ...
+    assert sorted(out["keep_doc"]) == [3 * b for b in range(20)]
+
+
+def test_domain_rollup(ray_session, url_docs):
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import domain_rollup
+
+    out = domain_rollup(
+        rd.from_arrow(url_docs).repartition(5), size_col="n_chars"
+    ).to_pandas()
+    # all hosts share registrable domain example.com
+    assert list(out["domain"]) == ["example.com"]
+    assert int(out["n"].iloc[0]) == 60
+    assert int(out["total_bytes"].iloc[0]) == int(url_docs["n_chars"].to_pandas().sum())
