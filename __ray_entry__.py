@@ -1650,6 +1650,41 @@ _URL_DERIVE_CANON_SQL = r"""
 """
 
 
+def _q_cluster_representatives(sf_dir: str):
+    """Best-of-cluster curation: flagship near-dup clusters composed with
+    the hashed-BoW quality score; per cluster keep the highest-scoring
+    member (min doc_id tiebreak) + cluster size. Oracle = the flagship
+    cluster SQL and the quality SQL nested as CTEs + one window."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import cluster_representatives
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return cluster_representatives(_tbl(sf_dir, "documents"), cfg)
+
+
+def _cluster_representatives_oracle_sql() -> str:
+    return f"""
+        WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
+        quality AS ({_quality_oracle_sql()}),
+        j AS (
+            SELECT c.cluster_id, c.doc_id, q.score
+            FROM clusters c JOIN quality q USING (doc_id)
+        ),
+        r AS (
+            SELECT cluster_id, doc_id, score,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY score DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster_id) AS n_docs
+            FROM j
+        )
+        SELECT cluster_id, doc_id AS rep_doc,
+               CAST(score AS BIGINT) AS score,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1
+    """
+
+
 def _q_url_canonical_dups(sf_dir: str):
     """URL-level dedup: canonicalize crawl-variant URLs, group, keep the
     min-id survivor (reference path-normalized first-match dedup lifted
@@ -1735,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "url_canonical_dups": _q_url_canonical_dups,
         "domain_stats": _q_domain_stats,
+        "cluster_representatives": _q_cluster_representatives,
     }
 
 
@@ -2226,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_doc
             FROM canon GROUP BY url_canon
         """,
+        "cluster_representatives": _cluster_representatives_oracle_sql(),
         "domain_stats": "WITH " + _URL_DERIVE_CANON_SQL + r"""
             , hosts AS (
                 SELECT n_chars,

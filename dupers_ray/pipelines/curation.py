@@ -1,0 +1,103 @@
+"""Cluster-level curation: pick the best page of each near-dup cluster.
+
+The reference keeps the FIRST file of each dupe group (bucket-order scan,
+``pkg/dupe/dupe.go:919-931``); a training-data pipeline keeps the BEST
+page instead — highest quality score, min id on ties (deterministic).
+This composes the flagship cluster assignment (pipelines/dupe) with the
+hashed-BoW quality scorer (stages/quality) and the top_per_group
+combiner (stages/filters): two cogroup joins + one capped groupby, no
+stage ever holds the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.config import DedupConfig
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _i64_view(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Bit-reinterpret uint64 → int64 (Ray groupby keys must stay int64:
+    uint64 > 2^63 falls out of Arrow blocks into pickled objects)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(col.to_numpy(zero_copy_only=False).view(np.int64))
+
+
+def cluster_representatives(
+    ds: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    mapping_ds: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """→ (cluster_id, rep_doc, score, n_docs): per near-dup cluster, the
+    highest-quality member (min id tiebreak) and the cluster size."""
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.stages.filters import top_per_group
+    from dupers_ray.stages.quality import quality_score
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+
+    clusters = dupe_clusters(ds, cfg, mapping_ds=mapping_ds)
+
+    def score_only(batch: pa.Table) -> pa.Table:
+        t = quality_score(batch, id_col=id_col, text_col=cfg.text_col)
+        return t.select([id_col, "score"])
+
+    scores = ds.map_batches(
+        score_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    lschema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.uint64())])
+    rschema = pa.schema([(id_col, pa.int64()), ("score", pa.int64())])
+    joined = cogroup_join(
+        clusters, scores, on=id_col, left_schema=lschema, right_schema=rschema
+    )
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("ck", _i64_view(t.column("cluster_id")))
+
+    keyed = joined.map_batches(with_key, batch_format="pyarrow")
+
+    reps = top_per_group(
+        keyed, group_col="ck", by=[("score", False), (id_col, True)], n=1
+    )
+
+    # cluster sizes: per-batch partial counts -> one tiny groupby
+    def count_partial(t: pa.Table) -> pa.Table:
+        ck = _i64_view(t.column("cluster_id")).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"ck": uniq, "n_docs": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    sizes = clusters.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("ck").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+    rep_schema = pa.schema([
+        (id_col, pa.int64()), ("cluster_id", pa.uint64()),
+        ("score", pa.int64()), ("ck", pa.int64()),
+    ])
+    size_schema = pa.schema([("ck", pa.int64()), ("n_docs", pa.int64())])
+    out = cogroup_join(
+        reps, sizes, on="ck", left_schema=rep_schema, right_schema=size_schema
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_id": t.column("cluster_id"),
+            "rep_doc": t.column(id_col),
+            "score": t.column("score"),
+            "n_docs": t.column("n_docs"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -128,12 +128,34 @@ def cap_per_group(
     Per-batch combiner first: each batch forwards at most n rows per group
     it sees, so the groupby shuffles ≤ n·groups·blocks rows — never the
     full corpus. The same kernel then finishes per group globally."""
+    return top_per_group(ds, group_col=group_col, by=[(order_col, True)], n=n)
+
+
+def top_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    by: list[tuple[str, bool]],
+    n: int,
+) -> "ray.data.Dataset":
+    """cap_per_group generalized to a multi-column order: keep the first
+    ``n`` rows per group under ``by`` = [(col, ascending), ...]. The order
+    must be total within a group (end ``by`` with a unique id) or the
+    result is nondeterministic. Same combiner discipline: each batch
+    forwards ≤ n rows per group it sees, the groupby finishes globally.
+
+    n=1 with by=[(score, False), (id, True)] is representative selection:
+    the best-scoring row per group, min-id on ties (the reference's
+    first-match rule, dupe.go:919-931, with a quality order in front)."""
     import pandas as pd  # noqa: F401 — sort/head are pandas C kernels
 
+    cols = [c for c, _ in by]
+    asc = [a for _, a in by]
+
     def topn(df):
-        return df.sort_values([group_col, order_col], kind="mergesort").groupby(
-            group_col, sort=False
-        ).head(n)
+        return df.sort_values(
+            [group_col, *cols], ascending=[True, *asc], kind="mergesort"
+        ).groupby(group_col, sort=False).head(n)
 
     parts = ds.map_batches(topn, batch_format="pandas")
     return parts.groupby(group_col).map_groups(topn, batch_format="pandas")

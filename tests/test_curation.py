@@ -1,0 +1,75 @@
+"""cluster_representatives: composition check vs brute-force pandas over
+the same dupe_clusters + quality_score outputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _docs_table(n=240, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts = []
+    for i in range(n):
+        base = i // 4  # groups of 4 exact dups
+        r = np.random.default_rng(base)
+        texts.append(" ".join(r.choice(vocab, size=30).tolist()))
+    _ = rng
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_cluster_representatives_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import cluster_representatives
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.stages.quality import quality_score
+
+    t = _docs_table()
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+
+    got = cluster_representatives(
+        rd.from_arrow(t).repartition(6), cfg
+    ).to_pandas().sort_values("cluster_id").reset_index(drop=True)
+
+    clusters = dupe_clusters(
+        rd.from_arrow(t).repartition(6), cfg
+    ).to_pandas()
+    scores = quality_score(t).to_pandas()[["doc_id", "score"]]
+    j = clusters.merge(scores, on="doc_id")
+    j = j.sort_values(["cluster_id", "score", "doc_id"],
+                      ascending=[True, False, True])
+    exp = j.groupby("cluster_id", sort=True).agg(
+        rep_doc=("doc_id", "first"), score=("score", "first"),
+        n_docs=("doc_id", "size")).reset_index()
+
+    assert len(got) == len(exp)
+    for col in ["cluster_id", "rep_doc", "score", "n_docs"]:
+        assert (got[col].to_numpy().astype(np.int64)
+                == exp[col].to_numpy().astype(np.int64)).all(), col
+    # every group of 4 exact dups collapses to one cluster
+    assert (got["n_docs"] >= 4).all()
+    assert len(got) == 60
+
+
+def test_top_per_group_multi_order(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.stages.filters import top_per_group
+
+    t = pa.table({
+        "g": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+        "s": pa.array([5, 9, 9, 1, 1, 7], pa.int64()),
+        "id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+    })
+    out = top_per_group(
+        rd.from_arrow(t).repartition(3), group_col="g",
+        by=[("s", False), ("id", True)], n=1,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["id"].tolist() == [11, 20, 30]  # max s, min id on ties
