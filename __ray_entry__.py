@@ -1685,6 +1685,17 @@ def _cluster_representatives_oracle_sql() -> str:
     """
 
 
+def _q_dedup_summary(sf_dir: str):
+    """Cluster-size histogram of the flagship assignment (the dedup
+    report totals). Oracle = flagship SQL nested as a CTE + two GROUP
+    BYs."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import dedup_summary
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return dedup_summary(_tbl(sf_dir, "documents"), cfg)
+
+
 def _q_url_canonical_dups(sf_dir: str):
     """URL-level dedup: canonicalize crawl-variant URLs, group, keep the
     min-id survivor (reference path-normalized first-match dedup lifted
@@ -1771,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dups": _q_url_canonical_dups,
         "domain_stats": _q_domain_stats,
         "cluster_representatives": _q_cluster_representatives,
+        "dedup_summary": _q_dedup_summary,
     }
 
 
@@ -2263,6 +2275,18 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY url_canon
         """,
         "cluster_representatives": _cluster_representatives_oracle_sql(),
+        "dedup_summary": f"""
+            WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
+            sizes AS (
+                SELECT cluster_id, count(*) AS n_docs
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT CAST(n_docs AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(n_docs * count(*) AS BIGINT) AS n_docs,
+                   CAST((n_docs - 1) * count(*) AS BIGINT) AS n_removed
+            FROM sizes GROUP BY n_docs
+        """,
         "domain_stats": "WITH " + _URL_DERIVE_CANON_SQL + r"""
             , hosts AS (
                 SELECT n_chars,

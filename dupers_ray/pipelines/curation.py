@@ -30,6 +30,63 @@ def _i64_view(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
     return pa.array(col.to_numpy(zero_copy_only=False).view(np.int64))
 
 
+def _cluster_sizes(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(ck:int64, n_docs) per cluster: per-batch partial counts → one tiny
+    groupby of count rows (the corpus-sized assignment never shuffles)."""
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ck = _i64_view(t.column("cluster_id")).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"ck": uniq, "n_docs": cnt.astype(np.int64)})
+
+    return clusters.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("ck").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+def dedup_summary(
+    ds: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    mapping_ds: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """→ (cluster_size, n_clusters, n_docs, n_removed): the cluster-size
+    histogram of the flagship assignment — the dedup report's 'N dupes in
+    M groups' totals (reference Status/Info counters, dupe.go:93-121)
+    as one tiny table. n_removed = docs dropped at keep-one-per-cluster."""
+    from ray.data.aggregate import Sum
+
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    clusters = dupe_clusters(ds, cfg or DedupConfig(), mapping_ds=mapping_ds)
+    sizes = _cluster_sizes(clusters)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        sz = t.column("n_docs").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(sz, return_counts=True)
+        return pa.table({
+            "cluster_size": uniq.astype(np.int64),
+            "n_clusters": cnt.astype(np.int64),
+        })
+
+    hist = sizes.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("cluster_size").aggregate(Sum("n_clusters", alias_name="n_clusters"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        size = t.column("cluster_size").to_numpy(zero_copy_only=False)
+        n = t.column("n_clusters").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster_size": size,
+            "n_clusters": n,
+            "n_docs": size * n,
+            "n_removed": (size - 1) * n,
+        })
+
+    return hist.map_batches(finish, batch_format="pyarrow")
+
+
 def cluster_representatives(
     ds: "ray.data.Dataset",
     cfg: DedupConfig | None = None,
@@ -71,17 +128,7 @@ def cluster_representatives(
         keyed, group_col="ck", by=[("score", False), (id_col, True)], n=1
     )
 
-    # cluster sizes: per-batch partial counts -> one tiny groupby
-    def count_partial(t: pa.Table) -> pa.Table:
-        ck = _i64_view(t.column("cluster_id")).to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(ck, return_counts=True)
-        return pa.table({"ck": uniq, "n_docs": cnt.astype(np.int64)})
-
-    from ray.data.aggregate import Sum
-
-    sizes = clusters.map_batches(
-        count_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("ck").aggregate(Sum("n_docs", alias_name="n_docs"))
+    sizes = _cluster_sizes(clusters)
 
     rep_schema = pa.schema([
         (id_col, pa.int64()), ("cluster_id", pa.uint64()),

@@ -73,3 +73,22 @@ def test_top_per_group_multi_order(ray_session):
         by=[("s", False), ("id", True)], n=1,
     ).to_pandas().sort_values("g").reset_index(drop=True)
     assert out["id"].tolist() == [11, 20, 30]  # max s, min id on ties
+
+
+def test_dedup_summary_consistency(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import dedup_summary
+
+    t = _docs_table()
+    out = dedup_summary(
+        rd.from_arrow(t).repartition(6),
+        DedupConfig(id_col="doc_id", text_col="text"),
+    ).to_pandas()
+    # totals reconcile with the corpus: every doc in exactly one cluster
+    assert int(out["n_docs"].sum()) == t.num_rows
+    assert int((out["cluster_size"] * out["n_clusters"]).sum()) == t.num_rows
+    assert int(out["n_removed"].sum()) == t.num_rows - int(out["n_clusters"].sum())
+    # the planted groups of 4 exact dups dominate
+    assert int(out.loc[out["cluster_size"] >= 4, "n_clusters"].sum()) >= 55
