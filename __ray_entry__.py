@@ -1685,6 +1685,56 @@ def _cluster_representatives_oracle_sql() -> str:
     """
 
 
+def _q_span_dedup(sf_dir: str):
+    """Lee-et-al exact duplicate-substring REMOVAL (stages/spandedup):
+    tokens covered by a cross-doc duplicate 7-gram are dropped outside
+    the gram's owner (min doc). Full value oracle on the cleaned text."""
+    from dupers_ray.stages.spandedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        k=7, min_docs=2,
+    )
+
+
+_SPAN_DEDUP_ORACLE = r"""
+    WITH split AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+        FROM documents
+    ), occ AS (
+        SELECT doc_id, i AS s, array_to_string(tk[i:i+6], ' ') AS gram
+        FROM split,
+             LATERAL (SELECT unnest(generate_series(1, len(tk) - 6)) AS i)
+        WHERE len(tk) >= 7
+    ), g AS (
+        SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+        FROM occ GROUP BY gram
+    ), dup_occ AS (
+        SELECT o.doc_id, o.s FROM occ o JOIN g USING (gram)
+        WHERE g.nd >= 2 AND g.owner <> o.doc_id
+    ), rem AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(generate_series(s, s + 6)) AS p
+            FROM dup_occ
+        )
+    ), toks AS (
+        SELECT doc_id, p, tk[p] AS tok
+        FROM split,
+             LATERAL (SELECT unnest(generate_series(1, len(tk))) AS p)
+    ), kept AS (
+        SELECT t.doc_id, t.p, t.tok FROM toks t
+        LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.p = r.p
+        WHERE r.p IS NULL
+    )
+    SELECT s.doc_id,
+           CAST(len(s.tk) AS BIGINT) AS n_tokens,
+           CAST(len(s.tk) - count(k.p) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+    FROM split s LEFT JOIN kept k USING (doc_id)
+    GROUP BY s.doc_id, len(s.tk)
+"""
+
+
 def _q_dedup_summary(sf_dir: str):
     """Cluster-size histogram of the flagship assignment (the dedup
     report totals). Oracle = flagship SQL nested as a CTE + two GROUP
@@ -1783,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "cluster_representatives": _q_cluster_representatives,
         "dedup_summary": _q_dedup_summary,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -2275,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY url_canon
         """,
         "cluster_representatives": _cluster_representatives_oracle_sql(),
+        "span_dedup": _SPAN_DEDUP_ORACLE,
         "dedup_summary": f"""
             WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
             sizes AS (
