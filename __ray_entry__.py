@@ -1735,6 +1735,17 @@ _SPAN_DEDUP_ORACLE = r"""
 """
 
 
+def _q_domain_top_terms(sf_dir: str):
+    """Top-3 tokens per registrable domain (count desc, token asc) over
+    the derived crawl URLs — per-domain vocabulary profiling."""
+    from dupers_ray.pipelines.urls import domain_top_terms
+
+    docs = _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(
+        _derive_messy_urls, batch_format="pyarrow")
+    return domain_top_terms(docs, n=3)
+
+
 def _q_dedup_summary(sf_dir: str):
     """Cluster-size histogram of the flagship assignment (the dedup
     report totals). Oracle = flagship SQL nested as a CTE + two GROUP
@@ -1834,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_representatives": _q_cluster_representatives,
         "dedup_summary": _q_dedup_summary,
         "span_dedup": _q_span_dedup,
+        "domain_top_terms": _q_domain_top_terms,
     }
 
 
@@ -2327,6 +2339,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_representatives": _cluster_representatives_oracle_sql(),
         "span_dedup": _SPAN_DEDUP_ORACLE,
+        "domain_top_terms": "WITH " + _URL_DERIVE_CANON_SQL + r"""
+            , hosts AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_extract(url_canon,
+                           '://([^/?#]*)', 1), ':\d+$', '') AS host
+                FROM canon
+            ), hostdom AS (
+                SELECT doc_id,
+                       coalesce(nullif(regexp_extract(host,
+                           '([^.]+\.[^.]+)$', 1), ''), host) AS domain
+                FROM hosts
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                           AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT h.domain, t.tok, count(*) AS n
+                FROM toks t JOIN hostdom h USING (doc_id) GROUP BY 1, 2
+            ), r AS (
+                SELECT domain, tok, n,
+                       row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY n DESC, tok ASC) AS rk
+                FROM c
+            )
+            SELECT domain, tok AS token, CAST(n AS BIGINT) AS n
+            FROM r WHERE rk <= 3
+        """,
         "dedup_summary": f"""
             WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
             sizes AS (

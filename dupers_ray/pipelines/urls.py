@@ -43,6 +43,51 @@ def url_dup_groups(
     )
 
 
+def domain_top_terms(
+    ds: "ray.data.Dataset",
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    n: int = 3,
+) -> "ray.data.Dataset":
+    """→ (domain, token, n): the top-``n`` most frequent tokens per
+    registrable domain (count desc, token asc — deterministic cutoff).
+    Per-domain vocabulary profiling, e.g. for domain-level quality
+    triage. Combiner shape: per-batch (domain, token) counts (bounded by
+    batch vocabulary) → ONE groupby of count rows → `top_per_group`
+    (itself a combiner + capped groupby). Tokens are the engine-wide
+    lowercased ``[a-z0-9_]+`` class (SQL-restatable)."""
+    from ray.data.aggregate import Sum
+
+    from dupers_ray.stages.filters import top_per_group
+    from dupers_ray.stages.textstats import _TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        t = canonical_url(batch, url_col=url_col)
+        t = registrable_domain(t, url_col="url_canon")
+        doms = t.column("domain").to_pylist()
+        texts = t.column(text_col).to_pylist()
+        c: "Counter[tuple[str, str]]" = Counter()
+        for dom, txt in zip(doms, texts):
+            if dom is not None and txt:
+                for tok in _TOKEN_RE.findall(txt.lower()):
+                    c[(dom, tok)] += 1
+        return pa.table({
+            "domain": pa.array([k[0] for k in c], pa.string()),
+            "token": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    counts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["domain", "token"]).aggregate(Sum("n", alias_name="n"))
+    return top_per_group(
+        counts, group_col="domain", by=[("n", False), ("token", True)], n=n
+    )
+
+
 def domain_rollup(
     ds: "ray.data.Dataset", *, url_col: str = "url", size_col: str | None = None,
 ) -> "ray.data.Dataset":

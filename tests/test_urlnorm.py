@@ -143,3 +143,28 @@ def test_domain_rollup(ray_session, url_docs):
     assert list(out["domain"]) == ["example.com"]
     assert int(out["n"].iloc[0]) == 60
     assert int(out["total_bytes"].iloc[0]) == int(url_docs["n_chars"].to_pandas().sum())
+
+
+def test_domain_top_terms(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import domain_top_terms
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "url": pa.array([
+            "https://a.one.com/x", "https://b.one.com/y",
+            "https://two.org/z", "https://two.org/w"], pa.string()),
+        "text": pa.array([
+            "cat cat dog", "cat bird", "fish fish fish cat", None],
+            pa.string()),
+    })
+    out = domain_top_terms(
+        rd.from_arrow(t).repartition(3), n=2
+    ).to_pandas().sort_values(["domain", "n", "token"],
+                              ascending=[True, False, True])
+    rows = list(map(tuple, out.to_numpy()))
+    # one.com: cat x3, then bird/dog tie -> bird (token asc)
+    # two.org: fish x3, cat x1
+    assert rows == [("one.com", "cat", 3), ("one.com", "bird", 1),
+                    ("two.org", "fish", 3), ("two.org", "cat", 1)]
