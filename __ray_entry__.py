@@ -665,6 +665,19 @@ def _q_cosine_pairs_lsh_fullprobe(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) at iters=0: k-means cells seeded by
+    the 8 smallest-id embeddings (SQL-reproducible), within-cell
+    keep-first prune at cosine >= 0.4 (the boundary-safe threshold the
+    cosine_pairs oracle established). Distributed Lloyd (iters>0) is
+    pytest-checked against a numpy reference in tests/test_semdedup.py."""
+    from dupers_ray.stages.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        _tbl(sf_dir, "embeddings"), n_clusters=8, threshold=0.4, iters=0
+    )
+
+
 def _q_containment_pairs(sf_dir: str):
     """Cross-doc exact substring containment (stages/containment.py):
     interior-min-shingle anchor candidates + raw-text verify. Full value
@@ -1807,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
         "embed_dup_clusters": _q_embed_dup_clusters,
         "containment_pairs": _q_containment_pairs,
+        "semantic_dedup": _q_semantic_dedup,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -1985,6 +1999,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # SemDeDup at iters=0: seed centroids = the 8 smallest-id
+        # embeddings (cell index = rank by vec_id), assignment = argmax
+        # cosine with ties to the lower cell, keep = no lower-id row in
+        # the same cell at cosine >= 0.4
+        "semantic_dedup": """
+            WITH cents AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), assign AS (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                    c.cell ASC
+                       ) AS rk
+                FROM embeddings e CROSS JOIN cents c
+            ), cellmap AS (
+                SELECT vec_id, cell FROM assign WHERE rk = 1
+            )
+            SELECT a.vec_id, a.cell,
+                   NOT EXISTS (
+                       SELECT 1
+                       FROM cellmap b
+                       JOIN embeddings eb ON eb.vec_id = b.vec_id
+                       JOIN embeddings ea ON ea.vec_id = a.vec_id
+                       WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                         AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+                   ) AS keep
+            FROM cellmap a
         """,
         # raw-substring containment; >= 7 tokens mirrors the engine's
         # k+2 interior-anchor contract (k=5 word shingles)
