@@ -678,6 +678,18 @@ def _q_semantic_dedup(sf_dir: str):
     )
 
 
+def _q_corpus_freq_stats(sf_dir: str):
+    """Per-doc corpus-frequency join-back (stages/lmstats.doc_freq_stats,
+    broadcast strategy): integer-exact unigram-LM familiarity signals
+    against the corpus-wide vocabulary. The join strategy (web-scale
+    vocab) is pytest-equal in tests/test_lmstats.py."""
+    from dupers_ray.stages.lmstats import doc_freq_stats
+
+    return doc_freq_stats(
+        _tbl(sf_dir, "documents"), strategy="broadcast"
+    )
+
+
 def _q_containment_pairs(sf_dir: str):
     """Cross-doc exact substring containment (stages/containment.py):
     interior-min-shingle anchor candidates + raw-text verify. Full value
@@ -1821,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_clusters": _q_embed_dup_clusters,
         "containment_pairs": _q_containment_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "corpus_freq_stats": _q_corpus_freq_stats,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -2030,6 +2043,33 @@ def oracle_sql() -> dict[str, str]:
                          AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
                    ) AS keep
             FROM cellmap a
+        """,
+        # corpus-frequency join-back: same [a-z0-9_]+ lower tokenizer as
+        # the engine; every doc gets one row (zeros when tokenless)
+        "corpus_freq_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                FROM documents
+            ), vocab AS (
+                SELECT token, count(*) AS n FROM toks GROUP BY token
+            ), per AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(count(DISTINCT t.token) AS BIGINT) AS n_distinct,
+                       CAST(sum(v.n) AS BIGINT) AS sum_freq,
+                       CAST(sum(CASE WHEN v.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                       CAST(min(v.n) AS BIGINT) AS min_freq
+                FROM toks t JOIN vocab v USING (token)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_tokens, 0) AS n_tokens,
+                   COALESCE(n_distinct, 0) AS n_distinct,
+                   COALESCE(sum_freq, 0) AS sum_freq,
+                   COALESCE(n_hapax, 0) AS n_hapax,
+                   COALESCE(min_freq, 0) AS min_freq
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         # raw-substring containment; >= 7 tokens mirrors the engine's
         # k+2 interior-anchor contract (k=5 word shingles)
