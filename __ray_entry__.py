@@ -745,6 +745,29 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap="30m")
 
 
+def _q_char_ranks(sf_dir: str):
+    """Exact global rank of every doc by n_chars via the broadcast
+    counting-histogram CDF (stages/sketch.global_value_ranks) — window
+    rank semantics with zero all-to-all shuffle."""
+    from dupers_ray.stages.sketch import global_value_ranks
+
+    return global_value_ranks(
+        _tbl(sf_dir, "documents"), value_col="n_chars", id_col="doc_id"
+    )
+
+
+def _q_funnel_counts(sf_dir: str):
+    """Sequential conversion funnel signup → view → click → purchase
+    (pipelines/events.funnel_counts): strictly-increasing earliest-event
+    chain per user, counted per depth."""
+    from dupers_ray.pipelines.events import funnel_counts
+
+    return funnel_counts(
+        _tbl(sf_dir, "events"),
+        steps=("signup", "view", "click", "purchase"),
+    )
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus-wide top-100 frequent tokens via per-batch combiner +
     vocabulary groupby (stages/textstats.top_tokens)."""
@@ -1837,6 +1860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
+        "funnel_counts": _q_funnel_counts,
+        "char_ranks": _q_char_ranks,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
         "top_tokens": _q_top_tokens,
@@ -2132,6 +2157,42 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        # exact global window-rank semantics, integer ppm percentile
+        "char_ranks": """
+            SELECT doc_id, n_chars,
+                   CAST(rank() OVER (ORDER BY n_chars) - 1 AS BIGINT) AS rank_lt,
+                   CAST(count(*) OVER (PARTITION BY n_chars) AS BIGINT) AS n_eq,
+                   CAST((rank() OVER (ORDER BY n_chars) - 1) * 1000000
+                        // (count(*) OVER ()) AS BIGINT) AS pct_ppm
+            FROM documents
+        """,
+        # strictly-increasing earliest-event funnel chain per user
+        "funnel_counts": """
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'view' AND e.ts > s0.t
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s0
+            UNION ALL SELECT 1, 'view', count(*) FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         """,
         "hopping_window": """
             WITH ev AS (

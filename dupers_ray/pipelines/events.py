@@ -187,3 +187,81 @@ def sessionize(
         .groupby("__part")
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    ds: "ray.data.Dataset",
+    *,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> "ray.data.Dataset":
+    """Sequential funnel: per user, t_0 = earliest ``steps[0]`` event and
+    t_i = earliest ``steps[i]`` event STRICTLY after t_{i-1}; a user
+    converts through step i iff the whole chain exists. Output: one row
+    per step, (step_idx, step, n_users) with n_users = users reaching
+    that depth.
+
+    Scale shape: the corpus is FILTERED to funnel-relevant event types
+    before the single groupby(user-hash) shuffle (funnel events are
+    typically a small fraction of the stream), then each partition runs
+    k vectorized min/merge passes (k = len(steps), no per-user Python
+    loop) and emits k count rows — the final groupby moves k rows per
+    partition."""
+    import pyarrow.compute as pc
+
+    k = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(type_col), value_set=pa.array(list(steps)))
+        t = t.filter(mask)
+        typ = t.column(type_col).to_pylist()
+        idx = np.fromiter((step_of[s] for s in typ), np.int64, len(typ))
+        users = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: pa.array(users),
+            "step_idx": pa.array(idx),
+            "ts_us": pa.array(ts),
+            "__part": pa.array((users.astype(np.uint64) % np.uint64(64)).astype(np.int64)),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(k, np.int64)
+        if len(g):
+            t_prev = (
+                g[g["step_idx"] == 0].groupby(key_col)["ts_us"].min()
+            )
+            counts[0] = len(t_prev)
+            for i in range(1, k):
+                if not len(t_prev):
+                    break
+                sub = g[g["step_idx"] == i]
+                tp = sub[key_col].map(t_prev)
+                ok = sub["ts_us"] > tp  # NaN (no prior step) compares False
+                t_prev = sub[ok].groupby(key_col)["ts_us"].min()
+                counts[i] = len(t_prev)
+        return pd.DataFrame({"step_idx": np.arange(k, dtype=np.int64),
+                             "n_users": counts})
+
+    partials = (
+        ds.select_columns([ts_col, key_col, type_col])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    final = partials.groupby("step_idx").sum("n_users")
+
+    names = pa.array(list(steps), pa.string())
+
+    def finish(t: pa.Table) -> pa.Table:
+        idx = t.column("step_idx").cast(pa.int64())
+        return pa.table({
+            "step_idx": idx,
+            "step": names.take(idx),
+            "n_users": t.column("sum(n_users)").cast(pa.int64()),
+        })
+
+    return final.map_batches(finish, batch_format="pyarrow")

@@ -252,3 +252,66 @@ def grouped_quantiles_disc(
         return pd.DataFrame(row)
 
     return parts.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def global_value_ranks(
+    ds,
+    *,
+    value_col: str,
+    id_col: str = "doc_id",
+):
+    """Exact GLOBAL rank of every row by ``value_col``, joined back to the
+    rows without any all-to-all shuffle: a counting-histogram combiner
+    (distinct values per block, same contract as grouped_quantiles_disc —
+    quantize unbounded-cardinality columns first) feeds one tiny
+    ``groupby(value).sum``; the driver cumsums the histogram and
+    broadcasts (values, cum_below, count) via ``ray.put``; ONE streaming
+    pass then ranks each row by searchsorted lookup.
+
+    Output per row: (id, value, rank_lt = rows strictly below, n_eq =
+    rows tying this value, pct_ppm = floor(rank_lt * 1e6 / total)) — all
+    int64-exact, matching SQL ``rank() OVER (ORDER BY v) - 1`` /
+    ``count(*) OVER (PARTITION BY v)`` semantics."""
+    import ray
+
+    parts = ds.select_columns([value_col]).map_batches(
+        lambda t: t.group_by([value_col]).aggregate([([], "count_all")])
+        .rename_columns([value_col, "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    hist = parts.groupby(value_col).sum("cnt")
+    rows = [ray.get(r) for r in hist.to_arrow_refs()]
+    rows = [t for t in rows if t.num_rows]
+    if rows:
+        h = pa.concat_tables(rows)
+        vals = h.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = h.column(f"sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        below = np.r_[0, np.cumsum(cnts)[:-1]]
+        total = int(cnts.sum())
+    else:
+        vals = np.empty(0, np.int64)
+        cnts = below = vals
+        total = 0
+    ref = ray.put((vals, cnts, below, total))
+
+    def rank(t: pa.Table) -> pa.Table:
+        vals_, cnts_, below_, total_ = ray.get(ref)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(vals_, v)
+        rank_lt = below_[idx]
+        n_eq = cnts_[idx]
+        pct = rank_lt * np.int64(1_000_000) // np.int64(max(total_, 1))
+        return pa.table({
+            id_col: pa.array(ids),
+            value_col: pa.array(v),
+            "rank_lt": pa.array(rank_lt),
+            "n_eq": pa.array(n_eq),
+            "pct_ppm": pa.array(pct),
+        })
+
+    return ds.select_columns([id_col, value_col]).map_batches(
+        rank, batch_format="pyarrow", zero_copy_batch=True
+    )

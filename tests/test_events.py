@@ -116,3 +116,73 @@ def test_hopping_window_rejects_nonmultiple(ray_session):
 
     with pytest.raises(ValueError, match="multiple"):
         hopping_window_agg(rd.range(1), window="1h", hop="7m")
+
+
+def _funnel_events(n_users=80, seed=11):
+    """Random event stream with known funnel truth computed by brute force."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    types = ["signup", "view", "click", "purchase", "error"]
+    eid = 0
+    for u in range(n_users):
+        for _ in range(rng.integers(0, 12)):
+            rows.append((eid, int(rng.integers(0, 10_000_000)), u,
+                         types[rng.integers(0, len(types))]))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    return tbl, rows
+
+
+def _brute_funnel(rows, steps):
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for _, ts, u, typ in rows:
+        by_user.setdefault(u, []).append((ts, typ))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        t_prev = None
+        for i, s in enumerate(steps):
+            cand = [ts for ts, typ in evs
+                    if typ == s and (t_prev is None or ts > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_counts_matches_bruteforce():
+    from dupers_ray.pipelines.events import funnel_counts
+
+    steps = ("signup", "view", "click", "purchase")
+    tbl, rows = _funnel_events()
+    out = (
+        funnel_counts(rd.from_arrow(tbl).repartition(5), steps=steps)
+        .to_pandas().sort_values("step_idx").reset_index(drop=True)
+    )
+    exp = _brute_funnel(rows, steps)
+    assert out["step"].tolist() == list(steps)
+    assert out["n_users"].tolist() == exp
+    # funnel counts are monotone non-increasing by construction
+    assert (np.diff(out["n_users"].to_numpy()) <= 0).all()
+
+
+def test_funnel_counts_strict_ordering():
+    from dupers_ray.pipelines.events import funnel_counts
+
+    # same-timestamp view does NOT count (strictly-after semantics)
+    tbl = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([100, 100, 100, 200], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["signup", "view", "signup", "view"], pa.string()),
+    })
+    out = (
+        funnel_counts(rd.from_arrow(tbl), steps=("signup", "view"))
+        .to_pandas().sort_values("step_idx")
+    )
+    assert out["n_users"].tolist() == [2, 1]

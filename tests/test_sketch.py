@@ -109,3 +109,28 @@ def test_bloom_no_false_negatives_and_merge(ray_session):
     assert miss.sum() < 20
     # retry idempotence: OR-ing the filter with itself changes nothing
     assert np.array_equal(bm | solo, bm)
+
+
+def test_global_value_ranks_matches_pandas():
+    import pandas as pd
+    import ray.data as rd
+    from dupers_ray.stages.sketch import global_value_ranks
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 40, 500)  # heavy ties
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(500), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    out = (
+        global_value_ranks(rd.from_arrow(tbl).repartition(6),
+                           value_col="n_chars")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    df = pd.DataFrame({"doc_id": np.arange(500), "n_chars": vals})
+    exp_rank = df["n_chars"].rank(method="min").astype("int64") - 1
+    exp_eq = df.groupby("n_chars")["n_chars"].transform("size").astype("int64")
+    assert (out["rank_lt"].to_numpy() == exp_rank.to_numpy()).all()
+    assert (out["n_eq"].to_numpy() == exp_eq.to_numpy()).all()
+    assert (out["pct_ppm"].to_numpy()
+            == exp_rank.to_numpy() * 1_000_000 // 500).all()
