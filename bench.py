@@ -182,6 +182,21 @@ def run_bench() -> dict:
 
     timed("topk_cosine_embeddings", topk_embeddings)
 
+    # round-2 session ops: vocabulary join-back over the 600k pages corpus
+    # (tokenize + broadcast-CDF lookup throughput), event funnel, SemDeDup
+    from dupers_ray.pipelines.events import funnel_counts
+    from dupers_ray.stages.lmstats import doc_freq_stats
+    from dupers_ray.stages.semdedup import semantic_dedup
+
+    timed("corpus_freq_pages", lambda: doc_freq_stats(
+        rd.read_parquet(pages_path, columns=["url", "text"]),
+        id_col="url", strategy="broadcast").count())
+    timed("funnel_events", lambda: funnel_counts(
+        rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))).count())
+    timed("semantic_dedup_embeddings", lambda: semantic_dedup(
+        rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+        n_clusters=32, threshold=0.7, iters=2).count())
+
     headline_sec = queries["dupe_pages"]
     result = {
         "metric": "dupe_pipeline_pages_sec",

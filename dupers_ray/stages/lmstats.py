@@ -70,7 +70,7 @@ def _doc_tokens(texts: list, ids: np.ndarray):
 
 
 def _batch_stats(th: np.ndarray, lens: np.ndarray, freqs: np.ndarray,
-                 ids: np.ndarray) -> pa.Table:
+                 ids: np.ndarray, id_col: str = "doc_id") -> pa.Table:
     """Per-doc aggregates from flat per-token frequency values: one
     reduceat pass per stat, no Python per-doc loop."""
     n = len(ids)
@@ -91,7 +91,7 @@ def _batch_stats(th: np.ndarray, lens: np.ndarray, freqs: np.ndarray,
         newtok = np.r_[True, (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])]
         n_distinct = np.bincount(ds_[newtok], minlength=n).astype(np.int64)
     return pa.table({
-        "doc_id": pa.array(ids),
+        id_col: pa.array(ids),
         "n_tokens": pa.array(lens),
         "n_distinct": pa.array(n_distinct),
         "sum_freq": pa.array(sum_freq),
@@ -136,12 +136,12 @@ def doc_freq_stats(
 
         def f(t: pa.Table) -> pa.Table:
             vh_, vn_ = ray.get(ref)
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
             th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
             freqs = (
                 vn_[np.searchsorted(vh_, th)] if len(th) else np.empty(0, np.int64)
             )
-            return _batch_stats(th, lens, freqs, ids)
+            return _batch_stats(th, lens, freqs, ids, id_col)
 
         return ds.select_columns([id_col, text_col]).map_batches(
             f, batch_format="pyarrow", zero_copy_batch=True
@@ -154,7 +154,7 @@ def doc_freq_stats(
     from dupers_ray.pipelines.joins import cogroup_join
 
     def doc_tf(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
         doc_idx = np.repeat(np.arange(len(ids)), lens)
         if len(th):
@@ -195,7 +195,7 @@ def doc_freq_stats(
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         nn = t.column("n").to_numpy(zero_copy_only=False)
         nn = np.where(np.isnan(nn.astype(np.float64)), 0, nn).astype(np.int64) \
@@ -211,7 +211,7 @@ def doc_freq_stats(
 
         ones = np.ones(len(tf), np.int64)
         out = {
-            "doc_id": uids,
+            id_col: uids,
             "n_tokens": isum(slice(None), tf),
             "n_distinct": isum(real, ones),
             "sum_freq": isum(slice(None), tf * nn),
@@ -228,7 +228,7 @@ def doc_freq_stats(
         import pandas as pd
 
         df = g.to_pandas()
-        agg = df.groupby("doc_id", sort=True).agg(
+        agg = df.groupby(id_col, sort=True).agg(
             n_tokens=("n_tokens", "sum"), n_distinct=("n_distinct", "sum"),
             sum_freq=("sum_freq", "sum"), n_hapax=("n_hapax", "sum"),
             min_freq=("min_freq", "min"),
@@ -237,4 +237,4 @@ def doc_freq_stats(
         agg.loc[agg["min_freq"] == sent, "min_freq"] = 0
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return partials.groupby("doc_id").map_groups(final, batch_format="pyarrow")
+    return partials.groupby(id_col).map_groups(final, batch_format="pyarrow")
