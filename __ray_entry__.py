@@ -678,6 +678,15 @@ def _q_semantic_dedup(sf_dir: str):
     )
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source duplicate overlap matrix over prefix-40 digests
+    (pipelines/overlap.source_overlap) — which sources duplicate which,
+    as within-source C(n,2) and cross-source n*m pair counts."""
+    from dupers_ray.pipelines.overlap import source_overlap
+
+    return source_overlap(_tbl(sf_dir, "documents"), trunc=40)
+
+
 def _q_corpus_freq_stats(sf_dir: str):
     """Per-doc corpus-frequency join-back (stages/lmstats.doc_freq_stats,
     broadcast strategy): integer-exact unigram-LM familiarity signals
@@ -786,6 +795,42 @@ def _q_sample_hash(sf_dir: str):
         sample_hash, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"percent": 7},
     )
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic PPS (probability ∝ n_chars) Poisson sample
+    (stages/filters.weighted_sample) — all-integer inclusion rule, same
+    splitmix64 chain as sample_hash."""
+    from dupers_ray.stages.filters import weighted_sample
+
+    return _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "source", "n_chars"]
+    ).map_batches(
+        weighted_sample, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _weighted_sample_oracle_sql() -> str:
+    """splitmix64 chain over doc_id + PPS threshold min(n_chars*64, 2^20)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH sm AS (
+            SELECT doc_id, source, n_chars,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars FROM sm
+        WHERE h % 1048576 < LEAST(n_chars * 64, 1048576)
+    """
 
 
 def _sample_hash_oracle_sql() -> str:
@@ -1857,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "corpus_freq_stats": _q_corpus_freq_stats,
+        "source_overlap": _q_source_overlap,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -1866,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_window_pairs": _q_purchase_window_pairs,
         "top_tokens": _q_top_tokens,
         "sample_hash": _q_sample_hash,
+        "weighted_sample": _q_weighted_sample,
         "distinct_tokens": _q_distinct_tokens,
         "hll_registers": _q_hll_registers,
         "decontam_clean": _q_decontam_clean,
@@ -2069,6 +2116,27 @@ def oracle_sql() -> dict[str, str]:
                    ) AS keep
             FROM cellmap a
         """,
+        # duplicate-pair counts per source pair: C(n,2) within a source,
+        # n*m across two sources, prefix-40 digests (real dup groups at
+        # small sf), zero-pair rows dropped on both sides
+        "source_overlap": """
+            WITH d AS (
+                SELECT source, sha256(substr(text, 1, 40)) AS dg
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ), c AS (
+                SELECT dg, source, count(*) AS n FROM d GROUP BY dg, source
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(sum(CASE WHEN a.source = b.source
+                                 THEN a.n * (a.n - 1) // 2
+                                 ELSE a.n * b.n END) AS BIGINT) AS n_pairs
+            FROM c a JOIN c b ON a.dg = b.dg AND a.source <= b.source
+            GROUP BY a.source, b.source
+            HAVING sum(CASE WHEN a.source = b.source
+                            THEN a.n * (a.n - 1) // 2
+                            ELSE a.n * b.n END) > 0
+        """,
         # corpus-frequency join-back: same [a-z0-9_]+ lower tokenizer as
         # the engine; every doc gets one row (zeros when tokenless)
         "corpus_freq_stats": r"""
@@ -2233,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         "sample_hash": _sample_hash_oracle_sql(),
+        "weighted_sample": _weighted_sample_oracle_sql(),
         "distinct_tokens": r"""
             SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_distinct FROM (
                 SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token

@@ -1,0 +1,118 @@
+"""Cross-source duplicate overlap matrix: for every (source_a, source_b)
+pair, how many exact-duplicate DOC PAIRS span them.
+
+The reference reports duplicates as a flat listing (print-join,
+pkg/dupe/dupe.go:919-931); at web scale the first question about a crawl
+is *which feeds duplicate which* — a sources x sources matrix driving
+crawl scheduling / source pruning. Engine-new rollup over the same
+digest machinery as exact dedup (stages/digest).
+
+Scale shape: per-batch (digest, source, n) combiner rows → ONE
+groupby(digest-hash partition) of count rows (vocabulary-of-digests
+sized, never the corpus) → per-PARTITION vectorized segment pair
+expansion (sorted (digest, source) runs + triangular index arithmetic —
+no per-distinct-digest Python call, the failure mode exact_dedup.py's
+header rules out) → tiny final groupby((source_a, source_b)).sum.
+Pair math: within one source C(n,2), across two sources n_a * n_b.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from dupers_ray.stages.digest import add_digests, drop_empty
+
+_PARTITIONS = 256
+
+
+def _pair_rows(df: pd.DataFrame, group_col: str) -> pd.DataFrame:
+    """All (i <= j) source pairs per digest segment, vectorized.
+    ``df`` holds fully-combined (digest, source, n) rows; rows are sorted
+    by (digest, source) so emitted pairs satisfy source_a <= source_b
+    (lexicographic — the SQL oracle's comparison)."""
+    if not len(df):
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    dg = df["digest"].to_numpy()
+    src = df[group_col].to_numpy()
+    cnt = df["n"].to_numpy(dtype=np.int64)
+    m = len(dg)
+    new = np.r_[True, dg[1:] != dg[:-1]]
+    seg = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, m])
+    rank = np.arange(m) - starts[seg]
+    per_row = sizes[seg] - rank  # pairs where this row is the lower side (incl self)
+    total = int(per_row.sum())
+    left = np.repeat(np.arange(m), per_row)
+    csum = np.r_[0, np.cumsum(per_row)]
+    right = np.arange(total) - csum[left] + left
+    n = np.where(left == right,
+                 cnt[left] * (cnt[left] - 1) // 2,
+                 cnt[left] * cnt[right])
+    keep = n > 0
+    out = pd.DataFrame({"source_a": src[left[keep]],
+                        "source_b": src[right[keep]],
+                        "n_pairs": n[keep]})
+    # per-partition combiner: collapse repeated pairs before the shuffle
+    return (out.groupby(["source_a", "source_b"], sort=False)["n_pairs"]
+               .sum().reset_index())
+
+
+def source_overlap(
+    ds: "ray.data.Dataset",
+    *,
+    content_col: str = "text",
+    group_col: str = "source",
+    trunc: int | None = None,
+) -> "ray.data.Dataset":
+    """(source_a, source_b, n_pairs) with source_a <= source_b and
+    n_pairs > 0: exact-duplicate doc pairs within/between sources.
+    ``trunc`` digests only the first N chars (test corpora have no
+    full-text dups; mirrors exact_pairs_trunc)."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = drop_empty(t, content_col=content_col)
+        if trunc is not None:
+            import pyarrow.compute as pc
+
+            t = t.set_column(
+                t.schema.get_field_index(content_col), content_col,
+                pc.utf8_slice_codeunits(t.column(content_col), 0, trunc),
+            )
+        t = add_digests(t, content_col=content_col)
+        g = (
+            t.select(["digest", "digest_u64", group_col])
+            .group_by(["digest", "digest_u64", group_col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["digest", "digest_u64", group_col, "n"])
+        part = np.asarray(g.column("digest_u64"), dtype=np.uint64)
+        return g.drop_columns(["digest_u64"]).append_column(
+            "__part", pa.array((part % np.uint64(_PARTITIONS)).astype(np.int64))
+        )
+
+    parts = ds.select_columns([content_col, group_col]).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # fold cross-batch partials for this digest-hash partition, then
+        # one vectorized pair expansion over the sorted runs
+        agg = (g.groupby(["digest", group_col], sort=True)["n"]
+                .sum().reset_index())
+        return _pair_rows(agg, group_col)
+
+    pair_parts = parts.groupby("__part").map_groups(
+        per_part, batch_format="pandas"
+    )
+    final = pair_parts.groupby(["source_a", "source_b"]).sum("n_pairs")
+    return final.map_batches(
+        lambda t: t.rename_columns(["source_a", "source_b", "n_pairs"]),
+        batch_format="pyarrow",
+    )

@@ -117,6 +117,28 @@ def sample_hash(
     return batch.filter(pa.array(keep))
 
 
+def weighted_sample(
+    batch: pa.Table, *, id_col: str = "doc_id", weight_col: str = "n_chars",
+    rate_num: int = 64, denom_bits: int = 20, salt: int = 0,
+) -> pa.Table:
+    """Deterministic probability-proportional-to-size (Poisson/PPS)
+    sample: keep rows where ``splitmix64(id ^ salt) % 2^denom_bits <
+    min(weight * rate_num, 2^denom_bits)`` — inclusion probability
+    ``min(1, weight * rate_num / 2^denom_bits)``, all-integer so the SQL
+    oracle reproduces it bit-exactly. Shuffle-free and restart-stable
+    like :func:`sample_hash`; change ``salt`` for an independent draw."""
+    import numpy as np
+
+    from dupers_ray.functions.hashing import splitmix64
+
+    ids = np.asarray(batch.column(id_col), dtype=np.uint64)
+    w = np.asarray(batch.column(weight_col), dtype=np.int64)
+    denom = np.int64(1) << np.int64(denom_bits)
+    thresh = np.minimum(w * np.int64(rate_num), denom).astype(np.uint64)
+    keep = (splitmix64(ids ^ np.uint64(salt)) % np.uint64(denom)) < thresh
+    return batch.filter(pa.array(keep))
+
+
 def cap_per_group(
     ds: "ray.data.Dataset", *, group_col: str, order_col: str, n: int,
 ) -> "ray.data.Dataset":

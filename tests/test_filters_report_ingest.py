@@ -174,3 +174,52 @@ def test_display_formatting_parity():
     out = format_report(t)
     assert out.column("warc_ts_fmt").to_pylist() == ["02 Jan 2006 15:04"]
     assert out.column("n_chars_fmt").to_pylist() == ["1.5 kB"]
+
+
+def test_weighted_sample_probability_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.filters import weighted_sample
+
+    n = 20_000
+    w = np.full(n, 4096, np.int64)  # p = 4096*64/2^20 = 0.25
+    w[:1000] = 0                    # zero weight -> never sampled
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(w),
+    })
+    out = (
+        rd.from_arrow(tbl).repartition(4)
+        .map_batches(weighted_sample, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    assert (out["n_chars"] > 0).all()
+    frac = len(out) / (n - 1000)
+    assert abs(frac - 0.25) < 0.02
+    # deterministic: second run identical; different salt differs
+    out2 = (
+        rd.from_arrow(tbl)
+        .map_batches(weighted_sample, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    out3 = (
+        rd.from_arrow(tbl)
+        .map_batches(weighted_sample, batch_format="pyarrow",
+                     zero_copy_batch=True, fn_kwargs={"salt": 1})
+        .to_pandas()
+    )
+    assert sorted(out["doc_id"]) != sorted(out3["doc_id"])
+    # saturating weight -> probability clamps at 1
+    big = pa.table({
+        "doc_id": pa.array(np.arange(100), pa.int64()),
+        "n_chars": pa.array(np.full(100, 1 << 20, np.int64)),
+    })
+    kept = rd.from_arrow(big).map_batches(
+        weighted_sample, batch_format="pyarrow", zero_copy_batch=True
+    ).count()
+    assert kept == 100
