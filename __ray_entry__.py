@@ -687,6 +687,43 @@ def _q_source_overlap(sf_dir: str):
     return source_overlap(_tbl(sf_dir, "documents"), trunc=40)
 
 
+def _invindex_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir, cached in /tmp) the hive-partitioned token
+    index the indexed_search queries read from."""
+    import hashlib as _h
+
+    from dupers_ray.pipelines.invindex import build_token_index
+
+    slug = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/dupers_ray_invindex/{slug}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        build_token_index(_tbl(sf_dir, "documents"), out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _q_indexed_search_all(sf_dir: str):
+    """Whole-token AND search served from the inverted index
+    (pipelines/invindex): only the query terms' hash partitions are
+    read — prune-at-the-read vs the reference's full linear scan
+    (pkg/database/database.go:373-447)."""
+    from dupers_ray.pipelines.invindex import indexed_token_search
+
+    return indexed_token_search(_invindex_dir(sf_dir), ["join", "data"])
+
+
+def _q_indexed_search_any(sf_dir: str):
+    """OR variant of indexed_search_all (same index, >=1 matched-term
+    posting per doc)."""
+    from dupers_ray.pipelines.invindex import indexed_token_search
+
+    return indexed_token_search(
+        _invindex_dir(sf_dir), ["join", "data"], mode="any"
+    )
+
+
 def _q_corpus_freq_stats(sf_dir: str):
     """Per-doc corpus-frequency join-back (stages/lmstats.doc_freq_stats,
     broadcast strategy): integer-exact unigram-LM familiarity signals
@@ -1903,6 +1940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_freq_stats": _q_corpus_freq_stats,
         "source_overlap": _q_source_overlap,
+        "indexed_search_all": _q_indexed_search_all,
+        "indexed_search_any": _q_indexed_search_any,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -2136,6 +2175,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN a.source = b.source
                             THEN a.n * (a.n - 1) // 2
                             ELSE a.n * b.n END) > 0
+        """,
+        # whole-token search (same tokenizer contract as the index build)
+        "indexed_search_all": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'join')
+              AND list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'data')
+        """,
+        "indexed_search_any": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'join')
+               OR list_contains(regexp_extract_all(lower(text), '[a-z0-9_]+'), 'data')
         """,
         # corpus-frequency join-back: same [a-z0-9_]+ lower tokenizer as
         # the engine; every doc gets one row (zeros when tokenless)
