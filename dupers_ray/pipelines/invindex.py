@@ -33,20 +33,16 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from dupers_ray.functions.hashing import hash_str_u64
-from dupers_ray.stages.textstats import _TOKEN_RE
 
 DEFAULT_PARTITIONS = 64
 
 
 def _postings(t: pa.Table, *, id_col: str, text_col: str, partitions: int) -> pa.Table:
+    from dupers_ray.stages.lmstats import _doc_tokens
+
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
-    toks: list[str] = []
-    lens = np.empty(len(ids), np.int64)
-    for i, txt in enumerate(t.column(text_col).to_pylist()):
-        w = _TOKEN_RE.findall(txt.lower()) if txt else []
-        lens[i] = len(w)
-        toks.extend(w)
-    th = hash_str_u64(toks)
+    # md5 per DISTINCT token (factorize interning inside _doc_tokens)
+    th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
     doc_idx = np.repeat(np.arange(len(ids)), lens)
     if len(th):
         order = np.lexsort((th, doc_idx))

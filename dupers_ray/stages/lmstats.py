@@ -59,14 +59,20 @@ def corpus_vocab(ds: "ray.data.Dataset", *, text_col: str = "text"):
 def _doc_tokens(texts: list, ids: np.ndarray):
     """Tokenize a batch: flat (hash:u64, doc-offset) arrays + per-doc
     counts. Per-row regex loop is inherent (same contract as textstats);
-    hashing and everything downstream is vectorized."""
+    md5 runs once per DISTINCT token via factorize interning (the
+    hash_str_u64 contract), everything downstream is vectorized."""
+    import pandas as pd
+
     toks: list[str] = []
     lens = np.empty(len(texts), np.int64)
     for i, t in enumerate(texts):
         w = _TOKEN_RE.findall(t.lower()) if t else []
         lens[i] = len(w)
         toks.extend(w)
-    return hash_str_u64(toks), lens
+    if not toks:
+        return np.empty(0, np.uint64), lens
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    return hash_str_u64(list(uniq))[codes], lens
 
 
 def _batch_stats(th: np.ndarray, lens: np.ndarray, freqs: np.ndarray,
@@ -114,9 +120,11 @@ def doc_freq_stats(
     numerator), ``n_hapax`` = occurrences whose token appears exactly once
     corpus-wide, ``min_freq`` = rarest token's global count (0 for empty
     docs). Every input row gets exactly one output row."""
-    vocab = corpus_vocab(ds, text_col=text_col)
+    # materialize: the vocab table is consumed 2-3x (schema probe,
+    # count, payload collect) — without this the whole tokenize+groupby
+    # sub-DAG re-executes per consumer (measured 2x at 600k docs)
+    vocab = corpus_vocab(ds, text_col=text_col).materialize()
     if strategy == "auto":
-        vocab = vocab.materialize()  # consumed for count + payload
         strategy = "broadcast" if vocab.count() <= broadcast_limit else "join"
 
     if strategy == "broadcast":
