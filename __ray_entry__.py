@@ -724,6 +724,46 @@ def _q_indexed_search_any(sf_dir: str):
     )
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Added/removed/changed rows between two corpus snapshots
+    (pipelines/diff.snapshot_diff): the 'new' snapshot is derived
+    deterministically from documents — doc_id%7==0 dropped (removed),
+    doc_id%5==0 text suffixed (changed), doc_id%11==0 cloned at
+    doc_id+1000000 (added) — and the oracle derives the identical
+    snapshot in SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.diff import snapshot_diff
+
+    old = _tbl(sf_dir, "documents")
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        text = t.column("text")
+        changed = pc.if_else(
+            pa.array(ids % 5 == 0),
+            pc.binary_join_element_wise(text, pa.scalar("v2"), pa.scalar(" ")),
+            text,
+        )
+        base = pa.table({"doc_id": pa.array(ids), "text": changed}).filter(
+            pa.array(ids % 7 != 0)
+        )
+        add_mask = pa.array(ids % 11 == 0)
+        added = pa.table({
+            "doc_id": pa.array(ids + 1_000_000),
+            "text": pc.binary_join_element_wise(text, pa.scalar("new"),
+                                                pa.scalar(" ")),
+        }).filter(add_mask)
+        return pa.concat_tables([base, added])
+
+    new = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return snapshot_diff(old, new)
+
+
 def _q_corpus_freq_stats(sf_dir: str):
     """Per-doc corpus-frequency join-back (stages/lmstats.doc_freq_stats,
     broadcast strategy): integer-exact unigram-LM familiarity signals
@@ -1942,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "indexed_search_all": _q_indexed_search_all,
         "indexed_search_any": _q_indexed_search_any,
+        "snapshot_diff": _q_snapshot_diff,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -2175,6 +2216,31 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN a.source = b.source
                             THEN a.n * (a.n - 1) // 2
                             ELSE a.n * b.n END) > 0
+        """,
+        # snapshot diff: the SAME derived 'new' snapshot as the engine
+        # query, compared by sha256 over the non-empty-text contract
+        "snapshot_diff": """
+            WITH oldt AS (
+                SELECT doc_id, sha256(text) AS dg FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ), newt_rows AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+                FROM documents WHERE doc_id % 11 = 0
+            ), newt AS (
+                SELECT doc_id, sha256(text) AS dg FROM newt_rows
+                WHERE text IS NOT NULL AND length(text) > 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.dg <> n.dg
         """,
         # whole-token search (same tokenizer contract as the index build)
         "indexed_search_all": r"""
