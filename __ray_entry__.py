@@ -724,6 +724,16 @@ def _q_indexed_search_any(sf_dir: str):
     )
 
 
+def _q_rare_terms(sf_dir: str):
+    """Integer-exact TF-IDF keyword extraction (stages/lmstats
+    .doc_rare_terms): per doc the 3 most distinctive tokens ordered by
+    (df ASC, tf DESC, token ASC) — float-free so the window-rank oracle
+    reproduces it bit-exactly."""
+    from dupers_ray.stages.lmstats import doc_rare_terms
+
+    return doc_rare_terms(_tbl(sf_dir, "documents"), k=3)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Added/removed/changed rows between two corpus snapshots
     (pipelines/diff.snapshot_diff): the 'new' snapshot is derived
@@ -1983,6 +1993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_search_all": _q_indexed_search_all,
         "indexed_search_any": _q_indexed_search_any,
         "snapshot_diff": _q_snapshot_diff,
+        "rare_terms": _q_rare_terms,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -2216,6 +2227,29 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN a.source = b.source
                             THEN a.n * (a.n - 1) // 2
                             ELSE a.n * b.n END) > 0
+        """,
+        # float-free TF-IDF ranking: (df asc, tf desc, token asc) top-3
+        "rare_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), ranked AS (
+                SELECT t.doc_id, t.token, t.tf, d.df,
+                       row_number() OVER (
+                           PARTITION BY t.doc_id
+                           ORDER BY d.df ASC, t.tf DESC, t.token ASC
+                       ) AS rk
+                FROM tf t JOIN df d USING (token)
+            )
+            SELECT doc_id, CAST(rk AS BIGINT) AS rk, token,
+                   CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf
+            FROM ranked WHERE rk <= 3
         """,
         # snapshot diff: the SAME derived 'new' snapshot as the engine
         # query, compared by sha256 over the non-empty-text contract

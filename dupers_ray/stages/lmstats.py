@@ -246,3 +246,98 @@ def doc_freq_stats(
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     return partials.groupby(id_col).map_groups(final, batch_format="pyarrow")
+
+
+def corpus_doc_freqs(ds: "ray.data.Dataset", *, text_col: str = "text"):
+    """(token, df) document frequencies — per-batch combiner counting each
+    token ONCE PER DOC, then one vocabulary-row groupby."""
+    from collections import Counter
+
+    def part(t: pa.Table) -> pa.Table:
+        c: "Counter[str]" = Counter()
+        for txt in t.column(text_col).to_pylist():
+            if txt:
+                c.update(set(_TOKEN_RE.findall(txt.lower())))
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "df": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = ds.map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("token").sum("df")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["token", "df"]), batch_format="pyarrow"
+    )
+
+
+def doc_rare_terms(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Integer-exact keyword extraction: per doc, the ``k`` most
+    distinctive tokens ordered by (corpus document-frequency ASC,
+    in-doc term-frequency DESC, token ASC) — the TF-IDF ranking without
+    floats, so the SQL oracle reproduces it bit-exactly. Output:
+    (id, rk 1..k, token, df, tf).
+
+    Shape: the df table builds like corpus_vocab (combiner + one
+    vocabulary groupby) and broadcasts as sorted (hash, df) arrays; the
+    scoring pass streams once with a per-batch pandas sort + head(k) —
+    no per-doc Python loop, no shuffle of doc rows."""
+    import pandas as pd
+
+    dfreq = corpus_doc_freqs(ds, text_col=text_col).materialize()
+    parts = [ray.get(r) for r in dfreq.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        vt = pa.concat_tables(parts)
+        vh = hash_str_u64(vt.column("token").to_pylist())
+        vd = vt.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vh)
+        vh, vd = vh[order], vd[order]
+    else:
+        vh, vd = np.empty(0, np.uint64), np.empty(0, np.int64)
+    ref = ray.put((vh, vd))
+
+    def score(t: pa.Table) -> pa.Table:
+        vh_, vd_ = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        rows_id, rows_tok, rows_tf = [], [], []
+        for i, txt in enumerate(t.column(text_col).to_pylist()):
+            w = _TOKEN_RE.findall(txt.lower()) if txt else []
+            if not w:
+                continue
+            uniq, cnt = np.unique(np.asarray(w, dtype=object),
+                                  return_counts=True)
+            rows_id.extend([ids[i]] * len(uniq))
+            rows_tok.extend(uniq)
+            rows_tf.extend(cnt)
+        if not rows_tok:
+            return pa.table({
+                id_col: pa.array([], pa.int64()), "rk": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            })
+        th = hash_str_u64(list(rows_tok))
+        df_ = vd_[np.searchsorted(vh_, th)]
+        frame = pd.DataFrame({
+            id_col: rows_id, "token": rows_tok,
+            "tf": np.asarray(rows_tf, np.int64), "df": df_,
+        })
+        frame = frame.sort_values(
+            [id_col, "df", "tf", "token"],
+            ascending=[True, True, False, True], kind="mergesort",
+        )
+        top = frame.groupby(id_col, sort=False).head(k).copy()
+        top["rk"] = top.groupby(id_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            top[[id_col, "rk", "token", "df", "tf"]], preserve_index=False
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -83,3 +83,38 @@ def test_corpus_vocab_counts():
     assert v["the"] == 6
     assert v["zyzzyva"] == 1
     assert v["123"] == 1
+
+
+def test_doc_rare_terms_matches_bruteforce():
+    import re
+    from collections import Counter
+
+    from dupers_ray.stages.lmstats import doc_rare_terms
+
+    texts = [
+        "common common rare1 common shared",
+        "common shared rare2 rare2",
+        "common common common",
+        "", None,
+        "zzz aaa zzz",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = doc_rare_terms(ds, k=2).to_pandas().sort_values(
+        ["doc_id", "rk"]).reset_index(drop=True)
+
+    tok = re.compile(r"[a-z0-9_]+")
+    docs = [tok.findall((t or "").lower()) for t in texts]
+    df = Counter()
+    for d in docs:
+        df.update(set(d))
+    exp = []
+    for i, d in enumerate(docs):
+        tf = Counter(d)
+        ranked = sorted(tf, key=lambda w: (df[w], -tf[w], w))[:2]
+        for rk, w in enumerate(ranked, 1):
+            exp.append((i, rk, w, df[w], tf[w]))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp
