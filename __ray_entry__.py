@@ -724,6 +724,21 @@ def _q_indexed_search_any(sf_dir: str):
     )
 
 
+def _q_cms_registers(sf_dir: str):
+    """Count-Min sketch of corpus token frequencies — the full 4x256
+    register table value-oracled (same technique as hll_registers /
+    bloom_stats: the sketch is pure integers under md5-u64 +
+    Kirsch-Mitzenmacher hashing, so SQL reproduces every cell)."""
+    import ray.data as _rd
+
+    from dupers_ray.stages.sketch import cms_register_table, cms_token_counts
+
+    grid = cms_token_counts(
+        _tbl(sf_dir, "documents").select_columns(["text"]), d=4, w=256
+    )
+    return _rd.from_arrow(cms_register_table(grid))
+
+
 def _q_rare_terms(sf_dir: str):
     """Integer-exact TF-IDF keyword extraction (stages/lmstats
     .doc_rare_terms): per doc the 3 most distinctive tokens ordered by
@@ -1672,6 +1687,52 @@ def _q_bloom_stats(sf_dir: str):
     )
 
 
+def _cms_oracle_sql() -> str:
+    """SQL restatement of the Count-Min kernel: per-token corpus counts,
+    h1 = md5-u64, h2 = splitmix64(h1) | 1, cell (r, (h1 + r*h2) mod 2^64
+    mod w) accumulates the token's count; all 4x256 cells emitted."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    sm_chain = f"""
+                   ((h1::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   (xor(x4, x4 >> 31) | 1::UBIGINT) AS h2"""
+    pos = (
+        f"(((h1::UHUGEINT + j::UHUGEINT * h2::UHUGEINT) % {_MOD64})"
+        f"::UBIGINT % 256)"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), tc AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+        ), th AS (
+            SELECT n, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h1,
+                   {sm_chain}
+            FROM tc
+        ), cells AS (
+            SELECT CAST(j AS BIGINT) AS r, CAST({pos} AS BIGINT) AS c,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM th, LATERAL (SELECT unnest(generate_series(0, 3)) AS j)
+            GROUP BY j, {pos}
+        ), grid AS (
+            SELECT r, c
+            FROM (SELECT unnest(generate_series(0, 3)) AS r)
+            CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS c)
+        )
+        SELECT CAST(g.r AS BIGINT) AS r, CAST(g.c AS BIGINT) AS c,
+               CAST(COALESCE(cells.cnt, 0) AS BIGINT) AS cnt
+        FROM grid g LEFT JOIN cells ON cells.r = g.r AND cells.c = g.c
+    """
+
+
 def _bloom_oracle_sql() -> str:
     """SQL restatement of the Bloom kernel: h1 = md5-u64, h2 =
     splitmix64(h1) | 1, pos_j = (h1 + j*h2) mod 2^64 mod m for j<k;
@@ -1994,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indexed_search_any": _q_indexed_search_any,
         "snapshot_diff": _q_snapshot_diff,
         "rare_terms": _q_rare_terms,
+        "cms_registers": _q_cms_registers,
         "window_agg": _q_window_agg,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
@@ -2597,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _gopher_oracle_sql(),
         "token_budget": _token_budget_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
+        "cms_registers": _cms_oracle_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(count(*) AS BIGINT) AS n,

@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+from dupers_ray.stages.textstats import _TOKEN_RE
 
 
 def _register_rows(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
@@ -315,3 +316,68 @@ def global_value_ranks(
     return ds.select_columns([id_col, value_col]).map_batches(
         rank, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def cms_token_counts(
+    ds, *, text_col: str = "text", d: int = 4, w: int = 256,
+) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of corpus token
+    frequencies — the frequency member of the mergeable-sketch family
+    here (Bloom = membership, HLL = cardinality). Rows use the same
+    Kirsch–Mitzenmacher double hashing as the Bloom filter
+    (pos_r = (h1 + r*h2) mod 2^64 mod w), so the full register table is
+    SQL-restatable and value-oracled.
+
+    Per-batch combiner: one fixed-size (d, w) int64 partial per block
+    (bytes independent of batch size); merge = elementwise SUM on the
+    driver. Unlike the OR/max merges of Bloom/HLL, sum-merge is NOT
+    retry-idempotent — the combiner is deterministic, but an
+    at-least-once re-execution of a block would double-count; rely on
+    Ray Data's exactly-once block semantics (or checkpoint partials)
+    rather than re-feeding batches manually."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for s in t.column(text_col).to_pylist():
+            if s:
+                c.update(_TOKEN_RE.findall(s.lower()))
+        grid = np.zeros((d, w), np.int64)
+        if c:
+            toks = sorted(c)
+            h = hash_str_u64(toks)
+            n = np.array([c[t_] for t_ in toks], np.int64)
+            pos = _bloom_positions(h, w, d)  # (n_tok, d) columns
+            for r in range(d):
+                np.add.at(grid[r], pos[:, r].astype(np.int64), n)
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    grid = np.zeros((d, w), np.int64)
+    for row in rows:
+        grid += np.frombuffer(row["grid"], np.int64).reshape(d, w)
+    return grid
+
+
+def cms_estimate(grid: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-query estimates: min over the d rows (classic CMS upper
+    bound — never under-counts, over-counts by collision mass)."""
+    d, w = grid.shape
+    if not tokens:
+        return np.zeros(0, np.int64)
+    pos = _bloom_positions(hash_str_u64(tokens), w, d)
+    ests = np.stack([grid[r, pos[:, r].astype(np.int64)] for r in range(d)])
+    return ests.min(axis=0)
+
+
+def cms_register_table(grid: np.ndarray) -> pa.Table:
+    """(r, c, cnt) rows for every cell — the value-oracle surface."""
+    d, w = grid.shape
+    return pa.table({
+        "r": pa.array(np.repeat(np.arange(d, dtype=np.int64), w)),
+        "c": pa.array(np.tile(np.arange(w, dtype=np.int64), d)),
+        "cnt": pa.array(grid.ravel()),
+    })

@@ -134,3 +134,26 @@ def test_global_value_ranks_matches_pandas():
     assert (out["n_eq"].to_numpy() == exp_eq.to_numpy()).all()
     assert (out["pct_ppm"].to_numpy()
             == exp_rank.to_numpy() * 1_000_000 // 500).all()
+
+
+def test_cms_never_undercounts_and_merge_equals_single_pass():
+    import ray.data as rd
+    from collections import Counter
+
+    from dupers_ray.stages.sketch import cms_estimate, cms_token_counts
+
+    texts = [f"tok{i % 37} tok{i % 11} filler" for i in range(400)]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    truth = Counter()
+    for t in texts:
+        truth.update(t.split())
+    grid_multi = cms_token_counts(rd.from_arrow(tbl).repartition(7))
+    grid_single = cms_token_counts(rd.from_arrow(tbl).repartition(1))
+    assert (grid_multi == grid_single).all()  # sum-merge == single pass
+    assert grid_multi.sum() == 4 * sum(truth.values())  # mass conservation
+    toks = sorted(truth)
+    est = cms_estimate(grid_multi, toks)
+    exact = np.array([truth[t] for t in toks])
+    assert (est >= exact).all()  # CMS never under-counts
+    # wide sketch vs tiny vocab: most estimates exact
+    assert (est == exact).mean() > 0.9
