@@ -879,6 +879,18 @@ def _q_funnel_counts(sf_dir: str):
     )
 
 
+def _q_funnel_windowed(sf_dir: str):
+    """Conversion-window funnel: like funnel_counts but every later step
+    must land within 72h of the user's step-0 time."""
+    from dupers_ray.pipelines.events import funnel_counts
+
+    return funnel_counts(
+        _tbl(sf_dir, "events"),
+        steps=("signup", "view", "click", "purchase"),
+        within="72h",
+    )
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus-wide top-100 frequent tokens via per-batch combiner +
     vocabulary groupby (stages/textstats.top_tokens)."""
@@ -1581,6 +1593,103 @@ def _gopher_oracle_sql() -> str:
     """
 
 
+def _q_curated_corpus(sf_dir: str):
+    """End-to-end curation composition (pipelines/curation.curate_corpus):
+    gopher filter → prefix-40 exact dedup (min-id canonical) → 20-per-
+    source cap in splitmix64 order → 10k global token budget. Each stage
+    is an existing oracle-checked operator; this query value-checks the
+    COMPOSITION."""
+    from dupers_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(
+        _tbl(sf_dir, "documents"), cap_per_source=20,
+        token_budget=10_000, digest_trunc=40,
+    )
+
+
+def _curated_corpus_oracle_sql(cap: int = 20, budget: int = 10_000) -> str:
+    """The four stage oracles nested: gopher keep → canonical min-id per
+    prefix-40 sha256 → per-source row_number cap in splitmix64 order →
+    ordered running-sum token budget."""
+    from dupers_ray.stages.quality import (
+        GOPHER_ALPHA_DEN,
+        GOPHER_ALPHA_NUM,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from dupers_ray.stages.textstats import _STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in sorted(_STOPWORDS["en"]))
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return rf"""
+        WITH w AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+            FROM documents
+        ), agg AS (
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   sum(length(w)) AS sum_word_len,
+                   sum(CASE WHEN regexp_matches(w, '[a-z]')
+                            THEN 1 ELSE 0 END) AS n_alpha_words,
+                   sum(CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END) AS n_stop_hits
+            FROM w GROUP BY doc_id
+        ), s1 AS (
+            SELECT d.doc_id, d.text, d.source
+            FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+            WHERE a.n_words >= {GOPHER_MIN_WORDS}
+              AND a.n_words <= {GOPHER_MAX_WORDS}
+              AND {GOPHER_MIN_MEAN_LEN} * a.n_words <= a.sum_word_len
+              AND a.sum_word_len <= {GOPHER_MAX_MEAN_LEN} * a.n_words
+              AND {GOPHER_ALPHA_DEN} * a.n_alpha_words
+                  >= {GOPHER_ALPHA_NUM} * a.n_words
+              AND a.n_stop_hits >= {GOPHER_MIN_STOP_HITS}
+        ), dg AS (
+            SELECT doc_id, text, source, sha256(substr(text, 1, 40)) AS dgst
+            FROM s1
+        ), canon AS (
+            SELECT min(doc_id) AS doc_id FROM dg GROUP BY dgst
+        ), s2 AS (
+            SELECT dg.doc_id, dg.text, dg.source
+            FROM dg JOIN canon ON dg.doc_id = canon.doc_id
+        ), sm AS (
+            SELECT doc_id, text, source,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM s2
+        ), s3 AS (
+            SELECT doc_id, text, h FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY h, doc_id
+                ) AS rk FROM sm
+            ) WHERE rk <= {cap}
+        ), t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                        AS BIGINT) AS n_tokens, h
+            FROM s3
+        ), wsum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens
+        FROM wsum WHERE cum_tokens <= {budget}
+    """
+
+
 def _q_gopher_rules(sf_dir: str):
     """Gopher-style rule-based page filter (stages/quality.gopher_rules):
     integer rule signals + keep flag, value-oracled (all thresholds are
@@ -2060,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "funnel_counts": _q_funnel_counts,
+        "funnel_windowed": _q_funnel_windowed,
         "char_ranks": _q_char_ranks,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
@@ -2090,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "gopher_rules": _q_gopher_rules,
         "token_budget": _q_token_budget,
+        "curated_corpus": _q_curated_corpus,
         "bloom_stats": _q_bloom_stats,
         "pricing_summary": _q_pricing_summary,
         "url_canonical_dups": _q_url_canonical_dups,
@@ -2474,6 +2585,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         """,
+        # 72h conversion window anchored at each user's step-0 time
+        "funnel_windowed": """
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'view' AND e.ts > s0.t
+                  AND e.ts <= s0.t + INTERVAL 72 HOUR
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                  AND e.ts <= s0.t + INTERVAL 72 HOUR
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                  AND e.ts <= s0.t + INTERVAL 72 HOUR
+                GROUP BY e.user_id
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'signup' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s0
+            UNION ALL SELECT 1, 'view', count(*) FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
         "hopping_window": """
             WITH ev AS (
                 SELECT user_id, value, epoch_us(ts) AS tus FROM events
@@ -2658,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
         "token_budget": _token_budget_oracle_sql(),
+        "curated_corpus": _curated_corpus_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
         "cms_registers": _cms_oracle_sql(),
         "pricing_summary": """

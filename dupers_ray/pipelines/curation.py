@@ -148,3 +148,92 @@ def cluster_representatives(
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def curate_corpus(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    cap_per_source: int = 20,
+    token_budget: int = 10_000,
+    digest_trunc: int | None = None,
+) -> "ray.data.Dataset":
+    """End-to-end curation pipeline — the composition a training-data
+    user actually runs, each stage an existing engine operator:
+
+      1. Gopher rule filter (stages/quality.gopher_rules, keep == 1)
+      2. exact dedup, keep min-id canonical per digest
+         (stages/digest + the exact_canonical groupby;
+         ``digest_trunc`` digests a prefix so test corpora have dups)
+      3. per-source cap: first ``cap_per_source`` docs per source in
+         splitmix64(id) order (stages/filters.top_per_group)
+      4. global token budget: splitmix64(id)-ordered running-sum prefix
+         (stages/budget.select_token_budget)
+
+    Output: (id, n_tokens, cum_tokens) of the docs that survive all four
+    stages — deterministic at any parallelism, value-oracled end to end
+    by nesting the four stages' SQL oracles (driver query
+    ``curated_corpus``)."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.functions.hashing import splitmix64
+    from dupers_ray.pipelines.exact_dedup import exact_canonical
+    from dupers_ray.stages.budget import select_token_budget
+    from dupers_ray.stages.digest import add_digests
+    from dupers_ray.stages.filters import top_per_group
+    from dupers_ray.stages.quality import gopher_rules
+
+    # 1. quality filter (streaming, no shuffle)
+    def keep_quality(t: pa.Table) -> pa.Table:
+        g = gopher_rules(t, id_col=id_col, text_col=text_col)
+        return t.filter(pc.equal(g.column("keep"), 1))
+
+    survivors = ds.select_columns([id_col, text_col, group_col]).map_batches(
+        keep_quality, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # 2. exact dedup on (optionally prefix-truncated) digests; text and
+    # source ride along as keep_cols for the later stages
+    def digests(t: pa.Table) -> pa.Table:
+        content = t.column(text_col)
+        if digest_trunc is not None:
+            content = pc.utf8_slice_codeunits(content, 0, digest_trunc)
+        t = t.append_column("__trunc", content)
+        t = add_digests(t, content_col="__trunc")
+        return t.drop_columns(["__trunc"])
+
+    canon = exact_canonical(
+        survivors.map_batches(digests, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        id_col=id_col, keep_cols=[text_col, group_col], has_digests=True,
+    )
+
+    # 3. per-source cap in splitmix64(id) order (deterministic draw)
+    def add_ord(t: pa.Table) -> pa.Table:
+        # keep uint64: a signed reinterpret would flip the sort order vs
+        # the SQL oracle's UBIGINT comparison (sort col, not groupby key,
+        # so the uint64 groupby pitfall doesn't apply)
+        ids = np.asarray(t.column(id_col), dtype=np.uint64)
+        return t.append_column("__ord", pa.array(splitmix64(ids)))
+
+    capped = top_per_group(
+        canon.map_batches(add_ord, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        group_col=group_col, by=[("__ord", True), (id_col, True)],
+        n=cap_per_source,
+    )
+
+    # 4. global ordered token budget over the survivors
+    budgeted = select_token_budget(
+        capped.select_columns([id_col, text_col]),
+        budget=token_budget, id_col=id_col, text_col=text_col,
+    )
+
+    def keep_selected(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("selected"), 1))
+        return t.select([id_col, "n_tokens", "cum_tokens"])
+
+    return budgeted.map_batches(keep_selected, batch_format="pyarrow",
+                                zero_copy_batch=True)

@@ -196,11 +196,14 @@ def funnel_counts(
     ts_col: str = "ts",
     key_col: str = "user_id",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> "ray.data.Dataset":
     """Sequential funnel: per user, t_0 = earliest ``steps[0]`` event and
     t_i = earliest ``steps[i]`` event STRICTLY after t_{i-1}; a user
-    converts through step i iff the whole chain exists. Output: one row
-    per step, (step_idx, step, n_users) with n_users = users reaching
+    converts through step i iff the whole chain exists. ``within`` (e.g.
+    '7d') additionally requires every later step to land within that
+    horizon of the user's t_0 (conversion-window semantics). Output: one
+    row per step, (step_idx, step, n_users) with n_users = users reaching
     that depth.
 
     Scale shape: the corpus is FILTERED to funnel-relevant event types
@@ -213,6 +216,7 @@ def funnel_counts(
 
     k = len(steps)
     step_of = {s: i for i, s in enumerate(steps)}
+    horizon_us = _width_us(within) if within is not None else None
 
     def prep(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column(type_col), value_set=pa.array(list(steps)))
@@ -231,9 +235,8 @@ def funnel_counts(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         counts = np.zeros(k, np.int64)
         if len(g):
-            t_prev = (
-                g[g["step_idx"] == 0].groupby(key_col)["ts_us"].min()
-            )
+            t0 = g[g["step_idx"] == 0].groupby(key_col)["ts_us"].min()
+            t_prev = t0
             counts[0] = len(t_prev)
             for i in range(1, k):
                 if not len(t_prev):
@@ -241,6 +244,8 @@ def funnel_counts(
                 sub = g[g["step_idx"] == i]
                 tp = sub[key_col].map(t_prev)
                 ok = sub["ts_us"] > tp  # NaN (no prior step) compares False
+                if horizon_us is not None:
+                    ok &= sub["ts_us"] <= sub[key_col].map(t0) + horizon_us
                 t_prev = sub[ok].groupby(key_col)["ts_us"].min()
                 counts[i] = len(t_prev)
         return pd.DataFrame({"step_idx": np.arange(k, dtype=np.int64),

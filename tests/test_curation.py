@@ -92,3 +92,24 @@ def test_dedup_summary_consistency(ray_session):
     assert int(out["n_removed"].sum()) == t.num_rows - int(out["n_clusters"].sum())
     # the planted groups of 4 exact dups dominate
     assert int(out.loc[out["cluster_size"] >= 4, "n_clusters"].sum()) >= 55
+
+
+def test_curate_corpus_partitioning_invariant():
+    """The composed pipeline is deterministic at any block layout."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dupers_ray.pipelines.curation import curate_corpus
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    outs = []
+    for parts in (1, 4, 13):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = curate_corpus(ds, cap_per_source=5, token_budget=3_000,
+                            digest_trunc=40).to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert len(outs[0]) > 0
+    # budget respected and cumulative sums consistent
+    assert (outs[0]["cum_tokens"] <= 3_000).all()
+    assert outs[0]["n_tokens"].sum() == outs[0]["cum_tokens"].max()

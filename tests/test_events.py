@@ -186,3 +186,46 @@ def test_funnel_counts_strict_ordering():
         .to_pandas().sort_values("step_idx")
     )
     assert out["n_users"].tolist() == [2, 1]
+
+
+def test_funnel_windowed_matches_bruteforce():
+    from dupers_ray.pipelines.events import funnel_counts
+
+    steps = ("signup", "view", "click")
+    tbl, rows = _funnel_events(seed=3)
+    horizon = 3_600_000_000  # 1h in us
+
+    def brute():
+        by_user: dict[int, list[tuple[int, str]]] = {}
+        for _, ts, u, typ in rows:
+            by_user.setdefault(u, []).append((ts, typ))
+        counts = [0] * len(steps)
+        for evs in by_user.values():
+            t0 = None
+            t_prev = None
+            for i, s in enumerate(steps):
+                cand = [
+                    ts for ts, typ in evs
+                    if typ == s and (t_prev is None or ts > t_prev)
+                    and (t0 is None or ts <= t0 + horizon)
+                ]
+                if not cand:
+                    break
+                t_prev = min(cand)
+                if i == 0:
+                    t0 = t_prev
+                counts[i] += 1
+        return counts
+
+    out = (
+        funnel_counts(rd.from_arrow(tbl).repartition(5), steps=steps,
+                      within="1h")
+        .to_pandas().sort_values("step_idx").reset_index(drop=True)
+    )
+    assert out["n_users"].tolist() == brute()
+    # windowed counts never exceed the unwindowed funnel
+    base = (
+        funnel_counts(rd.from_arrow(tbl), steps=steps)
+        .to_pandas().sort_values("step_idx")
+    )
+    assert (out["n_users"].to_numpy() <= base["n_users"].to_numpy()).all()
