@@ -581,6 +581,25 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_containment_scores(sf_dir: str):
+    """Asymmetric shingle-containment verification (stages/ngram
+    .verify_containment_pairs, Broder's containment vs resemblance):
+    per (src < dst) pair at doc_id < 600, both direction scores where
+    max >= 0.5 — catches quote/boilerplate wrappers symmetric Jaccard
+    misses. Same oracle-harness candidate generator as
+    ngram_jaccard_pairs."""
+    from dupers_ray.stages.ngram import (
+        all_pairs_candidates,
+        verify_containment_pairs,
+    )
+
+    docs = _tbl(sf_dir, "documents")
+    pairs = all_pairs_candidates(docs, id_col="doc_id", id_cap=600)
+    return verify_containment_pairs(
+        pairs, docs, id_col="doc_id", text_col="text", k=5, threshold=0.5
+    )
+
+
 def _emb_queries(sf_dir: str, n: int = 5):
     import pyarrow.parquet as pq
     import numpy as np
@@ -2150,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "containment_scores": _q_containment_scores,
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "cosine_pairs": _q_cosine_pairs,
@@ -2328,6 +2348,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON b.doc_id > a.doc_id
             )
             SELECT src_id, dst_id, jaccard FROM scored WHERE jaccard >= 0.2
+        """,
+        # asymmetric containment over the same shingle contract as
+        # ngram_jaccard_pairs
+        "containment_scores": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+                FROM documents WHERE doc_id < 600
+            ), sh AS (
+                SELECT doc_id,
+                    CASE
+                        WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                        WHEN len(tk) < 5 THEN [array_to_string(tk, chr(31))]
+                        ELSE list_distinct([array_to_string(tk[i:i+4], chr(31))
+                                            FOR i IN range(1, len(tk) - 3)])
+                    END AS grams
+                FROM toks
+            ), scored AS (
+                SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                    CASE
+                        WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                        WHEN len(a.grams) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.grams, b.grams)) * 1.0
+                             / len(a.grams)
+                    END AS c_src,
+                    CASE
+                        WHEN len(a.grams) = 0 AND len(b.grams) = 0 THEN 1.0
+                        WHEN len(b.grams) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.grams, b.grams)) * 1.0
+                             / len(b.grams)
+                    END AS c_dst
+                FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+            )
+            SELECT src_id, dst_id, c_src, c_dst
+            FROM scored WHERE greatest(c_src, c_dst) >= 0.5
         """,
         "token_stats": r"""
             SELECT doc_id,

@@ -160,3 +160,77 @@ def verify_pairs_exact(
         )
 
     return j2.map_batches(score, batch_format="pyarrow")
+
+
+def exact_containment(a: str, b: str, k: int = 5) -> tuple[float, float]:
+    """Asymmetric shingle containment (Broder 1997's 'resemblance vs
+    containment' distinction): (|Sa∩Sb|/|Sa|, |Sa∩Sb|/|Sb|) — 'how much
+    of a is inside b' and vice versa. Near-1 containment at low Jaccard
+    is the quote/boilerplate-wrapper signature that symmetric dedup
+    misses. Edge convention mirrors exact_jaccard: both empty → (1, 1),
+    one empty → 0 on its side."""
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    if not sa and not sb:
+        return 1.0, 1.0
+    inter = len(sa & sb)
+    return (inter / len(sa) if sa else 0.0,
+            inter / len(sb) if sb else 0.0)
+
+
+def verify_containment_pairs(
+    pairs: "ray.data.Dataset",
+    corpus: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """pairs (src, dst) × corpus → (src_id, dst_id, c_src, c_dst) where
+    max(c_src, c_dst) >= threshold. Same two-hash-join text delivery as
+    verify_pairs_exact (raw int64 ids — the oracle-comparable mode)."""
+
+    def with_node(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column(id_col).cast(pa.int64()),
+                         "text": t.column(text_col)})
+
+    texts = corpus.select_columns([id_col, text_col]).map_batches(
+        with_node, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    text_schema = pa.schema([("node", pa.int64()), ("text", pa.string())])
+    j1 = hash_join(
+        pairs.select_columns(["src", "dst"]), texts, on="src", right_on="node",
+        num_partitions=num_partitions,
+        left_schema=pair_schema, right_schema=text_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["text_src" if c == "text" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j1_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("text_src", pa.string())]
+    )
+    j2 = hash_join(
+        j1, texts, on="dst", right_on="node", num_partitions=num_partitions,
+        left_schema=j1_schema, right_schema=text_schema,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cs = np.empty(t.num_rows, np.float64)
+        cd = np.empty(t.num_rows, np.float64)
+        for i, (a, b) in enumerate(zip(
+            t.column("text_src").to_pylist(), t.column("text").to_pylist()
+        )):
+            cs[i], cd[i] = exact_containment(a or "", b or "", k)
+        keep = pa.array(np.maximum(cs, cd) >= threshold)
+        return pa.table({
+            "src_id": t.column("src").filter(keep),
+            "dst_id": t.column("dst").filter(keep),
+            "c_src": pa.array(cs[np.maximum(cs, cd) >= threshold]),
+            "c_dst": pa.array(cd[np.maximum(cs, cd) >= threshold]),
+        })
+
+    return j2.map_batches(score, batch_format="pyarrow")

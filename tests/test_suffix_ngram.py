@@ -127,3 +127,44 @@ def test_all_pairs_candidates_and_raw_id_verify():
     assert set(zip(capped["src"], capped["dst"])) == set(
         itertools.combinations(range(3), 2)
     )
+
+
+def test_containment_asymmetry_and_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.ngram import (
+        all_pairs_candidates,
+        exact_containment,
+        shingle_set,
+        verify_containment_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                   # 0: contained in 1
+        base + " extra words to wrap the quote around the original text",
+        "completely different content here with many unrelated tokens now",
+        base,                                   # 3: exact dup of 0
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    pairs = all_pairs_candidates(ds, id_col="doc_id")
+    out = verify_containment_pairs(
+        pairs, ds, id_col="doc_id", threshold=0.5
+    ).to_pandas().set_index(["src_id", "dst_id"])
+    # 0 fully contained in 1, but 1 not in 0 (asymmetric)
+    assert out.loc[(0, 1), "c_src"] == 1.0
+    assert out.loc[(0, 1), "c_dst"] < 1.0
+    assert out.loc[(0, 3), "c_src"] == 1.0 and out.loc[(0, 3), "c_dst"] == 1.0
+    assert (2, 0) not in out.index and (0, 2) not in out.index
+    # engine matches the scalar reference on every surviving pair
+    for (s, d), row in out.iterrows():
+        cs, cd = exact_containment(texts[s], texts[d])
+        assert abs(row["c_src"] - cs) < 1e-12
+        assert abs(row["c_dst"] - cd) < 1e-12
+    # sanity: shingle_set contract (short text -> single whole shingle)
+    assert shingle_set("one two", 5) == {("one", "two")}
