@@ -42,7 +42,7 @@ def _postings(t: pa.Table, *, id_col: str, text_col: str, partitions: int) -> pa
 
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     # md5 per DISTINCT token (factorize interning inside _doc_tokens)
-    th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
+    th, lens = _doc_tokens(t.column(text_col), ids)
     doc_idx = np.repeat(np.arange(len(ids)), lens)
     if len(th):
         order = np.lexsort((th, doc_idx))

@@ -34,7 +34,7 @@ import ray
 import ray.data
 
 from dupers_ray.functions.hashing import hash_str_u64
-from dupers_ray.stages.textstats import _TOKEN_RE, partial_token_counts
+from dupers_ray.stages.textstats import partial_token_counts
 
 _OUT_FIELDS = [
     ("n_tokens", pa.int64()), ("n_distinct", pa.int64()),
@@ -56,23 +56,29 @@ def corpus_vocab(ds: "ray.data.Dataset", *, text_col: str = "text"):
     )
 
 
-def _doc_tokens(texts: list, ids: np.ndarray):
+def _doc_tokens(texts, ids: np.ndarray):
     """Tokenize a batch: flat (hash:u64, doc-offset) arrays + per-doc
-    counts. Per-row regex loop is inherent (same contract as textstats);
-    md5 runs once per DISTINCT token via factorize interning (the
-    hash_str_u64 contract), everything downstream is vectorized."""
-    import pandas as pd
+    counts. Pure Arrow kernels end to end (textstats.flat_tokens split +
+    dictionary_encode interning), so md5 runs once per DISTINCT token
+    (the hash_str_u64 contract) and no Python touches token text.
+    Accepts an Arrow column (fast path) or a list of strings."""
+    from dupers_ray.stages.textstats import flat_tokens
 
-    toks: list[str] = []
-    lens = np.empty(len(texts), np.int64)
-    for i, t in enumerate(texts):
-        w = _TOKEN_RE.findall(t.lower()) if t else []
-        lens[i] = len(w)
-        toks.extend(w)
-    if not toks:
+    col = (
+        texts
+        if isinstance(texts, (pa.Array, pa.ChunkedArray))
+        else pa.array([t if t is not None else None for t in texts], pa.string())
+    )
+    flat, parent, n = flat_tokens(col)
+    lens = (
+        np.bincount(parent, minlength=n).astype(np.int64)
+        if len(flat) else np.zeros(n, np.int64)
+    )
+    if not len(flat):
         return np.empty(0, np.uint64), lens
-    codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
-    return hash_str_u64(list(uniq))[codes], lens
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_str_u64(enc.dictionary.to_pylist())[codes], lens
 
 
 def _batch_stats(th: np.ndarray, lens: np.ndarray, freqs: np.ndarray,
@@ -145,7 +151,7 @@ def doc_freq_stats(
         def f(t: pa.Table) -> pa.Table:
             vh_, vn_ = ray.get(ref)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
+            th, lens = _doc_tokens(t.column(text_col), ids)
             freqs = (
                 vn_[np.searchsorted(vh_, th)] if len(th) else np.empty(0, np.int64)
             )
@@ -163,7 +169,7 @@ def doc_freq_stats(
 
     def doc_tf(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        th, lens = _doc_tokens(t.column(text_col).to_pylist(), ids)
+        th, lens = _doc_tokens(t.column(text_col), ids)
         doc_idx = np.repeat(np.arange(len(ids)), lens)
         if len(th):
             order = np.lexsort((th, doc_idx))
@@ -250,17 +256,26 @@ def doc_freq_stats(
 
 def corpus_doc_freqs(ds: "ray.data.Dataset", *, text_col: str = "text"):
     """(token, df) document frequencies — per-batch combiner counting each
-    token ONCE PER DOC, then one vocabulary-row groupby."""
-    from collections import Counter
+    token ONCE PER DOC, then one vocabulary-row groupby. Arrow kernels:
+    flat_tokens split + dictionary interning, dedup via (doc, code)
+    lexsort."""
+    from dupers_ray.stages.textstats import flat_tokens
 
     def part(t: pa.Table) -> pa.Table:
-        c: "Counter[str]" = Counter()
-        for txt in t.column(text_col).to_pylist():
-            if txt:
-                c.update(set(_TOKEN_RE.findall(txt.lower())))
+        flat, parent, _ = flat_tokens(t.column(text_col))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, parent))
+        p_, c_ = parent[order], codes[order]
+        first = np.r_[True, (p_[1:] != p_[:-1]) | (c_[1:] != c_[:-1])]
+        df = np.bincount(c_[first], minlength=len(enc.dictionary)).astype(np.int64)
+        nz = df > 0
         return pa.table({
-            "token": pa.array(list(c.keys()), pa.string()),
-            "df": pa.array(list(c.values()), pa.int64()),
+            "token": enc.dictionary.filter(pa.array(nz)),
+            "df": pa.array(df[nz]),
         })
 
     agg = ds.map_batches(
@@ -304,29 +319,31 @@ def doc_rare_terms(
     ref = ray.put((vh, vd))
 
     def score(t: pa.Table) -> pa.Table:
+        from dupers_ray.stages.textstats import flat_tokens
+
         vh_, vd_ = ray.get(ref)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        rows_id, rows_tok, rows_tf = [], [], []
-        for i, txt in enumerate(t.column(text_col).to_pylist()):
-            w = _TOKEN_RE.findall(txt.lower()) if txt else []
-            if not w:
-                continue
-            uniq, cnt = np.unique(np.asarray(w, dtype=object),
-                                  return_counts=True)
-            rows_id.extend([ids[i]] * len(uniq))
-            rows_tok.extend(uniq)
-            rows_tf.extend(cnt)
-        if not rows_tok:
+        flat, parent, _ = flat_tokens(t.column(text_col))
+        if not len(flat):
             return pa.table({
                 id_col: pa.array([], pa.int64()), "rk": pa.array([], pa.int64()),
                 "token": pa.array([], pa.string()), "df": pa.array([], pa.int64()),
                 "tf": pa.array([], pa.int64()),
             })
-        th = hash_str_u64(list(rows_tok))
-        df_ = vd_[np.searchsorted(vh_, th)]
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, token) with tf via lexsorted run lengths
+        order = np.lexsort((codes, parent))
+        p_, c_ = parent[order], codes[order]
+        first = np.r_[True, (p_[1:] != p_[:-1]) | (c_[1:] != c_[:-1])]
+        seg = np.cumsum(first) - 1
+        tf_ = np.bincount(seg).astype(np.int64)
+        p_, c_ = p_[first], c_[first]
+        dict_hash = hash_str_u64(enc.dictionary.to_pylist())
+        df_ = vd_[np.searchsorted(vh_, dict_hash)][c_]
+        toks = enc.dictionary.take(pa.array(c_)).to_pylist()
         frame = pd.DataFrame({
-            id_col: rows_id, "token": rows_tok,
-            "tf": np.asarray(rows_tf, np.int64), "df": df_,
+            id_col: ids[p_], "token": toks, "tf": tf_, "df": df_,
         })
         frame = frame.sort_values(
             [id_col, "df", "tf", "token"],

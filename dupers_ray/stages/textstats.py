@@ -137,25 +137,50 @@ def fingerprint(batch: pa.Table, *, text_col: str = "text", out_col: str = "fing
 _TOKEN_RE = re.compile(r"[a-z0-9_]+")
 
 
+def flat_tokens(col) -> tuple[pa.Array, np.ndarray, int]:
+    """C-speed tokenizer: Arrow ``utf8_lower`` + ``split_pattern_regex``
+    on the complement class — the token stream of
+    ``_TOKEN_RE.findall(text.lower())`` (split on non-token runs, drop
+    the empty edge pieces), with no per-row Python. Returns (flat token
+    StringArray, doc index per token, n_docs); null rows contribute no
+    tokens. Case folding is utf8proc's simple mapping, which matches
+    DuckDB's ``lower()`` exactly (verified: 'İstanbul' → 'istanbul' in
+    both) where Python ``str.lower`` inserts a combining dot — i.e. this
+    path is *closer* to the SQL oracle contract than the Python loop it
+    replaced; they differ only on such exotic case-folds (test corpora
+    are ASCII)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lists = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9_]+")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = np.where(np.isnan(lens.astype(np.float64)), 0, lens).astype(np.int64) \
+        if lens.dtype != np.int64 else lens
+    flat = lists.flatten()  # concat of non-null lists, row order preserved
+    parent = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if not keep_np.all():
+        flat = flat.filter(keep)
+        parent = parent[keep_np]
+    return flat, parent, n
+
+
 def partial_token_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Per-batch term-frequency combiner: tokenize (lowercased
     ``[a-z0-9_]+`` runs, the same class the n-gram/fingerprint oracles
     restate in SQL) and pre-aggregate counts INSIDE the batch, so the
     downstream groupby shuffles one row per distinct token per batch —
     bounded by batch vocabulary, not corpus token count. At web scale the
-    shuffle moves ~|vocab|·n_blocks short rows instead of ~10^15 tokens."""
-    from collections import Counter
-
-    c: "Counter[str]" = Counter()
-    for t in batch.column(text_col).to_pylist():
-        if t:
-            c.update(_TOKEN_RE.findall(t.lower()))
-    return pa.table(
-        {
-            "token": pa.array(list(c.keys()), pa.string()),
-            "n": pa.array(list(c.values()), pa.int64()),
-        }
-    )
+    shuffle moves ~|vocab|·n_blocks short rows instead of ~10^15 tokens.
+    Tokenize + count are pure Arrow kernels (flat_tokens + value_counts)."""
+    flat, _, _ = flat_tokens(batch.column(text_col))
+    if not len(flat):
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    vc = flat.value_counts()
+    return pa.table({"token": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
 
 
 def top_tokens(ds, *, k: int = 100, text_col: str = "text"):
