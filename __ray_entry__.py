@@ -898,6 +898,15 @@ def _q_funnel_counts(sf_dir: str):
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle (pipelines/events
+    .cohort_retention): users grouped by first-event week, counted per
+    activity-week offset."""
+    from dupers_ray.pipelines.events import cohort_retention
+
+    return cohort_retention(_tbl(sf_dir, "events"), period="7d")
+
+
 def _q_funnel_windowed(sf_dir: str):
     """Conversion-window funnel: like funnel_counts but every later step
     must land within 72h of the user's step-0 time."""
@@ -2190,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "funnel_counts": _q_funnel_counts,
         "funnel_windowed": _q_funnel_windowed,
+        "cohort_retention": _q_cohort_retention,
         "char_ranks": _q_char_ranks,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
@@ -2639,6 +2649,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'view', count(*) FROM s1
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
+        # weekly retention triangle over distinct (user, week) activity
+        "cohort_retention": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS per
+                FROM events
+            ), c AS (
+                SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id
+            )
+            SELECT CAST(c.cohort AS BIGINT) AS cohort_period,
+                   CAST(p.per - c.cohort AS BIGINT) AS offset_periods,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p JOIN c USING (user_id)
+            GROUP BY c.cohort, p.per - c.cohort
         """,
         # 72h conversion window anchored at each user's step-0 time
         "funnel_windowed": """

@@ -189,6 +189,69 @@ def sessionize(
     )
 
 
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    period: str = "7d",
+) -> "ray.data.Dataset":
+    """Cohort retention matrix: cohort = the period of a user's FIRST
+    event; one row per (cohort_period, offset_periods) counting the
+    users from that cohort active ``offset`` periods later. Classic
+    retention triangle, all-integer.
+
+    Shape: per-batch distinct (user, period) combiner → ONE
+    groupby(user-hash) partition shuffle of those deduped pairs → per
+    partition a vectorized cohort=min + offset expansion (all of one
+    user's rows co-locate) → tiny (cohort, offset) count groupby."""
+    width_us = _width_us(period)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        per = ts // width_us
+        uniq = np.unique(np.stack([users, per]), axis=1)
+        users_, per_ = uniq[0], uniq[1]
+        return pa.table({
+            key_col: pa.array(users_),
+            "per": pa.array(per_),
+            "__part": pa.array(
+                (users_.astype(np.uint64) % np.uint64(64)).astype(np.int64)
+            ),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "cohort_period": pd.Series([], dtype="int64"),
+                "offset_periods": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        g = g.drop_duplicates([key_col, "per"])
+        cohort = g.groupby(key_col)["per"].transform("min")
+        out = pd.DataFrame({
+            "cohort_period": cohort.to_numpy(),
+            "offset_periods": (g["per"] - cohort).to_numpy(),
+        })
+        return (out.groupby(["cohort_period", "offset_periods"], sort=False)
+                   .size().rename("n").reset_index())
+
+    partials = (
+        ds.select_columns([ts_col, key_col])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+    final = partials.groupby(["cohort_period", "offset_periods"]).sum("n")
+    return final.map_batches(
+        lambda t: t.rename_columns(
+            ["cohort_period", "offset_periods", "n_users"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def funnel_counts(
     ds: "ray.data.Dataset",
     *,

@@ -229,3 +229,41 @@ def test_funnel_windowed_matches_bruteforce():
         .to_pandas().sort_values("step_idx")
     )
     assert (out["n_users"].to_numpy() <= base["n_users"].to_numpy()).all()
+
+
+def test_cohort_retention_matches_bruteforce():
+    from dupers_ray.pipelines.events import cohort_retention
+
+    rng = np.random.default_rng(4)
+    n = 600
+    users = rng.integers(0, 60, n)
+    ts = rng.integers(0, 40 * 86_400_000_000, n)  # 40 days of events
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })
+    out = (
+        cohort_retention(rd.from_arrow(tbl).repartition(5), period="7d")
+        .to_pandas()
+        .sort_values(["cohort_period", "offset_periods"])
+        .reset_index(drop=True)
+    )
+    wk = 7 * 86_400_000_000
+    per_user: dict[int, set[int]] = {}
+    for u, t in zip(users, ts):
+        per_user.setdefault(int(u), set()).add(int(t // wk))
+    from collections import Counter
+
+    exp = Counter()
+    for weeks in per_user.values():
+        c = min(weeks)
+        for w in weeks:
+            exp[(c, w - c)] += 1
+    got = {(r.cohort_period, r.offset_periods): r.n_users
+           for r in out.itertuples()}
+    assert got == dict(exp)
+    # offset-0 cell of each cohort counts the whole cohort
+    cohort_sizes = Counter(min(w) for w in per_user.values())
+    for c, size in cohort_sizes.items():
+        assert got[(c, 0)] == size
