@@ -36,17 +36,18 @@ _STOPWORDS: dict[str, frozenset[str]] = {
 
 def token_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens_ws`` (whitespace split) and ``n_tokens_bpe``
-    (BPE-ish pre-tokenizer pieces)."""
-    texts = batch.column(text_col).to_pylist()
-    ws = np.fromiter(
-        (len(t.split()) if t else 0 for t in texts), np.int64, len(texts)
+    (BPE-ish pre-tokenizer pieces). Pure Arrow RE2 count kernels — the
+    same regex engine the DuckDB oracle runs, so the counts agree by
+    construction (the Python `re` loop this replaced differed on
+    non-ASCII whitespace/digit classes)."""
+    col = batch.column(text_col)
+    ws = pc.fill_null(pc.count_substring_regex(col, r"\S+"), 0)
+    bpe = pc.fill_null(
+        pc.count_substring_regex(col, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), 0
     )
-    bpe = np.fromiter(
-        (len(_BPEISH_RE.findall(t)) if t else 0 for t in texts), np.int64, len(texts)
-    )
-    return batch.append_column("n_tokens_ws", pa.array(ws)).append_column(
-        "n_tokens_bpe", pa.array(bpe)
-    )
+    return batch.append_column(
+        "n_tokens_ws", ws.cast(pa.int64())
+    ).append_column("n_tokens_bpe", bpe.cast(pa.int64()))
 
 
 def quality_stats(batch: pa.Table, *, text_col: str = "text", lang: str = "en") -> pa.Table:
@@ -116,20 +117,37 @@ def fingerprint(batch: pa.Table, *, text_col: str = "text", out_col: str = "fing
     """64-bit rolling-hash document fingerprint: order-sensitive mix of the
     token hash sequence (Karp-Rabin style). Whitespace-insensitive but
     word-order-sensitive — unlike the exact digest (byte-sensitive) and the
-    MinHash signature (order-insensitive)."""
-    texts = batch.column(text_col).to_pylist()
+    MinHash signature (order-insensitive).
+
+    Vectorized Horner: for a doc with token hashes v_1..v_m the fold
+    acc = (..(OFFSET*P + v_1)*P + v_2..) equals OFFSET*P^m + Σ v_i·P^(m-i)
+    (mod 2^64), so one powers table + per-occurrence multiply +
+    ``np.add.reduceat`` segment sums replace the per-doc Python loop;
+    md5 runs once per DISTINCT token via dictionary interning. The token
+    class is the oracle's own ``[a-z0-9_]+`` (flat_tokens), which the
+    per-row ``\\w+`` loop this replaced only matched on ASCII."""
+    col = batch.column(text_col)
+    n = len(col)
     mult = np.uint64(0x100000001B3)
-    out = np.zeros(len(texts), np.uint64)
+    flat, parent, _ = flat_tokens(col)
+    out = np.zeros(n, np.uint64)
     with np.errstate(over="ignore"):
-        for i, t in enumerate(texts):
-            words = _WORD_RE.findall((t or "").lower())
-            if not words:
-                continue
-            h = hash_str_u64(words)
-            acc = np.uint64(0xCBF29CE484222325)
-            for v in h:
-                acc = acc * mult + v
-            out[i] = acc
+        if len(flat):
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            h = hash_str_u64(enc.dictionary.to_pylist())[codes]
+            lens = np.bincount(parent, minlength=n).astype(np.int64)
+            # P^0..P^max(m) mod 2^64 (uint64 multiply wraps)
+            pows = np.empty(int(lens.max()) + 1, np.uint64)
+            pows[0] = np.uint64(1)
+            for k in range(1, len(pows)):
+                pows[k] = pows[k - 1] * mult
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = np.arange(len(h), dtype=np.int64) - np.repeat(starts, lens)
+            terms = h * pows[np.repeat(lens, lens) - 1 - pos]
+            nz = lens > 0
+            sums = np.add.reduceat(terms, starts[nz])
+            out[nz] = np.uint64(0xCBF29CE484222325) * pows[lens[nz]] + sums
         out = splitmix64(out)
     return batch.append_column(out_col, pa.array(out))
 
