@@ -195,6 +195,71 @@ def _q_near_incremental(sf_dir: str):
     return clusters
 
 
+def _q_near_decontam(sf_dir: str):
+    """NEAR-dup decontamination (pipelines/decontam.near_decontaminate):
+    blocklist = documents with doc_id %% 11 == 0, corpus = the rest; drop
+    every corpus doc whose MinHash band buckets intersect a blocklist
+    doc's AND whose uint16 signature-fold agreement reaches the config
+    threshold. Full value oracle: the flagship's shared signature-pipeline
+    SQL + cross-side band join + fold verify + anti-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    docs = _tbl(sf_dir, "documents")
+
+    def side(rem_keep: bool):
+        def f(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 11 == 0) != rem_keep
+            return t.filter(pa.array(mask))
+        return f
+
+    corpus = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        side(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocklist = docs.select_columns(["doc_id", "text"]).map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return near_decontaminate(corpus, blocklist).select_columns(
+        ["doc_id", "source"]
+    )
+
+
+def _near_decontam_oracle_sql() -> str:
+    """SQL restatement of _q_near_decontam on the shared signature-pipeline
+    prefix: band sub-signature tuples per doc, DISTINCT cross-side
+    candidate pairs on (band, sub) equality (≙ the engine's mixed band
+    hashes, equal tuples iff equal hashes modulo 2^-64 collisions),
+    uint16-fold agreement ≥ threshold, anti-join the contaminated ids."""
+    prefix, thr = _sig_sql_prefix()
+    return f"""
+        WITH RECURSIVE {prefix}, bandrows AS (
+            SELECT doc_id, CAST(bin / 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp GROUP BY doc_id, CAST(bin / 4 AS INTEGER)
+        ), folds AS (
+            SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
+            FROM sigcomp GROUP BY doc_id
+        ), cand AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM bandrows c JOIN bandrows b
+              ON c.band = b.band AND c.sub = b.sub
+            WHERE c.doc_id % 11 <> 0 AND b.doc_id % 11 = 0
+        ), bad AS (
+            SELECT DISTINCT c.cid FROM cand c
+            JOIN folds fa ON fa.doc_id = c.cid
+            JOIN folds fb ON fb.doc_id = c.bid
+            WHERE (len(list_filter([x FOR x IN range(1, 129)],
+                                   i -> fa.f16[i] = fb.f16[i])) / 128.0) >= {thr}
+        )
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % 11 <> 0
+          AND d.doc_id NOT IN (SELECT cid FROM bad)
+    """
+
+
 def _q_exact_clusters_trunc(sf_dir: str):
     """The FLAGSHIP dupe pipeline (fused signatures + sharded LSH/digest
     indexes + verify + large/small-star components + assignment) driven to
@@ -313,29 +378,13 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
-def _near_dup_clusters_oracle_sql() -> str:
-    """FULL SQL restatement of the flagship dupe pipeline at default
-    config — every stage of dupe_clusters reproduced in DuckDB:
-
-    1. tokens -> md5-u64 hashes (hash_str_u64 parity, see simhash oracle);
-    2. 5-token rolling-polynomial shingle hashes + splitmix64 (UHUGEINT
-       mod-2^64 arithmetic; short docs fold all tokens via list_reduce);
-    3. OPH signature: 128 bins from the hash top 7 bits, min of low-32
-       bits per bin, rotation densification via a doubled-bin window
-       (`last_value IGNORE NULLS` = borrow-from-left, distance-mixed);
-    4. LSH candidates: per (band, 4-component sub-signature) bucket,
-       star pairs from the min-node anchor (the sharded index's exact
-       emission rule; bucket tuples replace band hashes — equal tuples
-       iff equal hashes modulo 2^-64 collisions);
-    5. verify: uint16-fold equality mean >= jaccard_threshold, exactly
-       the broadcast verify's comparison;
-    6. exact-digest star pairs unioned (sha256(text) groups);
-    7. connected components via recursive-CTE transitive closure with
-       min-node labels; singletons keep their own node id.
-
-    O(n^2)-ish only in the closure (bounded at sf0.01); ~3 s in DuckDB.
-    This moves the FLAGSHIP query from rows-only to a full value oracle.
-    """
+def _sig_sql_prefix() -> tuple[str, float]:
+    """Shared WITH-clauses restating the OPH signature pipeline
+    (stages/minhash) in DuckDB — tokens → md5-u64 hashes → 5-gram
+    rolling-polynomial shingles → splitmix64 → 128-bin OPH with rotation
+    densification (``sigcomp``: one row per (doc_id, bin) with the
+    final uint32 component). Used by the flagship clusters oracle AND the
+    near-decontamination oracle. Returns (clauses, jaccard_threshold)."""
     MOD = "18446744073709551616::UHUGEINT"
 
     def mulmod(a: str, m: int) -> str:
@@ -358,14 +407,12 @@ def _near_dup_clusters_oracle_sql() -> str:
     assert (mcfg.method, mcfg.num_perm, mcfg.bands, mcfg.rows) == (
         "oph", 128, 32, 4
     ), "oracle SQL assumes OPH 128 = 32x4"
-    thr = mcfg.jaccard_threshold
     P = int(_mk._POLY)
     GAMMA, M1, M2 = int(_hk._SM_GAMMA), int(_hk._SM_M1), int(_hk._SM_M2)
     poly5 = maddmod(
         maddmod(maddmod(maddmod("h0", P, "h1"), P, "h2"), P, "h3"), P, "h4"
     )
-    return f"""
-        WITH RECURSIVE toks AS (
+    clauses = f"""toks AS (
             SELECT doc_id,
                    list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                                   t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
@@ -425,7 +472,38 @@ def _near_dup_clusters_oracle_sql() -> str:
                               % 4294967296::UHUGEINT
                     END)::UBIGINT AS comp
             FROM filledw WHERE jj >= 128
-        ), nodes AS (
+        )"""
+    return clauses, mcfg.jaccard_threshold
+
+
+def _near_dup_clusters_oracle_sql() -> str:
+    """FULL SQL restatement of the flagship dupe pipeline at default
+    config — every stage of dupe_clusters reproduced in DuckDB:
+
+    1. tokens -> md5-u64 hashes (hash_str_u64 parity, see simhash oracle);
+    2. 5-token rolling-polynomial shingle hashes + splitmix64 (UHUGEINT
+       mod-2^64 arithmetic; short docs fold all tokens via list_reduce);
+    3. OPH signature: 128 bins from the hash top 7 bits, min of low-32
+       bits per bin, rotation densification via a doubled-bin window
+       (`last_value IGNORE NULLS` = borrow-from-left, distance-mixed);
+    4. LSH candidates: per (band, 4-component sub-signature) bucket,
+       star pairs from the min-node anchor (the sharded index's exact
+       emission rule; bucket tuples replace band hashes — equal tuples
+       iff equal hashes modulo 2^-64 collisions);
+    5. verify: uint16-fold equality mean >= jaccard_threshold, exactly
+       the broadcast verify's comparison;
+    6. exact-digest star pairs unioned (sha256(text) groups);
+    7. connected components via recursive-CTE transitive closure with
+       min-node labels; singletons keep their own node id.
+
+    O(n^2)-ish only in the closure (bounded at sf0.01); ~3 s in DuckDB.
+    This moves the FLAGSHIP query from rows-only to a full value oracle.
+    The signature pipeline (toks → sigcomp) is the shared
+    ``_sig_sql_prefix`` also used by the near-decontamination oracle.
+    """
+    prefix, thr = _sig_sql_prefix()
+    return f"""
+        WITH RECURSIVE {prefix}, nodes AS (
             SELECT doc_id,
                    ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
             FROM documents
@@ -2209,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _q_distinct_tokens,
         "hll_registers": _q_hll_registers,
         "decontam_clean": _q_decontam_clean,
+        "near_decontam": _q_near_decontam,
         "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
@@ -2747,6 +2826,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_registers": _HLL_ORACLE,
         "decontam_clean": _decontam_oracle_sql(),
+        "near_decontam": _near_decontam_oracle_sql(),
         "cap_per_domain": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

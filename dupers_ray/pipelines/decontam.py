@@ -153,3 +153,129 @@ def decontaminate(
         return docs.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def near_decontaminate(
+    docs: "ray.data.Dataset",
+    blocklist: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle=None,
+    minhash=None,
+    threshold: float | None = None,
+) -> "ray.data.Dataset":
+    """NEAR-dup decontamination: drop corpus documents whose
+    MinHash-estimated Jaccard similarity to ANY blocklist document reaches
+    ``threshold`` (default: the config's ``jaccard_threshold``). The
+    n-gram-overlap :func:`decontaminate` catches verbatim leakage; this
+    catches paraphrased / lightly-edited test-set leakage the same way the
+    flagship catches near-dups within one corpus.
+
+    Shape: the blocklist is the SMALL side by contract (test sets are MBs,
+    the corpus is TBs) — its signatures, LSH band keys and uint16 signature
+    folds are computed once, sorted, and broadcast via ``ray.put``; the
+    corpus then takes ONE streaming pass (fused signature + band-probe +
+    fold-verify per batch, no shuffle, nothing materialized). Semantics
+    mirror the flagship exactly (stages/minhash OPH signatures, band
+    hashes, uint16-fold verify), so the driver restates the whole thing
+    in SQL on top of the flagship oracle's signature pipeline.
+
+    Docs with no shingles (empty/token-less) are never contaminated and
+    pass through — matching the exact-shingle variant's contract.
+    """
+    from dupers_ray.config import MinHashConfig, ShingleConfig
+    from dupers_ray.functions.arrowview import binary_matrix
+    from dupers_ray.functions.hashing import mix_rows_u64
+    from dupers_ray.pipelines.near_dedup import minhash_signatures
+    from dupers_ray.stages.minhash import MinHasher
+
+    shingle = shingle or ShingleConfig()
+    minhash = minhash or MinHashConfig()
+    thr = minhash.jaccard_threshold if threshold is None else threshold
+    bands, rows = minhash.bands, minhash.rows
+
+    def band_hashes(sig_mat: np.ndarray) -> np.ndarray:
+        """(n, bands) uint64 — the exact explode_bands mixing rule, so a
+        corpus band collides with a blocklist band iff the sharded index /
+        banded-groupby paths would co-bucket them."""
+        d = sig_mat.shape[0]
+        m = sig_mat.reshape(d, bands, rows).astype(np.uint64)
+        out = np.empty((d, bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                out[:, b] = mix_rows_u64(m[:, b, :] + np.uint64(b + 1))
+        return out
+
+    bl_parts = (
+        minhash_signatures(
+            blocklist, shingle=shingle, minhash=minhash,
+            id_col=id_col, text_col=text_col,
+        )
+        .select_columns(["sig"])
+        .take_all()
+    )
+    if bl_parts:
+        bl_sig = np.frombuffer(
+            b"".join(r["sig"] for r in bl_parts), dtype="<u4"
+        ).reshape(len(bl_parts), minhash.num_perm)
+        keys = band_hashes(bl_sig).reshape(-1)
+        rows_of_key = np.repeat(
+            np.arange(len(bl_parts), dtype=np.int64), bands
+        )
+        order = np.argsort(keys, kind="stable")
+        state = (
+            keys[order],
+            rows_of_key[order],
+            (bl_sig & np.uint32(0xFFFF)).astype(np.uint16),
+        )
+    else:
+        state = (
+            np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.empty((0, minhash.num_perm), np.uint16),
+        )
+    ref = ray.put(state)
+
+    def clean(t: pa.Table) -> pa.Table:
+        keys_s, rows_s, bl_f16 = ray.get(ref)
+        if not len(keys_s) or not len(t):
+            return t
+        key = ("near_decontam", shingle, minhash)
+        mh = _NEAR_CACHE.get(key)
+        if mh is None:
+            mh = MinHasher(shingle=shingle, minhash=minhash,
+                           id_col=id_col, text_col=text_col)
+            _NEAR_CACHE[key] = mh
+        texts = [s if s is not None else ""
+                 for s in t.column(text_col).to_pylist()]
+        sig, n_sh = mh.signatures(texts)
+        if not sig.shape[0]:
+            return t
+        q = band_hashes(sig).reshape(-1)
+        lo = np.searchsorted(keys_s, q, side="left")
+        hi = np.searchsorted(keys_s, q, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return t
+        # expand every (query band, matching blocklist row) hit
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cand_pos = np.repeat(lo, cnt) + within
+        cand_doc = np.repeat(np.arange(len(q)) // bands, cnt)
+        cand_bl = rows_s[cand_pos]
+        # dedup (doc, blocklist row) before the fold compare
+        pair = np.unique(cand_doc.astype(np.uint64) * np.uint64(len(bl_f16))
+                         + cand_bl.astype(np.uint64))
+        cand_doc = (pair // np.uint64(len(bl_f16))).astype(np.int64)
+        cand_bl = (pair % np.uint64(len(bl_f16))).astype(np.int64)
+        f16 = (sig & np.uint32(0xFFFF)).astype(np.uint16)
+        agree = (f16[cand_doc] == bl_f16[cand_bl]).mean(axis=1)
+        contaminated = np.unique(cand_doc[agree >= thr])
+        keep = np.ones(len(t), bool)
+        keep[np.flatnonzero(n_sh > 0)[contaminated]] = False
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_NEAR_CACHE: dict = {}

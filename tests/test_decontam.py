@@ -115,3 +115,124 @@ def test_cap_per_group_matches_duckdb(ray_session):
     got = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
     assert got.doc_id.tolist() == exp.doc_id.tolist()
     assert got.source.tolist() == exp.source.tolist()
+
+
+# ----------------------------------------------------- near decontamination
+
+
+def _brute_near_contaminated(corpus_texts, block_texts, thr=0.6):
+    """Reference: corpus doc is contaminated iff it shares >=1 LSH band
+    hash with a blocklist doc AND their uint16 signature-fold agreement
+    reaches thr — the operator's exact contract."""
+    from dupers_ray.config import MinHashConfig, ShingleConfig
+    from dupers_ray.functions.hashing import mix_rows_u64
+    from dupers_ray.stages.minhash import MinHasher
+
+    mcfg = MinHashConfig()
+    mh = MinHasher(shingle=ShingleConfig(), minhash=mcfg)
+
+    def sigs(texts):
+        s, n = mh.signatures([t or "" for t in texts])
+        return s, n
+
+    def bands_of(sig):
+        d = sig.shape[0]
+        m = sig.reshape(d, mcfg.bands, mcfg.rows).astype(np.uint64)
+        out = np.empty((d, mcfg.bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(mcfg.bands):
+                out[:, b] = mix_rows_u64(m[:, b, :] + np.uint64(b + 1))
+        return out
+
+    cs, cn = sigs(corpus_texts)
+    bs, bn = sigs(block_texts)
+    if not bs.shape[0]:
+        return set()
+    cbands, bbands = bands_of(cs), bands_of(bs)
+    cf = (cs & np.uint32(0xFFFF)).astype(np.uint16)
+    bf = (bs & np.uint32(0xFFFF)).astype(np.uint16)
+    corpus_rows = np.flatnonzero(cn > 0)
+    bad = set()
+    for i in range(cs.shape[0]):
+        for j in range(bs.shape[0]):
+            if np.intersect1d(cbands[i], bbands[j]).size and \
+               (cf[i] == bf[j]).mean() >= thr:
+                bad.add(int(corpus_rows[i]))
+                break
+    return bad
+
+
+def test_near_decontaminate_planted(ray_session):
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    rng = np.random.default_rng(7)
+    base = " ".join(rng.choice(WORDS, 120))
+    toks = base.split()
+    perturbed = toks[:]
+    perturbed[5] = "zzz"          # 1 of 120 tokens changed -> near-dup
+    block = pa.table({
+        "doc_id": pa.array([1000], pa.int64()), "text": [base],
+    })
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            base,                          # exact copy -> dropped
+            " ".join(perturbed),           # near copy -> dropped
+            " ".join(rng.choice(WORDS, 120)),  # unrelated -> kept
+            "",                            # no shingles -> kept
+        ],
+    })
+    out = near_decontaminate(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block)
+    ).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [2, 3]
+
+
+def test_near_decontaminate_matches_bruteforce(ray_session):
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    rng = np.random.default_rng(23)
+    block_texts = [" ".join(rng.choice(WORDS, int(rng.integers(20, 60))))
+                   for _ in range(10)]
+    corpus_texts = []
+    for i in range(80):
+        r = rng.random()
+        if r < 0.3:   # near-copy of a blocklist doc
+            toks = block_texts[int(rng.integers(len(block_texts)))].split()
+            k = int(rng.integers(0, 3))
+            for _ in range(k):
+                toks[int(rng.integers(len(toks)))] = "q" + str(int(rng.integers(9)))
+            corpus_texts.append(" ".join(toks))
+        elif r < 0.4:
+            corpus_texts.append("")       # shingle-less
+        else:
+            corpus_texts.append(" ".join(rng.choice(WORDS, int(rng.integers(10, 60)))))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    })
+    block = pa.table({
+        "doc_id": pa.array(range(500, 500 + len(block_texts)), pa.int64()),
+        "text": pa.array(block_texts, pa.string()),
+    })
+    out = near_decontaminate(
+        rd.from_arrow(docs).repartition(4), rd.from_arrow(block)
+    ).to_pandas()
+    bad = _brute_near_contaminated(corpus_texts, block_texts)
+    expected = sorted(set(range(len(corpus_texts))) - bad)
+    assert sorted(out.doc_id.tolist()) == expected
+    assert len(bad) > 5  # the plant actually exercised the drop path
+
+
+def test_near_decontaminate_empty_blocklist(ray_session):
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["alpha beta gamma delta epsilon zeta", "kappa iota"],
+    })
+    block = pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+    })
+    out = near_decontaminate(rd.from_arrow(docs), rd.from_arrow(block)).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [0, 1]
