@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 
 from dupers_ray.functions.hashing import hash_str_u64, splitmix64
-from dupers_ray.stages.textstats import _TOKEN_RE
 
 DIM = 4096          # hashed feature buckets
 WEIGHT_SPAN = 201   # weights in [-100, 100]
@@ -47,20 +46,19 @@ def quality_score(
     dim: int = DIM,
 ) -> pa.Table:
     """Per doc: ``n_tokens``, integer ``score`` (hashed-BoW dot product)
-    and ``keep`` (1 if score > 0). Empty/null text scores 0 / keep=0."""
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    toks: list[str] = []
-    doc_of: list[int] = []
-    for i, t in enumerate(texts):
-        tt = _TOKEN_RE.findall((t or "").lower())
-        toks.extend(tt)
-        doc_of.extend([i] * len(tt))
-    doc_idx = np.asarray(doc_of, dtype=np.int64)
+    and ``keep`` (1 if score > 0). Empty/null text scores 0 / keep=0.
+    Tokenize + intern are Arrow kernels (flat_tokens + dictionary_encode);
+    md5 runs once per DISTINCT token per batch."""
+    from dupers_ray.stages.textstats import flat_tokens
+
+    flat, doc_idx, n = flat_tokens(batch.column(text_col))
     n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
-    if toks:
-        uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
-        w = _weights(hash_str_u64(list(uniq)) % np.uint64(dim))
+    if len(flat):
+        enc = flat.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = _weights(
+            hash_str_u64(enc.dictionary.to_pylist()) % np.uint64(dim)
+        )
         # float64 bincount sums are exact for |score| < 2^53
         score = np.bincount(
             doc_idx, weights=w[inv].astype(np.float64), minlength=n
@@ -106,31 +104,29 @@ def gopher_rules(
     n_stop_hits (occurrences of the en stopword table — the same table
     that generates the lang_id oracle, so they cannot drift).
 
-    One stateless streaming pass, no shuffle: tokens are flattened once
-    per batch; per-doc sums are single bincounts; the stopword/alpha
-    tests run per DISTINCT token via np.unique interning."""
-    from dupers_ray.stages.textstats import _STOPWORDS, _TOKEN_RE
+    One stateless streaming pass, no shuffle: tokenize + intern are Arrow
+    kernels (flat_tokens + dictionary_encode); per-doc sums are single
+    bincounts; the length/stopword/alpha tests run once per DISTINCT
+    token via Arrow kernels over the dictionary."""
+    import pyarrow.compute as pc
 
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    toks: list[str] = []
-    counts = np.empty(n, np.int64)
-    for i, t in enumerate(texts):
-        tt = _TOKEN_RE.findall((t or "").lower())
-        counts[i] = len(tt)
-        toks.extend(tt)
-    doc_idx = np.repeat(np.arange(n), counts)
+    from dupers_ray.stages.textstats import _STOPWORDS, flat_tokens
 
-    n_words = counts
-    if toks:
-        arr = np.asarray(toks, dtype=object)
-        uniq, inv = np.unique(arr, return_inverse=True)
-        u_len = np.fromiter((len(u) for u in uniq), np.int64, len(uniq))
-        u_alpha = np.fromiter(
-            (any("a" <= c <= "z" for c in u) for u in uniq), np.int64, len(uniq)
-        )
-        stop = _STOPWORDS["en"]
-        u_stop = np.fromiter((u in stop for u in uniq), np.int64, len(uniq))
+    flat, doc_idx, n = flat_tokens(batch.column(text_col))
+    n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u_len = pc.utf8_length(enc.dictionary).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        u_alpha = pc.match_substring_regex(
+            enc.dictionary, "[a-z]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        u_stop = pc.is_in(
+            enc.dictionary,
+            value_set=pa.array(sorted(_STOPWORDS["en"]), pa.string()),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         sum_len = np.bincount(doc_idx, weights=u_len[inv], minlength=n).astype(np.int64)
         n_alpha = np.bincount(doc_idx, weights=u_alpha[inv], minlength=n).astype(np.int64)
         n_stop = np.bincount(doc_idx, weights=u_stop[inv], minlength=n).astype(np.int64)

@@ -53,25 +53,41 @@ def token_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 def quality_stats(batch: pa.Table, *, text_col: str = "text", lang: str = "en") -> pa.Table:
     """Append quality signals: n_chars, word count, mean word length,
     punctuation ratio, stopword ratio, alpha ratio, and a composite
-    ``quality_score`` in [0,1] (C4/Gopher-style heuristics)."""
-    texts = batch.column(text_col).to_pylist()
+    ``quality_score`` in [0,1] (C4/Gopher-style heuristics). All counts
+    come from Arrow RE2 kernels + one flat_tokens pass; the ratios divide
+    the same integers the per-row loop produced."""
+    col = batch.column(text_col)
     stop = _STOPWORDS.get(lang, _STOPWORDS["en"])
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    n_words = np.empty(n, np.int64)
-    mean_wl = np.empty(n, np.float64)
-    punct_r = np.empty(n, np.float64)
-    stop_r = np.empty(n, np.float64)
-    alpha_r = np.empty(n, np.float64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        words = _WORD_RE.findall(t.lower())
-        n_words[i] = len(words)
-        mean_wl[i] = sum(map(len, words)) / len(words) if words else 0.0
-        punct_r[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
-        stop_r[i] = sum(w in stop for w in words) / max(1, len(words))
-        alpha_r[i] = sum(c.isalpha() for c in t) / max(1, len(t))
+    n = len(col)
+    n_chars = pc.fill_null(pc.utf8_length(col), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_punct = pc.fill_null(
+        pc.count_substring_regex(col, r"[^\w\s]"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha_ch = pc.fill_null(
+        pc.count_substring_regex(col, r"[A-Za-z]"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat, parent, _ = flat_tokens(col)
+    n_words = np.bincount(parent, minlength=n).astype(np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u_len = pc.utf8_length(enc.dictionary).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        u_stop = pc.is_in(
+            enc.dictionary, value_set=pa.array(sorted(stop), pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_wl = np.bincount(parent, weights=u_len[inv], minlength=n)
+        n_stop = np.bincount(parent, weights=u_stop[inv], minlength=n)
+    else:
+        sum_wl = np.zeros(n, np.float64)
+        n_stop = np.zeros(n, np.float64)
+    mean_wl = np.where(n_words > 0, sum_wl / np.maximum(1, n_words), 0.0)
+    punct_r = n_punct / np.maximum(1, n_chars)
+    stop_r = n_stop / np.maximum(1, n_words)
+    alpha_r = n_alpha_ch / np.maximum(1, n_chars)
     # composite: reward stopword presence + sane word lengths, punish
     # punctuation soup and empty docs
     score = np.clip(
@@ -94,22 +110,29 @@ def quality_stats(batch: pa.Table, *, text_col: str = "text", lang: str = "en") 
 
 def lang_id(batch: pa.Table, *, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
     """Heuristic language ID: argmax of per-language stopword hit-rate
-    (n-gram-free, deterministic; 'und' = undetermined when no evidence)."""
-    texts = batch.column(text_col).to_pylist()
+    (n-gram-free, deterministic; 'und' = undetermined when no evidence).
+    Vectorized: flat_tokens + one ``is_in`` per language over the batch
+    dictionary, hit counts via bincount; argmax with first-language-wins
+    ties and the ``max(2, n_words // 50)`` evidence threshold — the same
+    contract the SQL oracle restates."""
     langs = list(_STOPWORDS)
-    preds = []
-    for t in texts:
-        words = _WORD_RE.findall((t or "").lower())
-        if not words:
-            preds.append("und")
-            continue
-        best, best_hits = "und", 0
-        for lg in langs:
-            stop = _STOPWORDS[lg]
-            hits = sum(w in stop for w in words)
-            if hits > best_hits:
-                best, best_hits = lg, hits
-        preds.append(best if best_hits >= max(2, len(words) // 50) else "und")
+    flat, parent, n = flat_tokens(batch.column(text_col))
+    if not len(flat):
+        return batch.append_column(out_col, pa.array(["und"] * n, pa.string()))
+    enc = flat.dictionary_encode()
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.bincount(parent, minlength=n).astype(np.int64)
+    hits = np.empty((len(langs), n), np.int64)
+    for li, lg in enumerate(langs):
+        u_in = pc.is_in(
+            enc.dictionary,
+            value_set=pa.array(sorted(_STOPWORDS[lg]), pa.string()),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        hits[li] = np.bincount(parent, weights=u_in[inv], minlength=n)
+    best_li = hits.argmax(axis=0)          # first (dict-order) lang wins ties
+    best_hits = hits[best_li, np.arange(n)]
+    ok = (best_hits > 0) & (best_hits >= np.maximum(2, n_words // 50))
+    preds = np.where(ok, np.asarray(langs, dtype=object)[best_li], "und")
     return batch.append_column(out_col, pa.array(preds, pa.string()))
 
 
