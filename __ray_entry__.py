@@ -260,6 +260,111 @@ def _near_decontam_oracle_sql() -> str:
     """
 
 
+def _q_dedup_tiers(sf_dir: str):
+    """Tiered dedup attribution (pipelines/tiers.dedup_tiers): every doc
+    labeled with the FIRST tier that removes it — exact (byte-identical),
+    normalized (C4-canonicalized identical among exact survivors), near
+    (flagship MinHash cluster among earlier survivors, min-id keeps) or
+    kept. One fused text scan; full value oracle on the shared
+    signature-pipeline SQL."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import dedup_tiers
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return dedup_tiers(_tbl(sf_dir, "documents"), cfg)
+
+
+def _tiers_oracle_sql() -> str:
+    """SQL restatement of _q_dedup_tiers: exact groups (sha-256 of raw
+    text, non-empty), normalized groups (sha-256 of the C4-normalized
+    text, non-empty tn, among exact survivors), then the flagship
+    signature pipeline over the remaining survivors (s2) → band join →
+    fold verify → recursive-closure components → min-doc-id keeper per
+    cluster. No exact-edge union in the near tier: tier 1 already
+    removed byte-identical docs, so exact groups in s2 are singletons
+    (the engine's digest index finds the same empty pair set)."""
+    prefix, thr = _sig_sql_prefix(table="s2")
+    return rf"""
+        WITH RECURSIVE e AS (
+            SELECT doc_id, sha256(text) AS dg FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+        ), r1 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY dg) AS m FROM e
+            ) WHERE doc_id <> m
+        ), n0 AS (
+            SELECT d.doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       lower(d.text), '[^a-z0-9\s]+', '', 'g'),
+                       '\s+', ' ', 'g'), ' ') AS tn
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM r1)
+        ), r2 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(tn)) AS m
+                FROM n0 WHERE tn IS NOT NULL AND length(tn) > 0
+            ) WHERE doc_id <> m
+        ), s2 AS (
+            SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM r1)
+              AND d.doc_id NOT IN (SELECT doc_id FROM r2)
+              AND d.text IS NOT NULL AND length(d.text) > 0
+        ), {prefix}, nodes AS (
+            SELECT doc_id,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
+            FROM s2
+        ), bandrows AS (
+            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp s JOIN nodes n USING (doc_id)
+            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+        ), stars AS (
+            SELECT band, sub, min(node) AS anchor, list(node) AS members
+            FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
+        ), cand AS (
+            SELECT DISTINCT anchor AS a, unnest(members) AS b FROM stars
+        ), candf AS (
+            SELECT a, b FROM cand WHERE a <> b
+        ), folds AS (
+            SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
+            FROM sigcomp GROUP BY doc_id
+        ), nodefolds AS (
+            SELECT n.node, f.f16 FROM folds f JOIN nodes n USING (doc_id)
+        ), verified AS (
+            SELECT c.a AS src, c.b AS dst
+            FROM candf c
+            JOIN nodefolds fa ON fa.node = c.a
+            JOIN nodefolds fb ON fb.node = c.b
+            WHERE (len(list_filter([x FOR x IN range(1, 129)],
+                                   i -> fa.f16[i] = fb.f16[i])) / 128.0) >= {thr}
+        ), undirected AS (
+            SELECT src AS u, dst AS v FROM verified
+            UNION SELECT dst, src FROM verified
+        ), reach(node, lbl) AS (
+            SELECT u, u FROM undirected
+            UNION
+            SELECT e2.v, r.lbl FROM reach r JOIN undirected e2 ON e2.u = r.node
+        ), comp AS (
+            SELECT node, min(lbl) AS cluster FROM reach GROUP BY node
+        ), clus AS (
+            SELECT n.doc_id, COALESCE(c.cluster, n.node) AS cluster_id
+            FROM nodes n LEFT JOIN comp c ON c.node = n.node
+        ), r3 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY cluster_id) AS m
+                FROM clus
+            ) WHERE doc_id <> m
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id IN (SELECT doc_id FROM r1) THEN 'exact'
+                    WHEN d.doc_id IN (SELECT doc_id FROM r2) THEN 'normalized'
+                    WHEN d.doc_id IN (SELECT doc_id FROM r3) THEN 'near'
+                    ELSE 'kept' END AS tier
+        FROM documents d
+    """
+
+
 def _q_exact_clusters_trunc(sf_dir: str):
     """The FLAGSHIP dupe pipeline (fused signatures + sharded LSH/digest
     indexes + verify + large/small-star components + assignment) driven to
@@ -378,13 +483,15 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
-def _sig_sql_prefix() -> tuple[str, float]:
+def _sig_sql_prefix(table: str = "documents") -> tuple[str, float]:
     """Shared WITH-clauses restating the OPH signature pipeline
     (stages/minhash) in DuckDB — tokens → md5-u64 hashes → 5-gram
     rolling-polynomial shingles → splitmix64 → 128-bin OPH with rotation
     densification (``sigcomp``: one row per (doc_id, bin) with the
-    final uint32 component). Used by the flagship clusters oracle AND the
-    near-decontamination oracle. Returns (clauses, jaccard_threshold)."""
+    final uint32 component). Used by the flagship clusters oracle, the
+    near-decontamination oracle and the tiered-dedup oracle. ``table``
+    is the (doc_id, text) source — a base table or an earlier CTE name.
+    Returns (clauses, jaccard_threshold)."""
     MOD = "18446744073709551616::UHUGEINT"
 
     def mulmod(a: str, m: int) -> str:
@@ -416,7 +523,7 @@ def _sig_sql_prefix() -> tuple[str, float]:
             SELECT doc_id,
                    list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                                   t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
-            FROM documents
+            FROM {table}
         ), tokpos AS (
             SELECT doc_id,
                    unnest([{{'pos': i, 'h': th[i]}} FOR i IN range(1, len(th)+1)],
@@ -2288,6 +2395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "decontam_clean": _q_decontam_clean,
         "near_decontam": _q_near_decontam,
+        "dedup_tiers": _q_dedup_tiers,
         "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
@@ -2827,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": _HLL_ORACLE,
         "decontam_clean": _decontam_oracle_sql(),
         "near_decontam": _near_decontam_oracle_sql(),
+        "dedup_tiers": _tiers_oracle_sql(),
         "cap_per_domain": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -1,0 +1,333 @@
+"""Tiered dedup attribution — WHICH tier removes each document.
+
+Production web-text curation runs dedup as a cascade of increasingly
+fuzzy tiers (the reference's `dupe` verb is the exact tier; CCNet / Dolma
+/ FineWeb add normalized and near tiers). This operator labels every
+corpus document with the FIRST tier that removes it:
+
+    exact       byte-identical text (sha-256 group, min-id keeps;
+                reference keep-first semantics, pkg/dupe/dupe.go:919-931)
+    normalized  C4-style canonicalized text identical (stages/normalize)
+                among exact survivors
+    near        MinHash/LSH cluster (the flagship machinery) among
+                exact+normalized survivors; min doc id per cluster keeps
+    kept        survived all tiers (incl. empty/token-less docs, which no
+                tier can claim)
+
+Scale shape — ONE text scan, then id-width shuffles:
+
+- a fused batch kernel computes the raw digest, the normalized digest and
+  the MinHash signature in a single pass over the text (the signature
+  table is the same store the incremental flagship persists); the fused
+  table is materialized once and reused by every tier.
+- tiers 1+2 are a CHAIN of two groupbys over 40-byte projections
+  (digest-hash then norm-hash); the exact-removal flag rides along to the
+  second groupby, so no intermediate anti-join exists at all.
+- the survivor filter before the near tier broadcasts the removed-id set
+  when it is small (duplicates only — ``broadcast_limit``) and falls back
+  to the hash-partitioned anti-join for massively duplicated corpora.
+- the near tier reuses ``dupe_clusters_from_sigs`` on the already-built
+  signature table (no second text scan), then one cluster-id groupby of
+  16-byte rows picks the min-id keeper per cluster.
+
+Deterministic and SQL-restatable end to end: the driver's
+``dedup_tiers`` query value-checks every tier label against a DuckDB
+oracle built on the flagship's shared signature-pipeline SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dupers_ray.config import DedupConfig
+
+TIER_KEPT, TIER_EXACT, TIER_NORM, TIER_NEAR = 0, 1, 2, 3
+TIER_NAMES = {TIER_KEPT: "kept", TIER_EXACT: "exact",
+              TIER_NORM: "normalized", TIER_NEAR: "near"}
+
+_N_PARTS = 64  # hash partitions for the tier-resolution groupbys
+
+
+def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
+                shingle, minhash) -> pa.Table:
+    """One pass over the text: raw sha-256 words, normalized sha-256
+    words, MinHash signature (null for token-less docs), node id.
+    Empty/null raw text ⇒ txt_empty (excluded from the exact tier);
+    empty normalized text ⇒ norm_empty (excluded from the normalized
+    tier) — both match the SQL oracle's ``length(..) > 0`` guards."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.functions.hashing import (
+        hex_prefix_u64,
+        node_ids,
+        sha256_hex_many,
+    )
+    from dupers_ray.pipelines.near_dedup import _MINHASHER_CACHE
+    from dupers_ray.stages.minhash import MinHasher
+    from dupers_ray.stages.normalize import normalize_text
+
+    key = ("tiers", shingle, minhash, id_col, text_col)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = MinHasher(shingle=shingle, minhash=minhash,
+                       id_col=id_col, text_col=text_col)
+        _MINHASHER_CACHE[key] = mh
+
+    ids = batch.column(id_col)
+    texts = [t if t is not None else ""
+             for t in batch.column(text_col).to_pylist()]
+    norm = normalize_text(batch.select([text_col]), text_col=text_col)
+    norm_texts = [t if t is not None else ""
+                  for t in norm.column("text_norm").to_pylist()]
+
+    def words(ts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        hexes = sha256_hex_many([t.encode("utf-8") for t in ts])
+        return hex_prefix_u64(hexes), np.array(
+            [int(h[16:32], 16) for h in hexes], dtype=np.uint64
+        )
+
+    dg_a, dg_b = words(texts)
+    nm_a, nm_b = words(norm_texts)
+    sig, n_sh = mh.signatures(texts)
+    sig_le = np.ascontiguousarray(sig.astype("<u4"))
+    sig_bytes: list[bytes | None] = [None] * len(texts)
+    ki = 0
+    for i, k in enumerate(n_sh > 0):
+        if k:
+            sig_bytes[i] = sig_le[ki].tobytes()
+            ki += 1
+    return pa.table({
+        id_col: ids,
+        "node": pa.array(node_ids([str(v) for v in ids.to_pylist()])),
+        "sig": pa.array(sig_bytes, pa.binary()),
+        "n_shingles": pa.array(n_sh.astype(np.int64)),
+        "digest_u64": pa.array(dg_a), "digest_u64b": pa.array(dg_b),
+        "norm_u64": pa.array(nm_a), "norm_u64b": pa.array(nm_b),
+        "txt_empty": pc.fill_null(pc.or_(
+            pc.is_null(batch.column(text_col)),
+            pc.equal(pc.binary_length(batch.column(text_col)
+                                      .cast(pa.binary())), 0),
+        ), True),
+        "norm_empty": pc.fill_null(pc.or_(
+            pc.is_null(norm.column("text_norm")),
+            pc.equal(pc.utf8_length(norm.column("text_norm")), 0),
+        ), True),
+    })
+
+
+def _min_keeps(g: pd.DataFrame, *, id_col: str, ka: str, kb: str,
+               exempt: str, out: str, prior: str | None) -> pd.DataFrame:
+    """Within one hash partition: rows grouped by the 128-bit (ka, kb)
+    key; every non-min id is marked removed in ``out``. ``exempt`` rows
+    (empty content) and rows already removed by a ``prior`` tier never
+    group and never get removed here."""
+    g = g.copy()
+    g[out] = False
+    live = ~g[exempt].to_numpy(dtype=bool)
+    if prior is not None:
+        live &= ~g[prior].to_numpy(dtype=bool)
+    if live.any():
+        sub = g.loc[live]
+        m = sub.groupby([ka, kb], sort=False)[id_col].transform("min")
+        g.loc[live, out] = (sub[id_col] != m).to_numpy()
+    return g
+
+
+def dedup_tiers(
+    docs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Label every document with the first dedup tier that removes it.
+    Returns ``(id_col, tier)`` rows, tier ∈ {exact, normalized, near,
+    kept}."""
+    from dupers_ray.pipelines.dupe import dupe_clusters_from_sigs
+    from dupers_ray.pipelines.maintenance import (
+        anti_join_broadcast,
+        anti_join_shuffle,
+    )
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+
+    fused = docs.select_columns([id_col, cfg.text_col]).map_batches(
+        _fused_scan,
+        fn_kwargs={"id_col": id_col, "text_col": cfg.text_col,
+                   "shingle": cfg.shingle, "minhash": cfg.minhash},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # reused by the tier chain, the near tier and assignment
+
+    def part_of(t: pa.Table, col: str) -> pa.Table:
+        k = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(_N_PARTS)).astype(np.int64)),
+        )
+
+    proj = fused.select_columns(
+        [id_col, "digest_u64", "digest_u64b", "norm_u64", "norm_u64b",
+         "txt_empty", "norm_empty"]
+    )
+    # tier 1+2 chain: digest-hash groupby, then norm-hash groupby with the
+    # exact flag riding along — no intermediate anti-join
+    t1 = (
+        proj.map_batches(part_of, fn_kwargs={"col": "digest_u64"},
+                         batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            _min_keeps,
+            fn_kwargs={"id_col": id_col, "ka": "digest_u64",
+                       "kb": "digest_u64b", "exempt": "txt_empty",
+                       "out": "r_exact", "prior": None},
+            batch_format="pandas",
+        )
+        .drop_columns(["__part", "digest_u64", "digest_u64b", "txt_empty"])
+    )
+    t12 = (
+        t1.map_batches(part_of, fn_kwargs={"col": "norm_u64"},
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            _min_keeps,
+            fn_kwargs={"id_col": id_col, "ka": "norm_u64",
+                       "kb": "norm_u64b", "exempt": "norm_empty",
+                       "out": "r_norm", "prior": "r_exact"},
+            batch_format="pandas",
+        )
+        .select_columns([id_col, "r_exact", "r_norm"])
+        .materialize()  # small: id + two bools per doc
+    )
+
+    import pyarrow.compute as pc
+
+    removed12 = t12.map_batches(
+        lambda t: t.filter(
+            pc.or_(t.column("r_exact"), t.column("r_norm"))
+        ).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_removed = removed12.count()
+
+    if n_removed == 0:
+        survivors = fused
+    elif n_removed <= broadcast_limit:
+        keys = np.array(
+            [r[id_col] for r in removed12.take_all()]
+        )
+        survivors = anti_join_broadcast(fused, keys, key_col=id_col)
+    else:
+        survivors = anti_join_shuffle(fused, removed12, key_col=id_col)
+
+    # empty-text docs never dedup (they share sha256('') — the flagship's
+    # drop_empty parity): exclude them from the near tier's index AND its
+    # cluster mapping; base labeling already marks them kept
+    content = survivors.map_batches(
+        lambda t: t.filter(pc.invert(t.column("txt_empty"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    clusters = dupe_clusters_from_sigs(content, cfg, mapping_ds=content)
+
+    def near_part(t: pa.Table) -> pa.Table:
+        k = t.column("cluster_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(_N_PARTS)).astype(np.int64)),
+        )
+
+    def near_removed(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("cluster_id", sort=False)[id_col].transform("min")
+        sub = g.loc[g[id_col] != m, id_col]
+        # dtype-stable even when empty: a 0-row object column would reach
+        # Arrow as type null and break the cogroup-join fallback
+        return pd.DataFrame({
+            id_col: sub.to_numpy(),
+            "tier": pd.Series(["near"] * len(sub), dtype="string"),
+        })
+
+    r3 = (
+        clusters.map_batches(near_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(near_removed, batch_format="pandas")
+    )
+
+    def label12(t: pa.Table) -> pa.Table:
+        tier = np.where(
+            t.column("r_exact").to_numpy(zero_copy_only=False), "exact",
+            np.where(t.column("r_norm").to_numpy(zero_copy_only=False),
+                     "normalized", "kept"),
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            "tier": pa.array(tier.astype(object), pa.string()),
+        })
+
+    base = t12.map_batches(label12, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # overlay the near tier: docs in r3 flip kept -> near. r3 is the
+    # near-duplicate set only — broadcast when small, else cogroup join.
+    r3 = r3.materialize()
+    n_near = r3.count()
+    if n_near == 0:
+        return base
+    if n_near <= broadcast_limit:
+        near_ids = np.sort(np.array(
+            [r[id_col] for r in r3.take_all()]
+        ))
+        ref = ray.put(near_ids)
+
+        def overlay(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            nr = ray.get(ref)
+            pos = np.searchsorted(nr, ids).clip(0, len(nr) - 1)
+            hit = nr[pos] == ids
+            tier = t.column("tier").to_numpy(zero_copy_only=False).copy()
+            tier[hit] = "near"
+            return pa.table({
+                id_col: t.column(id_col),
+                "tier": pa.array(tier.astype(object), pa.string()),
+            })
+
+        return base.map_batches(overlay, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # large near-dup set: near-removed docs are by construction labeled
+    # 'kept' in base, so the overlay is one id-hash ANTI join (drop them
+    # from base) + union of the r3 rows, which already carry tier='near'
+    from dupers_ray.pipelines.maintenance import anti_join_shuffle
+
+    idt = fused.schema().base_schema.field(id_col).type \
+        if hasattr(fused.schema(), "base_schema") else \
+        fused.schema().field(id_col).type
+
+    def as_tier_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col).cast(idt),
+            "tier": t.column("tier").cast(pa.string()),
+        })
+
+    near_rows = r3.map_batches(as_tier_rows, batch_format="pyarrow")
+    base_minus = anti_join_shuffle(
+        base, near_rows.select_columns([id_col]), key_col=id_col,
+        left_schema=pa.schema([(id_col, idt), ("tier", pa.string())]),
+    )
+    return base_minus.union(near_rows)
+
+
+def tier_summary(tiers: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(tier, n_docs) rollup of a dedup_tiers result."""
+    agg = tiers.groupby("tier").count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["tier", "n_docs"]),
+        batch_format="pyarrow",
+    )
