@@ -274,6 +274,24 @@ def _q_dedup_tiers(sf_dir: str):
     return dedup_tiers(_tbl(sf_dir, "documents"), cfg)
 
 
+def _q_tier_summary(sf_dir: str):
+    """(tier, n_docs) rollup of dedup_tiers — the Status/Info-style report
+    for the tier cascade."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import dedup_tiers, tier_summary
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return tier_summary(dedup_tiers(_tbl(sf_dir, "documents"), cfg))
+
+
+def _tier_summary_oracle_sql() -> str:
+    """The full tiers oracle nested as a CTE + one GROUP BY."""
+    return f"""
+        WITH t AS ({_tiers_oracle_sql()})
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY tier
+    """
+
+
 def _tiers_oracle_sql() -> str:
     """SQL restatement of _q_dedup_tiers: exact groups (sha-256 of raw
     text, non-empty), normalized groups (sha-256 of the C4-normalized
@@ -2396,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_clean": _q_decontam_clean,
         "near_decontam": _q_near_decontam,
         "dedup_tiers": _q_dedup_tiers,
+        "tier_summary": _q_tier_summary,
         "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
@@ -2936,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_clean": _decontam_oracle_sql(),
         "near_decontam": _near_decontam_oracle_sql(),
         "dedup_tiers": _tiers_oracle_sql(),
+        "tier_summary": _tier_summary_oracle_sql(),
         "cap_per_domain": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -160,6 +160,18 @@ def run_bench() -> dict:
     timed("simhash_pairs_docs", lambda: simhash_pairs(
         rd.read_parquet(doc_path), SimHashConfig(), id_col="doc_id").count())
 
+    # tiered dedup attribution over the pages corpus (exact -> normalized
+    # -> near cascade; one fused text scan + the flagship near machinery)
+    def tiers_pages():
+        from dupers_ray.pipelines.tiers import dedup_tiers
+
+        cfg = DedupConfig()
+        return dedup_tiers(
+            rd.read_parquet(pages_path, columns=["url", "text"]), cfg
+        ).count()
+
+    timed("tier_attribution_pages", tiers_pages)
+
     def topk_embeddings():
         import numpy as np
         import pyarrow.parquet as pq

@@ -120,22 +120,36 @@ def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
     })
 
 
-def _min_keeps(g: pd.DataFrame, *, id_col: str, ka: str, kb: str,
-               exempt: str, out: str, prior: str | None) -> pd.DataFrame:
-    """Within one hash partition: rows grouped by the 128-bit (ka, kb)
-    key; every non-min id is marked removed in ``out``. ``exempt`` rows
-    (empty content) and rows already removed by a ``prior`` tier never
-    group and never get removed here."""
-    g = g.copy()
-    g[out] = False
-    live = ~g[exempt].to_numpy(dtype=bool)
-    if prior is not None:
-        live &= ~g[prior].to_numpy(dtype=bool)
+def _resolve_exact_norm(g: pd.DataFrame, *, id_col: str) -> pd.DataFrame:
+    """Resolve tiers 1 AND 2 inside one norm-key partition. Equal raw
+    digests imply equal normalized digests, so every raw-digest group
+    arrives complete in its norm group's partition — one shuffle settles
+    both tiers:
+
+    - exact: non-empty raw text, id != min(id) of the raw-digest group;
+    - normalized: survived exact, non-empty normalized text,
+      id != min(id) of the norm-digest group among such survivors.
+    """
+    n = len(g)
+    r_exact = np.zeros(n, bool)
+    r_norm = np.zeros(n, bool)
+    live = ~g["txt_empty"].to_numpy(dtype=bool)
     if live.any():
         sub = g.loc[live]
-        m = sub.groupby([ka, kb], sort=False)[id_col].transform("min")
-        g.loc[live, out] = (sub[id_col] != m).to_numpy()
-    return g
+        m = sub.groupby(["digest_u64", "digest_u64b"],
+                        sort=False)[id_col].transform("min")
+        r_exact[live] = (sub[id_col] != m).to_numpy()
+    nl = live & ~r_exact & ~g["norm_empty"].to_numpy(dtype=bool)
+    if nl.any():
+        sub = g.loc[nl]
+        m = sub.groupby(["norm_u64", "norm_u64b"],
+                        sort=False)[id_col].transform("min")
+        r_norm[nl] = (sub[id_col] != m).to_numpy()
+    return pd.DataFrame({
+        id_col: g[id_col].to_numpy(),
+        "r_exact": r_exact,
+        "r_norm": r_norm,
+    })
 
 
 def dedup_tiers(
@@ -175,33 +189,18 @@ def dedup_tiers(
         [id_col, "digest_u64", "digest_u64b", "norm_u64", "norm_u64b",
          "txt_empty", "norm_empty"]
     )
-    # tier 1+2 chain: digest-hash groupby, then norm-hash groupby with the
-    # exact flag riding along — no intermediate anti-join
-    t1 = (
-        proj.map_batches(part_of, fn_kwargs={"col": "digest_u64"},
+    # tiers 1+2 in ONE norm-key shuffle: raw-digest groups nest inside
+    # norm groups (equal bytes ⇒ equal normalization), so both min-id
+    # resolutions happen in the same partition. Skew note: every
+    # punctuation-only doc shares sha256('') as its norm key and lands in
+    # one partition — bounded by such docs' count, and their rows are
+    # 40 B projections, not text.
+    t12 = (
+        proj.map_batches(part_of, fn_kwargs={"col": "norm_u64"},
                          batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
-        .map_groups(
-            _min_keeps,
-            fn_kwargs={"id_col": id_col, "ka": "digest_u64",
-                       "kb": "digest_u64b", "exempt": "txt_empty",
-                       "out": "r_exact", "prior": None},
-            batch_format="pandas",
-        )
-        .drop_columns(["__part", "digest_u64", "digest_u64b", "txt_empty"])
-    )
-    t12 = (
-        t1.map_batches(part_of, fn_kwargs={"col": "norm_u64"},
-                       batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(
-            _min_keeps,
-            fn_kwargs={"id_col": id_col, "ka": "norm_u64",
-                       "kb": "norm_u64b", "exempt": "norm_empty",
-                       "out": "r_norm", "prior": "r_exact"},
-            batch_format="pandas",
-        )
-        .select_columns([id_col, "r_exact", "r_norm"])
+        .map_groups(_resolve_exact_norm, fn_kwargs={"id_col": id_col},
+                    batch_format="pandas")
         .materialize()  # small: id + two bools per doc
     )
 
@@ -218,9 +217,9 @@ def dedup_tiers(
     if n_removed == 0:
         survivors = fused
     elif n_removed <= broadcast_limit:
-        keys = np.array(
-            [r[id_col] for r in removed12.take_all()]
-        )
+        # to_pandas (block concat), NOT take_all: row-dict iteration over
+        # pandas-format blocks is ~1000x slower than a column pull
+        keys = removed12.to_pandas()[id_col].to_numpy()
         survivors = anti_join_broadcast(fused, keys, key_col=id_col)
     else:
         survivors = anti_join_shuffle(fused, removed12, key_col=id_col)
@@ -228,10 +227,14 @@ def dedup_tiers(
     # empty-text docs never dedup (they share sha256('') — the flagship's
     # drop_empty parity): exclude them from the near tier's index AND its
     # cluster mapping; base labeling already marks them kept
+    # materialize once: the near machinery consumes this THREE times
+    # (index ingest, verify, cluster mapping) — lazy, each pass would
+    # re-run the survivor anti-join and its actor pool. These are the
+    # same bytes the incremental flagship persists as its signature store.
     content = survivors.map_batches(
         lambda t: t.filter(pc.invert(t.column("txt_empty"))),
         batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ).materialize()
     clusters = dupe_clusters_from_sigs(content, cfg, mapping_ds=content)
 
     def near_part(t: pa.Table) -> pa.Table:
@@ -281,9 +284,7 @@ def dedup_tiers(
     if n_near == 0:
         return base
     if n_near <= broadcast_limit:
-        near_ids = np.sort(np.array(
-            [r[id_col] for r in r3.take_all()]
-        ))
+        near_ids = np.sort(r3.to_pandas()[id_col].to_numpy())
         ref = ray.put(near_ids)
 
         def overlay(t: pa.Table) -> pa.Table:
