@@ -136,9 +136,10 @@ def decontaminate(
             left_schema=pa.schema([("sh", pa.int64()), (id_col, pa.int64())]),
             right_schema=pa.schema([("sh", pa.int64())]),
         )
-        bad = np.unique(
-            np.array([r[id_col] for r in hits.select_columns([id_col]).take_all()],
-                     dtype=np.int64)
+        hdf = hits.select_columns([id_col]).to_pandas()
+        bad = (
+            np.unique(hdf[id_col].to_numpy(np.int64))
+            if len(hdf) else np.empty(0, np.int64)
         )
         bad_ref = ray.put(bad)
 

@@ -101,10 +101,10 @@ def frequent_lines(
     ).groupby("lh").aggregate(Sum("n", alias_name="n"))
     freq = counts.filter(
         expr=f"n >= {int(min_docs)}"
-    ).select_columns(["lh"]).take_all()
-    if not freq:
+    ).select_columns(["lh"]).to_pandas()  # column pull, not per-row take_all
+    if not len(freq):
         return np.empty(0, np.uint64)
-    return np.sort(np.array([r["lh"] for r in freq], np.int64).view(np.uint64))
+    return np.sort(freq["lh"].to_numpy(np.int64).view(np.uint64))
 
 
 def remove_duplicate_lines(

@@ -95,11 +95,11 @@ def dup_gram_owners(
         Sum("n", alias_name="n"), Min("owner", alias_name="owner")
     )
     dup = g.filter(expr=f"n >= {int(min_docs)}").select_columns(
-        ["gh", "owner"]).take_all()
-    if not dup:
+        ["gh", "owner"]).to_pandas()  # column pull, not per-row take_all
+    if not len(dup):
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    gh = np.array([r["gh"] for r in dup], np.int64).view(np.uint64)
-    owner = np.array([r["owner"] for r in dup], np.int64)
+    gh = dup["gh"].to_numpy(np.int64).view(np.uint64)
+    owner = dup["owner"].to_numpy(np.int64)
     order = np.argsort(gh, kind="stable")
     return gh[order], owner[order]
 
