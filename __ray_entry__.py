@@ -1101,6 +1101,26 @@ def _q_funnel_counts(sf_dir: str):
     )
 
 
+def _q_window_distinct(sf_dir: str):
+    """Daily distinct active users (pipelines/events.window_distinct):
+    exact per-window COUNT(DISTINCT user) via a distinct-pair combiner +
+    one window-hash shuffle of deduped pairs."""
+    from dupers_ray.pipelines.events import window_distinct
+
+    return window_distinct(_tbl(sf_dir, "events"), window="1d")
+
+
+def _q_order_priority_exists(sf_dir: str):
+    """TPC-H Q4 shape (pipelines/relational.order_priority_exists):
+    orders with >=1 returned lineitem, counted per priority — EXISTS
+    semi-join via distinct-key combiner + broadcast/shuffle semi."""
+    from dupers_ray.pipelines.relational import order_priority_exists
+
+    return order_priority_exists(
+        _tbl(sf_dir, "orders"), _tbl(sf_dir, "lineitem")
+    )
+
+
 def _q_cohort_retention(sf_dir: str):
     """Weekly cohort retention triangle (pipelines/events
     .cohort_retention): users grouped by first-event week, counted per
@@ -2403,6 +2423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "funnel_windowed": _q_funnel_windowed,
         "cohort_retention": _q_cohort_retention,
+        "window_distinct": _q_window_distinct,
+        "order_priority_exists": _q_order_priority_exists,
         "char_ranks": _q_char_ranks,
         "asof_attrib": _q_asof_attrib,
         "purchase_window_pairs": _q_purchase_window_pairs,
@@ -2855,6 +2877,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 1, 'view', count(*) FROM s1
             UNION ALL SELECT 2, 'click', count(*) FROM s2
             UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        """,
+        # daily active users: exact distinct per tumbling day window
+        "window_distinct": """
+            SELECT make_timestamp((epoch_us(ts) // 86400000000)
+                                  * 86400000000) AS win_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1
+        """,
+        # TPC-H Q4 shape: EXISTS semi-join, counted per priority
+        "order_priority_exists": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
         """,
         # weekly retention triangle over distinct (user, week) activity
         "cohort_retention": """

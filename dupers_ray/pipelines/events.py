@@ -189,6 +189,65 @@ def sessionize(
     )
 
 
+def window_distinct(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "1d",
+) -> "ray.data.Dataset":
+    """Per tumbling window: EXACT ``count(DISTINCT key)`` — the windowed
+    unique-actors metric (daily active users). Per-batch distinct
+    (window, key) combiner → ONE window-hash shuffle of the deduped
+    pairs (bounded by per-window distinct count × blocks, not event
+    count) → per partition a global dedup + value_counts; every pair of
+    a window co-locates, so the partition's counts are FINAL — no second
+    aggregation. Output: (win_start timestamp, n_distinct)."""
+    width_us = _width_us(window)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // width_us) * width_us
+        uniq = np.unique(np.stack([win, keys]), axis=1)
+        return pa.table({
+            "win_us": pa.array(uniq[0]),
+            key_col: pa.array(uniq[1]),
+            "__part": pa.array(
+                (uniq[0].astype(np.uint64) % np.uint64(64)).astype(np.int64)
+            ),
+        })
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "win_us": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+            })
+        g = g.drop_duplicates(["win_us", key_col])
+        vc = g.groupby("win_us", sort=False).size()
+        return pd.DataFrame({
+            "win_us": vc.index.to_numpy(),
+            "n_distinct": vc.to_numpy().astype(np.int64),
+        })
+
+    out = (
+        ds.select_columns([ts_col, key_col])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        win = t.column("win_us").cast(pa.int64())
+        return pa.table({
+            "win_start": win.cast(pa.timestamp("us")),
+            "n_distinct": t.column("n_distinct").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def cohort_retention(
     ds: "ray.data.Dataset",
     *,

@@ -227,6 +227,61 @@ def pricing_summary(lineitem: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def order_priority_exists(
+    orders: "ray.data.Dataset",
+    lineitem: "ray.data.Dataset",
+    *,
+    returnflag: str = "R",
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q4 shape: per ``o_orderpriority``, count orders having AT
+    LEAST ONE lineitem with ``l_returnflag = returnflag`` — the EXISTS
+    semi-join every warehouse rollup needs.
+
+    Scale shape: the lineitem side reduces to DISTINCT matching order
+    keys via a per-batch unique combiner (shuffle-free); the semi-join
+    against orders is a broadcast membership filter when the key set is
+    small (``broadcast_limit``) and the hash-partitioned semi-join
+    otherwise; the final count groups pre-aggregated partials."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.maintenance import (
+        anti_join_broadcast,
+        anti_join_shuffle,
+        counts_by_bucket,
+    )
+
+    def match_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("l_returnflag"), returnflag)
+        k = t.column("l_orderkey").filter(m)
+        u = np.unique(k.to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(u, pa.int64())})
+
+    keys_ds = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        match_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed for count + (broadcast | shuffle)
+
+    osel = orders.select_columns(["o_orderkey", "o_orderpriority"])
+    if keys_ds.count() <= broadcast_limit:
+        keys = np.unique(keys_ds.to_pandas()["o_orderkey"].to_numpy())
+        matched = anti_join_broadcast(
+            osel, keys, key_col="o_orderkey", invert=True
+        )
+    else:
+        matched = anti_join_shuffle(
+            osel, keys_ds, key_col="o_orderkey", semi=True,
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_orderpriority", pa.string())]),
+        )
+    agg = counts_by_bucket(matched, bucket_col="o_orderpriority")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
 def _partial_rollup(group_col: str):
     def f(t: pa.Table) -> pa.Table:
         g = (

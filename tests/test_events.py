@@ -267,3 +267,27 @@ def test_cohort_retention_matches_bruteforce():
     cohort_sizes = Counter(min(w) for w in per_user.values())
     for c, size in cohort_sizes.items():
         assert got[(c, 0)] == size
+
+
+def test_window_distinct_matches_bruteforce():
+    from dupers_ray.pipelines.events import window_distinct
+
+    rng = np.random.default_rng(9)
+    n = 800
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 20 * 86_400_000_000, n)
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })
+    out = (
+        window_distinct(rd.from_arrow(tbl).repartition(5), window="1d")
+        .to_pandas()
+    )
+    day = 86_400_000_000
+    exp: dict[int, set[int]] = {}
+    for u, t in zip(users, ts):
+        exp.setdefault(int(t // day) * day, set()).add(int(u))
+    got = {int(r.win_start.value) // 1000: r.n_distinct
+           for r in out.itertuples()}  # .value is ns; windows are us
+    assert got == {k: len(v) for k, v in exp.items()}

@@ -145,3 +145,39 @@ def test_pricing_summary_integer_exact(ray_session):
         assert row["sum_charge_e6"] == int(
             (price[m] * (100 - disc[m]) * (100 + tax[m])).sum()
         )
+
+
+def test_order_priority_exists_matches_duckdb(ray_session):
+    import duckdb
+
+    from dupers_ray.pipelines.relational import order_priority_exists
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet")
+    lineitem = rd.read_parquet(f"{sf}/lineitem.parquet")
+    out = (
+        order_priority_exists(orders, lineitem)
+        .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    exp = duckdb.sql(f"""
+        SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM read_parquet('{sf}/orders.parquet') o
+        WHERE EXISTS (SELECT 1 FROM read_parquet('{sf}/lineitem.parquet') l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """).df()
+    assert out.equals(exp.astype(out.dtypes.to_dict()))
+
+
+def test_order_priority_exists_shuffle_path(ray_session):
+    from dupers_ray.pipelines.relational import order_priority_exists
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet")
+    lineitem = rd.read_parquet(f"{sf}/lineitem.parquet")
+    a = (order_priority_exists(orders, lineitem)
+         .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    b = (order_priority_exists(orders, lineitem, broadcast_limit=0)
+         .to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    assert a.equals(b)
