@@ -337,14 +337,15 @@ def funnel_counts(
     import pyarrow.compute as pc
 
     k = len(steps)
-    step_of = {s: i for i, s in enumerate(steps)}
     horizon_us = _width_us(within) if within is not None else None
 
     def prep(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column(type_col), value_set=pa.array(list(steps)))
         t = t.filter(mask)
-        typ = t.column(type_col).to_pylist()
-        idx = np.fromiter((step_of[s] for s in typ), np.int64, len(typ))
+        # index_in == position in steps == step index (vectorized step_of)
+        idx = pc.index_in(
+            t.column(type_col), value_set=pa.array(list(steps))
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
         users = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table({
