@@ -292,6 +292,33 @@ def _tier_summary_oracle_sql() -> str:
     """
 
 
+def _q_tiers_incremental(sf_dir: str):
+    """Incremental tier cascade (pipelines/tiers.dedup_tiers_incremental):
+    a fused store is pre-built for doc_id%3==0, the delta is scanned and
+    tiers resolve over stored ∪ fresh. Incremental ≡ full recompute, so
+    this SHARES the dedup_tiers oracle — value-checking the reuse path."""
+    import pyarrow as pa
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import (
+        dedup_tiers_incremental,
+        fused_tier_scan,
+    )
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    docs = _tbl(sf_dir, "documents")
+
+    def mod3(t: "pa.Table") -> "pa.Table":
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    stored = fused_tier_scan(
+        docs.map_batches(mod3, batch_format="pyarrow"), cfg
+    )
+    labels, _fused = dedup_tiers_incremental(docs, stored, cfg)
+    return labels
+
+
 def _tiers_oracle_sql() -> str:
     """SQL restatement of _q_dedup_tiers: exact groups (sha-256 of raw
     text, non-empty), normalized groups (sha-256 of the C4-normalized
@@ -2437,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_decontam": _q_near_decontam,
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
+        "tiers_incremental": _q_tiers_incremental,
         "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
@@ -2995,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
         "near_decontam": _near_decontam_oracle_sql(),
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
+        "tiers_incremental": _tiers_oracle_sql(),
         "cap_per_domain": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

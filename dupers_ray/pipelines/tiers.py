@@ -152,6 +152,19 @@ def _resolve_exact_norm(g: pd.DataFrame, *, id_col: str) -> pd.DataFrame:
     })
 
 
+def fused_tier_scan(
+    docs: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.data.Dataset":
+    """The tier cascade's one text scan, materialized — also the table
+    ``dedup_tiers_incremental`` persists/reuses as its store."""
+    return docs.select_columns([cfg.id_col, cfg.text_col]).map_batches(
+        _fused_scan,
+        fn_kwargs={"id_col": cfg.id_col, "text_col": cfg.text_col,
+                   "shingle": cfg.shingle, "minhash": cfg.minhash},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+
 def dedup_tiers(
     docs: "ray.data.Dataset",
     cfg: DedupConfig | None = None,
@@ -161,21 +174,87 @@ def dedup_tiers(
     """Label every document with the first dedup tier that removes it.
     Returns ``(id_col, tier)`` rows, tier ∈ {exact, normalized, near,
     kept}."""
+    cfg = cfg or DedupConfig()
+    # reused by the tier chain, the near tier and assignment
+    fused = fused_tier_scan(docs, cfg)
+    return _tiers_from_fused(fused, cfg, broadcast_limit=broadcast_limit)
+
+
+def dedup_tiers_incremental(
+    docs: "ray.data.Dataset",
+    stored_fused: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    broadcast_limit: int = 5_000_000,
+    known_broadcast_limit: int = 5_000_000,
+):
+    """Incremental tier cascade — the `up`-style daily-update flow at tier
+    level (same shape as ``dupe_clusters_incremental``): docs whose id is
+    already in the stored fused table are NOT re-scanned; only fresh docs
+    pay the text pass (digests + normalization + signatures). The tier
+    resolution then runs over stored ∪ fresh fused rows, so labels are
+    IDENTICAL to a full recompute (every fused column is a pure per-doc
+    function of the text).
+
+    Returns ``(tiers, fused)`` — the label table AND the updated fused
+    store (callers persist it for the next delta)."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.maintenance import anti_join_shuffle
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+    stored = stored_fused.materialize()
+    if stored.count() <= known_broadcast_limit:
+        known_parts = [
+            b.column(id_col).combine_chunks()
+            for b in stored.select_columns([id_col]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        known_arr = (
+            pa.concat_arrays(known_parts)
+            if known_parts else pa.array([], pa.string())
+        )
+        kref = ray.put(known_arr)
+
+        def drop_known(batch: pa.Table) -> pa.Table:
+            keys = ray.get(kref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=keys))
+            )
+
+        fresh = docs.map_batches(
+            drop_known, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        fresh = anti_join_shuffle(
+            docs, stored.select_columns([id_col]), key_col=id_col
+        )
+    # both sides materialized ⇒ the union is a lazy zero-copy concat the
+    # tier tail can consume repeatedly
+    fused = stored.union(fused_tier_scan(fresh, cfg))
+    return (
+        _tiers_from_fused(fused, cfg, broadcast_limit=broadcast_limit),
+        fused,
+    )
+
+
+def _tiers_from_fused(
+    fused: "ray.data.Dataset",
+    cfg: DedupConfig,
+    *,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Tier resolution over a (materialized or concat-of-materialized)
+    fused table — see :func:`dedup_tiers` for the stage shapes."""
     from dupers_ray.pipelines.dupe import dupe_clusters_from_sigs
     from dupers_ray.pipelines.maintenance import (
         anti_join_broadcast,
         anti_join_shuffle,
     )
 
-    cfg = cfg or DedupConfig()
     id_col = cfg.id_col
-
-    fused = docs.select_columns([id_col, cfg.text_col]).map_batches(
-        _fused_scan,
-        fn_kwargs={"id_col": id_col, "text_col": cfg.text_col,
-                   "shingle": cfg.shingle, "minhash": cfg.minhash},
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()  # reused by the tier chain, the near tier and assignment
 
     def part_of(t: pa.Table, col: str) -> pa.Table:
         k = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)

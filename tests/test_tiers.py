@@ -73,3 +73,66 @@ def test_tier_summary(ray_session):
     s = tier_summary(out).to_pandas()
     got = dict(zip(s.tier, s.n_docs))
     assert got == {"kept": 5, "exact": 2, "normalized": 2, "near": 1}
+
+
+def test_dedup_tiers_incremental_equals_full(ray_session):
+    from dupers_ray.pipelines.tiers import (
+        dedup_tiers, dedup_tiers_incremental, fused_tier_scan,
+    )
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    docs = rd.from_arrow(_corpus()).repartition(3)
+
+    def third(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    stored = fused_tier_scan(
+        docs.map_batches(third, batch_format="pyarrow"), cfg
+    )
+    inc, fused = dedup_tiers_incremental(docs, stored, cfg)
+    full = dedup_tiers(docs, cfg).to_pandas()
+    inc = inc.to_pandas()
+    assert dict(zip(inc.doc_id, inc.tier)) == dict(zip(full.doc_id, full.tier))
+    assert fused.count() == 10  # store grew to cover the whole corpus
+
+
+def test_dedup_tiers_incremental_reuses_store(ray_session):
+    """Poison a stored doc's digest pair: if the engine re-scanned stored
+    docs the poison would vanish; instead the poisoned exact group must
+    drive the labels — proof the store is trusted, not recomputed."""
+    import numpy as np
+
+    from dupers_ray.pipelines.tiers import (
+        dedup_tiers_incremental, fused_tier_scan,
+    )
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    docs = rd.from_arrow(_corpus()).repartition(2)
+
+    def doc1_only(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids == 1))
+
+    stored = fused_tier_scan(
+        docs.map_batches(doc1_only, batch_format="pyarrow"), cfg
+    )
+
+    def poison(t: pa.Table) -> pa.Table:
+        # break doc 1's exact-dup relation to doc 0
+        n = len(t)
+        t = t.set_column(
+            t.column_names.index("digest_u64"), "digest_u64",
+            pa.array(np.full(n, 12345, np.uint64)),
+        )
+        return t.set_column(
+            t.column_names.index("digest_u64b"), "digest_u64b",
+            pa.array(np.full(n, 678, np.uint64)),
+        )
+
+    poisoned = stored.map_batches(poison, batch_format="pyarrow")
+    inc, _ = dedup_tiers_incremental(docs, poisoned, cfg)
+    got = dict(zip(*(lambda d: (d.doc_id, d.tier))(inc.to_pandas())))
+    # doc 1 no longer exact-dups doc 0 — but it still normalizes to the
+    # same text, so the cascade now removes it at the NORMALIZED tier
+    assert got[1] == "normalized"
