@@ -204,6 +204,39 @@ def cmd_near(a) -> int:
     return 0
 
 
+def cmd_tiers(a) -> int:
+    """Tiered dedup attribution (exact → normalized → near), optionally
+    incremental against a persisted fused store (--store)."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import (
+        _tiers_from_fused,
+        dedup_tiers,
+        dedup_tiers_incremental,
+        fused_tier_scan,
+    )
+
+    cfg = DedupConfig(id_col=a.id_col)
+    corpus = _read(a.corpus).select_columns([a.id_col, "text"])
+    if a.store and os.path.isdir(a.store):
+        from dupers_ray.state.manifest import _atomic_write_parquet
+
+        out, fused = dedup_tiers_incremental(corpus, _read(a.store), cfg)
+        out = out.materialize()  # consume before the store is rewritten
+        _atomic_write_parquet(fused, a.store)
+        print(f"tiers: fused store now {fused.count()} rows at {a.store}")
+    elif a.store:
+        from dupers_ray.state.manifest import _atomic_write_parquet
+
+        fused = fused_tier_scan(corpus, cfg)
+        out = _tiers_from_fused(fused, cfg).materialize()
+        _atomic_write_parquet(fused, a.store)
+        print(f"tiers: wrote fused store to {a.store}")
+    else:
+        out = dedup_tiers(corpus, cfg)
+    _emit(out, a.out, "tiers")
+    return 0
+
+
 def cmd_search(a) -> int:
     from dupers_ray.pipelines.search import search
 
@@ -337,6 +370,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sigs", help="signature index dir: reuse stored "
                    "signatures (incremental) and persist the updated store")
     s.set_defaults(fn=cmd_near)
+
+    s = sub.add_parser("tiers", help="tiered dedup attribution "
+                       "(exact → normalized → near)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--out")
+    s.add_argument("--store", help="fused store dir: reuse stored digests/"
+                   "signatures (incremental) and persist the updated store")
+    s.set_defaults(fn=cmd_tiers)
 
     s = idx(sub.add_parser("search", help="substring search over the index"))
     s.add_argument("term")

@@ -124,3 +124,21 @@ def test_export_import_mv_rm_clean_backup(env, tmp_path, capsys):
     assert sorted(pq.read_table(idx).column("url").to_pylist()) == [
         "http://a/1", "http://a/2",
     ]
+
+
+def test_tiers_verb_with_store(env, tmp_path, capsys):
+    tmp, corpus, idx = env
+    out_pq = str(tmp_path / "tiers.parquet")
+    store = str(tmp_path / "fused_store")
+    # first run: writes the fused store + labels
+    assert main(["tiers", corpus, "--store", store, "--out", out_pq]) == 0
+    t = pq.read_table(out_pq)
+    labels = dict(zip(t.column("url").to_pylist(), t.column("tier").to_pylist()))
+    assert labels["http://a/3"] == "exact" and labels["http://a/1"] == "kept"
+    assert os.path.isdir(store)
+    # second run: incremental against the persisted store, same labels
+    assert main(["tiers", corpus, "--store", store, "--out", out_pq]) == 0
+    t2 = pq.read_table(out_pq)
+    labels2 = dict(zip(t2.column("url").to_pylist(), t2.column("tier").to_pylist()))
+    assert labels2 == labels
+    assert "fused store now" in capsys.readouterr().out
