@@ -64,22 +64,23 @@ def anti_join_broadcast(
     """Rows of ``ds`` whose ``key_col`` is NOT in ``keys`` (anti); with
     invert=True, rows that ARE (semi). ``keys`` is a python/np/arrow array
     small enough to broadcast — shipped to the object store ONCE via
-    ray.put, not re-pickled per batch."""
+    ray.put, not re-pickled per batch.
+
+    Stateless TASKS, not an actor pool: ``ray.get(ref)`` is a zero-copy
+    plasma read per task, so there is no per-actor state worth pooling —
+    and a pool would cap this filter's parallelism below the stages it
+    feeds (the same reasoning as the incremental flagship's known-id
+    filter, dupe.py)."""
     arr = pa.array(pd.unique(np.asarray(keys)))
     ref = ray.put(arr)
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)  # fetched once per actor
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key_col), value_set=ray.get(ref))
+        if not invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column(key_col), value_set=self.keys)
-            if not invert:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return ds.map_batches(Filter, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def anti_join_shuffle(
