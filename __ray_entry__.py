@@ -854,6 +854,16 @@ def _q_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact k-NN graph over the embeddings table (stages/embed.knn_graph):
+    every vector's 5 nearest OTHER vectors by cosine. Scores omitted from
+    the compared output (float tie-break noise); membership+ids exact."""
+    from dupers_ray.stages.embed import knn_graph
+
+    out = knn_graph(_tbl(sf_dir, "embeddings"), k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_topk_cosine_ivf(sf_dir: str):
     """IVF (coarse-quantizer ANN) top-k driven at n_probe == n_cells —
     provably exact (every cell probed), so it shares the brute-force
@@ -2431,6 +2441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_scores": _q_containment_scores,
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_ivf": _q_topk_cosine_ivf,
+        "knn_graph": _q_knn_graph,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,
@@ -2657,6 +2668,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text), '\w+')) AS BIGINT) AS n_words,
                    CAST(length(text) AS BIGINT) AS n_chars_q
             FROM documents
+        """,
+        # exact 5-NN graph (self excluded), ids only
+        "knn_graph": """
+            WITH scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS score
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC
+                       ) AS rk
+                FROM scored
+            )
+            SELECT query_id, vec_id FROM ranked WHERE rk <= 5
         """,
         "topk_cosine": _TOPK_ORACLE,
         "topk_cosine_ivf": _TOPK_ORACLE,

@@ -45,22 +45,27 @@ def topk_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_ids: np.ndarray | None = None,
+    exclude_ids: bool = False,
 ) -> "ray.data.Dataset":
     """Exact top-k by cosine per query vector. Per-batch partial top-k
     (matmul against the broadcast query matrix), then one tiny groupby to
     merge partials — the corpus itself is never collected.
     Output: (query_id, vec_id, score) with k rows per query.
-    Ties broken by ascending ``vec_id`` (deterministic)."""
+    Ties broken by ascending ``vec_id`` (deterministic).
+
+    ``exclude_ids=True`` masks corpus rows whose id equals the query's id
+    (self-matches) — the k-NN-graph mode where queries ARE the corpus."""
     qm = _norm(np.asarray(queries, np.float32))
     qids = (
         np.arange(qm.shape[0], dtype=np.int64)
         if query_ids is None
         else np.asarray(query_ids, np.int64)
     )
-    ref = ray.put((qm, qids))
+    qorder = np.argsort(qids, kind="stable")
+    ref = ray.put((qm, qids, qids[qorder], qorder))
 
     def partial(t: pa.Table) -> pa.Table:
-        qm_, qids_ = ray.get(ref)
+        qm_, qids_, qsorted, qord = ray.get(ref)
         emb = _norm(_mat(t.column(emb_col)))
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if emb.size == 0:
@@ -70,18 +75,26 @@ def topk_cosine(
         # float64 accumulate: keeps rank order stable vs double-precision
         # oracles; storage/shuffle stay float32
         scores = emb.astype(np.float64) @ qm_.T.astype(np.float64)  # (n, Q)
+        if exclude_ids and len(qsorted):
+            # mask scores[i, j] where the batch row's id IS query j's id:
+            # O(n log Q), no (n, Q) comparison matrix
+            pos = np.searchsorted(qsorted, ids).clip(0, len(qsorted) - 1)
+            hit = qsorted[pos] == ids
+            scores[np.flatnonzero(hit), qord[pos[hit]]] = -2.0
+        q = scores.shape[1]
         kk = min(k, scores.shape[0])
         # per query: indices of top-kk scores (ties → lower vec_id first)
-        order = np.lexsort((ids[:, None].repeat(scores.shape[1], 1), -scores), axis=0)[:kk]
-        out_q, out_i, out_s = [], [], []
-        for qi in range(scores.shape[1]):
-            sel = order[:, qi]
-            out_q.extend([int(qids_[qi])] * len(sel))
-            out_i.extend(ids[sel].tolist())
-            out_s.extend(scores[sel, qi].astype(np.float64).tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         id_col: pa.array(out_i, pa.int64()),
-                         "score": pa.array(out_s, pa.float64())})
+        order = np.lexsort((ids[:, None].repeat(q, 1), -scores), axis=0)[:kk]
+        # vectorized emission: (kk, Q) selections flatten column-major
+        sel_scores = scores[order, np.arange(q)]
+        keep = (sel_scores > -1.5).ravel(order="F")  # drop masked selves
+        return pa.table({
+            "query_id": pa.array(
+                np.broadcast_to(qids_, (kk, q)).ravel(order="F")[keep]
+            ),
+            id_col: pa.array(ids[order].ravel(order="F")[keep]),
+            "score": pa.array(sel_scores.ravel(order="F")[keep]),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -92,6 +105,50 @@ def topk_cosine(
         return g.head(k)[["query_id", id_col, "score"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_graph(
+    ds: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact k-nearest-neighbor graph: for every vector, its ``k`` most
+    cosine-similar OTHER vectors — the building block for SemDeDup-style
+    semantic dedup, retrieval eval and graph-based curation.
+
+    Broadcast path (the small-side contract shared with
+    ``cosine_pairs_broadcast``): the (ids, matrix) pair is collected once
+    and ``ray.put``; the corpus then STREAMS through the same
+    partial-top-k + tiny-merge machinery as ``topk_cosine`` with
+    self-matches masked. For corpora whose matrix can't broadcast,
+    compose ``topk_cosine_ivf`` over id-chunks of queries instead.
+    Output: (query_id, vec_id, score), k rows per vector (fewer when the
+    corpus has < k+1 rows)."""
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids_parts.append(
+            b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        mat_parts.append(_mat(b.column(emb_col)))
+    if not ids_parts:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
+    qids = np.concatenate(ids_parts)
+    qm = np.vstack([m for m in mat_parts if m.size])
+    return topk_cosine(
+        ds, qm, k=k, id_col=id_col, emb_col=emb_col,
+        query_ids=qids, exclude_ids=True,
+    )
 
 
 def cosine_pairs_broadcast(

@@ -201,3 +201,31 @@ def test_embed_dup_clusters_lsh_fullprobe_equals_broadcast():
     import pandas as pd
 
     pd.testing.assert_frame_equal(bc, fp)
+
+
+def test_knn_graph_matches_bruteforce(ray_session):
+    from dupers_ray.stages.embed import knn_graph
+
+    rng = np.random.default_rng(3)
+    n, d, k = 60, 8, 4
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    mat[7] = mat[3]  # exact duplicate vector: ties + self-exclusion edge
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })
+    out = (
+        knn_graph(rd.from_arrow(tbl).repartition(4), k=k)
+        .to_pandas().sort_values(["query_id", "score", "vec_id"],
+                                 ascending=[True, False, True])
+    )
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = nm.astype(np.float64) @ nm.astype(np.float64).T
+    for qi in range(n):
+        s = scores[qi].copy()
+        s[qi] = -2  # exclude self
+        order = np.lexsort((ids, -s))[:k]
+        got = out[out.query_id == ids[qi]]
+        assert got.vec_id.tolist() == ids[order].tolist(), qi
+        assert len(got) == k
