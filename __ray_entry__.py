@@ -854,6 +854,18 @@ def _q_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_compression_stats(sf_dir: str):
+    """Per-doc DEFLATE compressibility (stages/quality.compression_stats)
+    — integer ppm ratio; zlib is not SQL-expressible, so this is the
+    engine's one honest rows-only quality query (pytest value-checks
+    exact zlib equality instead)."""
+    from dupers_ray.stages.quality import compression_stats
+
+    return _tbl(sf_dir, "documents").map_batches(
+        compression_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact k-NN graph over the embeddings table (stages/embed.knn_graph):
     every vector's 5 nearest OTHER vectors by cosine. Scores omitted from
@@ -2442,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "knn_graph": _q_knn_graph,
+        "compression_stats": _q_compression_stats,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "cosine_pairs_lsh_fullprobe": _q_cosine_pairs_lsh_fullprobe,

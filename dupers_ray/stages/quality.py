@@ -75,6 +75,44 @@ def quality_score(
     )
 
 
+def compression_stats(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> pa.Table:
+    """Per-doc DEFLATE compressibility — the classic repetitiveness proxy
+    (Gopher/CCNet-class pipelines drop pages that compress too well;
+    boilerplate and keyword-stuffing compress far below prose's ~2.5-4x).
+
+    Emits integer columns only: n_raw_bytes, n_deflate_bytes, and
+    ``deflate_ppm`` = compressed/raw in parts-per-million (0 for empty
+    docs) — float-free, bit-identical at any partitioning. zlib is
+    deterministic for a fixed level, so tests pin exact values. The
+    per-row loop is inherent (zlib owns the C loop per document, the
+    same contract as the sha256 digest stage). NOT SQL-expressible —
+    the driver records a rows-only check; pytest value-checks against
+    direct zlib instead."""
+    import zlib
+
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    raw = np.empty(n, np.int64)
+    comp = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level)) if b else 0
+    ppm = np.where(raw > 0, comp * 1_000_000 // np.maximum(1, raw), 0)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_raw_bytes": pa.array(raw),
+        "n_deflate_bytes": pa.array(comp),
+        "deflate_ppm": pa.array(ppm.astype(np.int64)),
+    })
+
+
 # ------------------------------------------------------- Gopher page rules
 
 # Integer-exact adaptation of the Gopher rule-based page filters (Rae et

@@ -78,3 +78,32 @@ def test_gopher_rules_boundaries(ray_session):
     assert out.loc[1, "n_words"] == 4
     assert out.loc[2, "n_stop_hits"] == 0
     assert out.loc[5, "n_words"] == 0
+
+
+def test_compression_stats_exact_values(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from dupers_ray.stages.quality import compression_stats
+
+    texts = ["abc " * 500, "unique words never repeat here at all",
+             "", None, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = (
+        rd.from_arrow(t).repartition(2)
+        .map_batches(compression_stats, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, txt in enumerate(texts):
+        b = (txt or "").encode()
+        assert out.n_raw_bytes[i] == len(b)
+        exp_c = len(zlib.compress(b, 6)) if b else 0
+        assert out.n_deflate_bytes[i] == exp_c
+        assert out.deflate_ppm[i] == (exp_c * 1_000_000 // max(1, len(b)) if b else 0)
+    # the repetitive doc compresses far better than the unique-words doc
+    assert out.deflate_ppm[0] < out.deflate_ppm[1] // 5
