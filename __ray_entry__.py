@@ -227,6 +227,33 @@ def _q_near_decontam(sf_dir: str):
     )
 
 
+def _q_near_decontam_join(sf_dir: str):
+    """The shuffle path of near_decontaminate (band-hash cogroup + fold16
+    join verify, for blocklists too big to broadcast) — strategies are
+    identical by construction, so this SHARES the near_decontam oracle."""
+    import pyarrow as pa
+
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    docs = _tbl(sf_dir, "documents")
+
+    def side(rem_keep: bool):
+        def f(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 11 == 0) != rem_keep))
+        return f
+
+    corpus = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        side(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocklist = docs.select_columns(["doc_id", "text"]).map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return near_decontaminate(
+        corpus, blocklist, strategy="join"
+    ).select_columns(["doc_id", "source"])
+
+
 def _near_decontam_oracle_sql() -> str:
     """SQL restatement of _q_near_decontam on the shared signature-pipeline
     prefix: band sub-signature tuples per doc, DISTINCT cross-side
@@ -2486,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "decontam_clean": _q_decontam_clean,
         "near_decontam": _q_near_decontam,
+        "near_decontam_join": _q_near_decontam_join,
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
         "tiers_incremental": _q_tiers_incremental,
@@ -3061,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": _HLL_ORACLE,
         "decontam_clean": _decontam_oracle_sql(),
         "near_decontam": _near_decontam_oracle_sql(),
+        "near_decontam_join": _near_decontam_oracle_sql(),
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
         "tiers_incremental": _tiers_oracle_sql(),

@@ -165,6 +165,8 @@ def near_decontaminate(
     shingle=None,
     minhash=None,
     threshold: float | None = None,
+    strategy: str = "broadcast",
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """NEAR-dup decontamination: drop corpus documents whose
     MinHash-estimated Jaccard similarity to ANY blocklist document reaches
@@ -173,14 +175,23 @@ def near_decontaminate(
     catches paraphrased / lightly-edited test-set leakage the same way the
     flagship catches near-dups within one corpus.
 
-    Shape: the blocklist is the SMALL side by contract (test sets are MBs,
-    the corpus is TBs) — its signatures, LSH band keys and uint16 signature
-    folds are computed once, sorted, and broadcast via ``ray.put``; the
-    corpus then takes ONE streaming pass (fused signature + band-probe +
-    fold-verify per batch, no shuffle, nothing materialized). Semantics
-    mirror the flagship exactly (stages/minhash OPH signatures, band
-    hashes, uint16-fold verify), so the driver restates the whole thing
-    in SQL on top of the flagship oracle's signature pipeline.
+    strategy="broadcast" (default — the blocklist is the SMALL side by
+    contract; test sets are MBs while the corpus is TBs): the blocklist's
+    signatures, LSH band keys and uint16 signature folds are computed
+    once, sorted, and broadcast via ``ray.put``; the corpus then takes
+    ONE streaming pass (fused signature + band-probe + fold-verify per
+    batch, no shuffle, nothing materialized).
+
+    strategy="join" (blocklists too big to hold in worker memory): both
+    sides' band rows (17 B each) shuffle into band-hash buckets; a
+    vectorized per-partition merge emits cross-side candidate pairs, and
+    ``verify_pairs(strategy='join', compare='fold16')`` settles them with
+    the SAME uint16-fold rule — the two strategies produce identical
+    drop sets by construction (pytest-equal).
+
+    Semantics mirror the flagship exactly (stages/minhash OPH signatures,
+    band hashes, uint16-fold verify), so the driver restates the whole
+    thing in SQL on top of the flagship oracle's signature pipeline.
 
     Docs with no shingles (empty/token-less) are never contaminated and
     pass through — matching the exact-shingle variant's contract.
@@ -195,6 +206,15 @@ def near_decontaminate(
     minhash = minhash or MinHashConfig()
     thr = minhash.jaccard_threshold if threshold is None else threshold
     bands, rows = minhash.bands, minhash.rows
+
+    if strategy == "join":
+        return _near_decontaminate_join(
+            docs, blocklist, id_col=id_col, text_col=text_col,
+            shingle=shingle, minhash=minhash, thr=thr,
+            num_partitions=num_partitions,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def band_hashes(sig_mat: np.ndarray) -> np.ndarray:
         """(n, bands) uint64 — the exact explode_bands mixing rule, so a
@@ -277,6 +297,92 @@ def near_decontaminate(
         return t.filter(pa.array(keep))
 
     return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _near_decontaminate_join(
+    docs, blocklist, *, id_col, text_col, shingle, minhash, thr,
+    num_partitions,
+):
+    """Shuffle path of :func:`near_decontaminate` — see its docstring."""
+    import dataclasses
+
+    import pandas as pd
+
+    from dupers_ray.functions.hashing import node_ids
+    from dupers_ray.pipelines.near_dedup import (
+        minhash_signatures,
+        verify_pairs,
+    )
+    from dupers_ray.stages.minhash import explode_bands
+
+    csigs = minhash_signatures(
+        docs.select_columns([id_col, text_col]),
+        shingle=shingle, minhash=minhash, id_col=id_col, text_col=text_col,
+    ).materialize()  # consumed by banding AND verify
+    bsigs = minhash_signatures(
+        blocklist.select_columns([id_col, text_col]),
+        shingle=shingle, minhash=minhash, id_col=id_col, text_col=text_col,
+    ).materialize()
+
+    def band_rows(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = explode_bands(
+                t, bands=minhash.bands, rows=minhash.rows, id_col=id_col
+            )
+            bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "band_hash": b.column("band_hash"),
+                "node": b.column("node"),
+                "side": pa.array(np.full(len(b), side, np.int8)),
+                "__part": pa.array(
+                    (bh % np.uint64(num_partitions)).astype(np.int64)
+                ),
+            })
+        return f
+
+    both = csigs.map_batches(
+        band_rows(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(bsigs.map_batches(
+        band_rows(1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["side"] == 0][["band_hash", "node"]]
+        b = g[g["side"] == 1][["band_hash", "node"]]
+        if not len(c) or not len(b):
+            return pd.DataFrame({
+                "src": pd.Series([], dtype="uint64"),
+                "dst": pd.Series([], dtype="uint64"),
+            })
+        m = c.merge(b, on="band_hash")  # vectorized per-bucket cross join
+        out = m[["node_x", "node_y"]].drop_duplicates()
+        return pd.DataFrame({
+            "src": out["node_x"].to_numpy(dtype=np.uint64),
+            "dst": out["node_y"].to_numpy(dtype=np.uint64),
+        })
+
+    pairs = both.groupby("__part").map_groups(cross, batch_format="pandas")
+    vcfg = dataclasses.replace(minhash, jaccard_threshold=thr)
+    verified = verify_pairs(
+        pairs, csigs.union(bsigs), minhash=vcfg,
+        strategy="join", compare="fold16",
+        num_partitions=num_partitions,
+    )
+    bad_df = verified.select_columns(["src"]).to_pandas()
+    bad_nodes = np.sort(np.unique(
+        bad_df["src"].to_numpy(dtype=np.uint64)
+    )) if len(bad_df) else np.empty(0, np.uint64)
+    ref = ray.put(bad_nodes)
+
+    def drop(t: pa.Table) -> pa.Table:
+        nr = ray.get(ref)
+        if not len(nr) or not len(t):
+            return t
+        nodes = node_ids([str(v) for v in t.column(id_col).to_pylist()])
+        pos = np.searchsorted(nr, nodes).clip(0, len(nr) - 1)
+        return t.filter(pa.array(nr[pos] != nodes))
+
+    return docs.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _NEAR_CACHE: dict = {}

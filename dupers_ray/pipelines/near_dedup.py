@@ -453,6 +453,7 @@ def verify_pairs(
     num_partitions: int = 32,
     strategy: str = "auto",
     broadcast_limit: int = 2_000_000,
+    compare: str = "fold16",
 ) -> "ray.data.Dataset":
     """Keep pairs whose signature-estimated Jaccard >= cfg.jaccard_threshold.
     Output: (src, dst, jaccard).
@@ -461,7 +462,15 @@ def verify_pairs(
     arrays) and each pairs batch scores via searchsorted lookups — zero
     shuffles. Right up to ~2M docs (about 1 GB of signatures); the default
     "auto" picks it when the signature count fits, else falls back to
-    "join" (two cogroup hash joins — the 10^12-doc path)."""
+    "join" (two cogroup hash joins — the 10^12-doc path).
+
+    ``compare="fold16"`` (default): BOTH paths compare uint16 signature
+    folds, so broadcast ≡ join exactly (the auto strategy switch can
+    never change the edge set) and both match the SQL oracle's
+    restatement; the fold adds ≤(1-J)/65536 estimate bias.
+    ``compare="full"`` keeps the unbiased full-uint32 comparison on the
+    join path for callers who want the estimate over cross-strategy
+    reproducibility."""
     cfg = minhash or MinHashConfig()
     if strategy == "auto":
         n_sigs = signatures.count()
@@ -502,6 +511,9 @@ def verify_pairs(
 
         a = binary_matrix(t.column("sig_src"), "<u4")
         b = binary_matrix(t.column("sig"), "<u4")
+        if compare == "fold16":
+            a = (a & np.uint32(0xFFFF)).astype(np.uint16)
+            b = (b & np.uint32(0xFFFF)).astype(np.uint16)
         jac = (a == b).mean(axis=1)
         keep = jac >= cfg.jaccard_threshold
         return pa.table(

@@ -236,3 +236,38 @@ def test_near_decontaminate_empty_blocklist(ray_session):
     })
     out = near_decontaminate(rd.from_arrow(docs), rd.from_arrow(block)).to_pandas()
     assert sorted(out.doc_id.tolist()) == [0, 1]
+
+
+def test_near_decontaminate_join_equals_broadcast(ray_session):
+    from dupers_ray.pipelines.decontam import near_decontaminate
+
+    rng = np.random.default_rng(31)
+    block_texts = [" ".join(rng.choice(WORDS, int(rng.integers(20, 60))))
+                   for _ in range(8)]
+    corpus_texts = []
+    for _ in range(60):
+        if rng.random() < 0.3:
+            toks = block_texts[int(rng.integers(len(block_texts)))].split()
+            toks[int(rng.integers(len(toks)))] = "qq"
+            corpus_texts.append(" ".join(toks))
+        else:
+            corpus_texts.append(
+                " ".join(rng.choice(WORDS, int(rng.integers(10, 60))))
+            )
+    docs = pa.table({
+        "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    })
+    block = pa.table({
+        "doc_id": pa.array(range(900, 900 + len(block_texts)), pa.int64()),
+        "text": pa.array(block_texts, pa.string()),
+    })
+    bc = near_decontaminate(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block)
+    ).to_pandas()
+    jn = near_decontaminate(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block),
+        strategy="join",
+    ).to_pandas()
+    assert sorted(bc.doc_id) == sorted(jn.doc_id)
+    assert len(bc) < len(corpus_texts)  # something was dropped
