@@ -319,6 +319,39 @@ def _tier_summary_oracle_sql() -> str:
     """
 
 
+def _q_near_source_overlap(sf_dir: str):
+    """Cross-source overlap at NEAR-dup granularity (pipelines/overlap
+    .near_source_overlap): doc pairs sharing a flagship cluster, counted
+    per (source_a, source_b). Full oracle: the flagship cluster SQL as a
+    CTE + per-(cluster, source) counts + triangular pair arithmetic."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.overlap import near_source_overlap
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return near_source_overlap(_tbl(sf_dir, "documents"), cfg)
+
+
+def _near_source_overlap_oracle_sql() -> str:
+    return f"""
+        WITH clus AS ({_near_dup_clusters_oracle_sql()}),
+        j AS (
+            SELECT c.cluster_id, d.source
+            FROM clus c JOIN documents d USING (doc_id)
+        ), cnt AS (
+            SELECT cluster_id, source, count(*) AS n FROM j GROUP BY 1, 2
+        ), p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(CASE WHEN a.source = b.source
+                             THEN (a.n * (a.n - 1)) // 2
+                             ELSE a.n * b.n END AS BIGINT) AS np
+            FROM cnt a JOIN cnt b
+              ON a.cluster_id = b.cluster_id AND a.source <= b.source
+        )
+        SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1, 2 HAVING sum(np) > 0
+    """
+
+
 def _q_tiers_incremental(sf_dir: str):
     """Incremental tier cascade (pipelines/tiers.dedup_tiers_incremental):
     a fused store is pre-built for doc_id%3==0, the delta is scanned and
@@ -2490,6 +2523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "corpus_freq_stats": _q_corpus_freq_stats,
         "source_overlap": _q_source_overlap,
+        "near_source_overlap": _q_near_source_overlap,
         "indexed_search_all": _q_indexed_search_all,
         "indexed_search_any": _q_indexed_search_any,
         "snapshot_diff": _q_snapshot_diff,
@@ -2790,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN a.n * (a.n - 1) // 2
                             ELSE a.n * b.n END) > 0
         """,
+        "near_source_overlap": _near_source_overlap_oracle_sql(),
         # float-free TF-IDF ranking: (df asc, tf desc, token asc) top-3
         "rare_terms": r"""
             WITH toks AS (

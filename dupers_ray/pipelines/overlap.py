@@ -29,16 +29,17 @@ from dupers_ray.stages.digest import add_digests, drop_empty
 _PARTITIONS = 256
 
 
-def _pair_rows(df: pd.DataFrame, group_col: str) -> pd.DataFrame:
-    """All (i <= j) source pairs per digest segment, vectorized.
-    ``df`` holds fully-combined (digest, source, n) rows; rows are sorted
-    by (digest, source) so emitted pairs satisfy source_a <= source_b
+def _pair_rows(df: pd.DataFrame, group_col: str,
+               key_col: str = "digest") -> pd.DataFrame:
+    """All (i <= j) source pairs per key segment, vectorized.
+    ``df`` holds fully-combined (key, source, n) rows; rows are sorted
+    by (key, source) so emitted pairs satisfy source_a <= source_b
     (lexicographic — the SQL oracle's comparison)."""
     if not len(df):
         return pd.DataFrame({"source_a": pd.Series([], dtype=object),
                              "source_b": pd.Series([], dtype=object),
                              "n_pairs": pd.Series([], dtype="int64")})
-    dg = df["digest"].to_numpy()
+    dg = df[key_col].to_numpy()
     src = df[group_col].to_numpy()
     cnt = df["n"].to_numpy(dtype=np.int64)
     m = len(dg)
@@ -107,6 +108,82 @@ def source_overlap(
         agg = (g.groupby(["digest", group_col], sort=True)["n"]
                 .sum().reset_index())
         return _pair_rows(agg, group_col)
+
+    pair_parts = parts.groupby("__part").map_groups(
+        per_part, batch_format="pandas"
+    )
+    final = pair_parts.groupby(["source_a", "source_b"]).sum("n_pairs")
+    return final.map_batches(
+        lambda t: t.rename_columns(["source_a", "source_b", "n_pairs"]),
+        batch_format="pyarrow",
+    )
+
+
+def near_source_overlap(
+    ds: "ray.data.Dataset",
+    cfg=None,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    group_col: str = "source",
+) -> "ray.data.Dataset":
+    """(source_a, source_b, n_pairs) at NEAR-dup granularity: doc pairs
+    sharing a flagship MinHash cluster, counted within/between sources —
+    the provenance question behind crawl scheduling ("which feeds
+    near-duplicate which"), one level fuzzier than :func:`source_overlap`.
+
+    Scale shape: the flagship produces (id, cluster_id); ONE id-hash
+    cogroup join attaches the source label; a per-batch
+    (cluster, source, n) combiner + cluster-hash partition groupby feed
+    the same vectorized triangular pair expansion as the exact matrix.
+    Cluster-id keys are uint64 — reinterpreted int64 for the shuffle."""
+    import dataclasses
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.joins import hash_join
+
+    cfg = cfg or DedupConfig()
+    if cfg.id_col != id_col:
+        cfg = dataclasses.replace(cfg, id_col=id_col)
+    clusters = dupe_clusters(
+        ds.select_columns([id_col, content_col]), cfg
+    )
+    labeled = hash_join(
+        clusters, ds.select_columns([id_col, group_col]), on=id_col,
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("cluster_id", pa.uint64())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                (group_col, pa.string())]),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["cluster_id", group_col])
+            .group_by(["cluster_id", group_col])
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["cluster_id", group_col, "n"])
+        key = np.asarray(g.column("cluster_id"), dtype=np.uint64)
+        return pa.table({
+            # int64 view: uint64 groupby keys above 2^63 hit Ray's
+            # pickled-object path (BASELINE.md notes)
+            "cluster": pa.array(key.view(np.int64)),
+            group_col: g.column(group_col),
+            "n": g.column("n").cast(pa.int64()),
+            "__part": pa.array(
+                (key % np.uint64(_PARTITIONS)).astype(np.int64)
+            ),
+        })
+
+    parts = labeled.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby(["cluster", group_col], sort=True)["n"]
+                .sum().reset_index())
+        return _pair_rows(agg, group_col, key_col="cluster")
 
     pair_parts = parts.groupby("__part").map_groups(
         per_part, batch_format="pandas"
