@@ -91,3 +91,56 @@ def test_sample_hash_deterministic_and_salted():
     assert set(a.column("doc_id").to_pylist()) <= wider
     other = set(sample_hash(t, percent=10, salt=1).column("doc_id").to_pylist())
     assert other != set(a.column("doc_id").to_pylist())
+
+
+# ------------------------------------------------------ property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_ASCII = hst.text(
+    alphabet=hst.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(hst.lists(hst.one_of(hst.none(), _ASCII), max_size=12))
+def test_flat_tokens_matches_python_reference(texts):
+    """The Arrow kernel must emit exactly the token stream of
+    ``_TOKEN_RE.findall(t.lower())`` per row (ASCII inputs — the regime
+    where RE2 and Python `re` classes coincide)."""
+    from dupers_ray.stages.textstats import _TOKEN_RE, flat_tokens
+
+    col = pa.array(texts, pa.string())
+    flat, parent, n = flat_tokens(col)
+    assert n == len(texts)
+    got: list[list[str]] = [[] for _ in range(n)]
+    for tok, p in zip(flat.to_pylist(), parent):
+        got[p].append(tok)
+    exp = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+    assert got == exp
+
+
+@settings(max_examples=100, deadline=None)
+@given(hst.lists(hst.one_of(hst.none(), _ASCII), min_size=1, max_size=8))
+def test_fingerprint_equals_per_doc_horner(texts):
+    """Vectorized Horner fold == the sequential per-doc fold."""
+    from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+    from dupers_ray.stages.textstats import _TOKEN_RE, fingerprint
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = fingerprint(t).column("fingerprint").to_numpy(zero_copy_only=False)
+    mult = np.uint64(0x100000001B3)
+    ref = np.zeros(len(texts), np.uint64)
+    with np.errstate(over="ignore"):
+        for i, txt in enumerate(texts):
+            words = _TOKEN_RE.findall((txt or "").lower())
+            if not words:
+                continue
+            acc = np.uint64(0xCBF29CE484222325)
+            for v in hash_str_u64(words):
+                acc = acc * mult + v
+            ref[i] = acc
+        ref = splitmix64(ref)
+    assert (got == ref).all()
