@@ -352,6 +352,21 @@ def _near_source_overlap_oracle_sql() -> str:
     """
 
 
+def _q_dedup_tiers_semantic(sf_dir: str):
+    """FOUR-tier cascade (pipelines/tiers.dedup_tiers_semantic): exact →
+    normalized → near → semantic (cosine components over text-survivor
+    embeddings). Driven at full probe (n_planes=0) so the semantic edge
+    set is exact and the whole cascade carries a value oracle."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import dedup_tiers_semantic
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return dedup_tiers_semantic(
+        _tbl(sf_dir, "documents"), _tbl(sf_dir, "embeddings"), cfg,
+        cosine_threshold=0.4, method="lsh", dim=64, n_planes=0, n_tables=2,
+    )
+
+
 def _q_tiers_incremental(sf_dir: str):
     """Incremental tier cascade (pipelines/tiers.dedup_tiers_incremental):
     a fused store is pre-built for doc_id%3==0, the delta is scanned and
@@ -379,7 +394,7 @@ def _q_tiers_incremental(sf_dir: str):
     return labels
 
 
-def _tiers_oracle_sql() -> str:
+def _tiers_oracle_sql(semantic: bool = False, tau: float = 0.4) -> str:
     """SQL restatement of _q_dedup_tiers: exact groups (sha-256 of raw
     text, non-empty), normalized groups (sha-256 of the C4-normalized
     text, non-empty tn, among exact survivors), then the flagship
@@ -387,8 +402,42 @@ def _tiers_oracle_sql() -> str:
     fold verify → recursive-closure components → min-doc-id keeper per
     cluster. No exact-edge union in the near tier: tier 1 already
     removed byte-identical docs, so exact groups in s2 are singletons
-    (the engine's digest index finds the same empty pair set)."""
+    (the engine's digest index finds the same empty pair set).
+
+    ``semantic=True`` appends the fourth tier: cosine-similarity
+    components (threshold ``tau``) over the text-tier survivors'
+    embeddings, min-doc-id keeps — restating
+    ``tiers.dedup_tiers_semantic`` at exact-edge (full-probe) config."""
     prefix, thr = _sig_sql_prefix(table="s2")
+    semantic_ctes = ""
+    semantic_case = ""
+    if semantic:
+        semantic_ctes = f""", s3 AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM r1)
+              AND d.doc_id NOT IN (SELECT doc_id FROM r2)
+              AND d.doc_id NOT IN (SELECT doc_id FROM r3)
+        ), sem_edges AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id IN (SELECT doc_id FROM s3)
+              AND b.vec_id IN (SELECT doc_id FROM s3)
+              AND list_cosine_similarity(a.embedding, b.embedding) >= {tau}
+        ), undir2 AS (
+            SELECT u, v FROM sem_edges UNION SELECT v, u FROM sem_edges
+        ), reach2(node, lbl) AS (
+            SELECT u, u FROM undir2
+            UNION
+            SELECT e2.v, r.lbl FROM reach2 r JOIN undir2 e2 ON e2.u = r.node
+        ), comp2 AS (
+            SELECT node, min(lbl) AS cluster FROM reach2 GROUP BY node
+        ), r4 AS (
+            SELECT node AS doc_id FROM comp2 WHERE node <> cluster
+        )"""
+        semantic_case = (
+            "WHEN d.doc_id IN (SELECT doc_id FROM r4) THEN 'semantic'\n"
+            "                    "
+        )
     return rf"""
         WITH RECURSIVE e AS (
             SELECT doc_id, sha256(text) AS dg FROM documents
@@ -460,12 +509,12 @@ def _tiers_oracle_sql() -> str:
                        min(doc_id) OVER (PARTITION BY cluster_id) AS m
                 FROM clus
             ) WHERE doc_id <> m
-        )
+        ){semantic_ctes}
         SELECT d.doc_id,
                CASE WHEN d.doc_id IN (SELECT doc_id FROM r1) THEN 'exact'
                     WHEN d.doc_id IN (SELECT doc_id FROM r2) THEN 'normalized'
                     WHEN d.doc_id IN (SELECT doc_id FROM r3) THEN 'near'
-                    ELSE 'kept' END AS tier
+                    {semantic_case}ELSE 'kept' END AS tier
         FROM documents d
     """
 
@@ -2551,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
         "tiers_incremental": _q_tiers_incremental,
+        "dedup_tiers_semantic": _q_dedup_tiers_semantic,
         "cap_per_domain": _q_cap_per_domain,
         "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
@@ -3128,6 +3178,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
         "tiers_incremental": _tiers_oracle_sql(),
+        "dedup_tiers_semantic": _tiers_oracle_sql(semantic=True),
         "cap_per_domain": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

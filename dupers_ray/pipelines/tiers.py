@@ -356,15 +356,25 @@ def _tiers_from_fused(
 
     base = t12.map_batches(label12, batch_format="pyarrow",
                            zero_copy_batch=True)
-    # overlay the near tier: docs in r3 flip kept -> near. r3 is the
-    # near-duplicate set only — broadcast when small, else cogroup join.
-    r3 = r3.materialize()
-    n_near = r3.count()
-    if n_near == 0:
+    idt = fused.schema().base_schema.field(id_col).type \
+        if hasattr(fused.schema(), "base_schema") else \
+        fused.schema().field(id_col).type
+    return _overlay_tier(base, r3, "near", id_col=id_col, idt=idt,
+                         broadcast_limit=broadcast_limit)
+
+
+def _overlay_tier(base, removed, label, *, id_col, idt, broadcast_limit):
+    """Flip ``base`` rows whose id appears in ``removed`` (columns: id,
+    tier) to tier ``label``. Removed ids are by construction labeled
+    'kept' in base, so the large-set fallback is one id-hash ANTI join
+    (drop them) + union of the removed rows; small sets broadcast."""
+    removed = removed.materialize()
+    n = removed.count()
+    if n == 0:
         return base
-    if n_near <= broadcast_limit:
-        near_ids = np.sort(r3.to_pandas()[id_col].to_numpy())
-        ref = ray.put(near_ids)
+    if n <= broadcast_limit:
+        ids_sorted = np.sort(removed.to_pandas()[id_col].to_numpy())
+        ref = ray.put(ids_sorted)
 
         def overlay(t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -372,7 +382,7 @@ def _tiers_from_fused(
             pos = np.searchsorted(nr, ids).clip(0, len(nr) - 1)
             hit = nr[pos] == ids
             tier = t.column("tier").to_numpy(zero_copy_only=False).copy()
-            tier[hit] = "near"
+            tier[hit] = label
             return pa.table({
                 id_col: t.column(id_col),
                 "tier": pa.array(tier.astype(object), pa.string()),
@@ -381,14 +391,7 @@ def _tiers_from_fused(
         return base.map_batches(overlay, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    # large near-dup set: near-removed docs are by construction labeled
-    # 'kept' in base, so the overlay is one id-hash ANTI join (drop them
-    # from base) + union of the r3 rows, which already carry tier='near'
     from dupers_ray.pipelines.maintenance import anti_join_shuffle
-
-    idt = fused.schema().base_schema.field(id_col).type \
-        if hasattr(fused.schema(), "base_schema") else \
-        fused.schema().field(id_col).type
 
     def as_tier_rows(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -396,12 +399,102 @@ def _tiers_from_fused(
             "tier": t.column("tier").cast(pa.string()),
         })
 
-    near_rows = r3.map_batches(as_tier_rows, batch_format="pyarrow")
+    rem_rows = removed.map_batches(as_tier_rows, batch_format="pyarrow")
     base_minus = anti_join_shuffle(
-        base, near_rows.select_columns([id_col]), key_col=id_col,
+        base, rem_rows.select_columns([id_col]), key_col=id_col,
         left_schema=pa.schema([(id_col, idt), ("tier", pa.string())]),
     )
-    return base_minus.union(near_rows)
+    return base_minus.union(rem_rows)
+
+
+def dedup_tiers_semantic(
+    docs: "ray.data.Dataset",
+    embeddings: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    cosine_threshold: float = 0.95,
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    broadcast_limit: int = 5_000_000,
+    method: str = "lsh",
+    **lsh_kwargs,
+) -> "ray.data.Dataset":
+    """FOUR-tier cascade: exact → normalized → near → SEMANTIC. The
+    semantic tier runs embedding-cosine clusters (``embed_dup_clusters``
+    — SemDeDup-class) over the TEXT-tier survivors' embeddings and
+    removes every non-min-id member, catching rewrites that share no
+    5-gram shingles at all.
+
+    ``embeddings`` carries (emb_id_col, emb_col) with ids matching
+    ``docs``' id column (rows without an embedding just keep their text
+    tier; embedding ids are assumed ⊆ doc ids). The text-tier removed
+    set — duplicates only — filters the embedding table via the same
+    broadcast-or-anti-join switch the cascade uses internally."""
+    from dupers_ray.pipelines.maintenance import (
+        anti_join_broadcast,
+        anti_join_shuffle,
+    )
+    from dupers_ray.stages.embed import embed_dup_clusters
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+    base = dedup_tiers(docs, cfg, broadcast_limit=broadcast_limit)
+    base = base.materialize()  # consumed: removed set + final overlay
+
+    import pyarrow.compute as pc
+
+    removed123 = base.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("tier"), "kept")
+        ).select([id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_removed = removed123.count()
+    if n_removed == 0:
+        live = embeddings
+    elif n_removed <= broadcast_limit:
+        keys = removed123.to_pandas()[id_col].to_numpy()
+        live = anti_join_broadcast(embeddings, keys, key_col=emb_id_col)
+    else:
+        live = anti_join_shuffle(
+            embeddings, removed123, key_col=emb_id_col,
+            right_key_col=id_col,
+        )
+
+    clusters = embed_dup_clusters(
+        live, threshold=cosine_threshold, id_col=emb_id_col,
+        emb_col=emb_col, method=method, **lsh_kwargs,
+    )
+
+    def sem_part(t: pa.Table) -> pa.Table:
+        k = t.column("cluster_id").to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(_N_PARTS)).astype(np.int64)),
+        )
+
+    def sem_removed(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("cluster_id", sort=False)[emb_id_col].transform("min")
+        sub = g.loc[g[emb_id_col] != m, emb_id_col]
+        return pd.DataFrame({
+            id_col: sub.to_numpy(),
+            "tier": pd.Series(["semantic"] * len(sub), dtype="string"),
+        })
+
+    r4 = (
+        clusters.map_batches(sem_part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(sem_removed, batch_format="pandas")
+    )
+    idt = base.schema().base_schema.field(id_col).type \
+        if hasattr(base.schema(), "base_schema") else \
+        base.schema().field(id_col).type
+    return _overlay_tier(base, r4, "semantic", id_col=id_col, idt=idt,
+                         broadcast_limit=broadcast_limit)
 
 
 def tier_summary(tiers: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -136,3 +136,36 @@ def test_dedup_tiers_incremental_reuses_store(ray_session):
     # doc 1 no longer exact-dups doc 0 — but it still normalizes to the
     # same text, so the cascade now removes it at the NORMALIZED tier
     assert got[1] == "normalized"
+
+
+def test_dedup_tiers_semantic_planted(ray_session):
+    from dupers_ray.pipelines.tiers import dedup_tiers_semantic
+
+    rng = np.random.default_rng(5)
+    base = " ".join(rng.choice(W, 100))
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [base, base,                     # 1 exact dup
+                 " ".join(rng.choice(W, 100)),   # 2 unrelated text
+                 " ".join(rng.choice(W, 100)),   # 3 text-unique, emb-dup of 2
+                 " ".join(rng.choice(W, 100)),   # 4 unrelated
+                 ""],                            # 5 empty -> kept
+    })
+
+    def v(seed):
+        r = np.random.default_rng(seed)
+        x = r.normal(size=8)
+        return list(x / np.linalg.norm(x))
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([v(1), v(2), v(2), v(3)]),
+    })
+    out = dedup_tiers_semantic(
+        rd.from_arrow(docs).repartition(2), rd.from_arrow(emb),
+        DedupConfig(id_col="doc_id", text_col="text"),
+        cosine_threshold=0.95, method="broadcast",
+    ).to_pandas()
+    got = dict(zip(out.doc_id, out.tier))
+    assert got == {0: "kept", 1: "exact", 2: "kept", 3: "semantic",
+                   4: "kept", 5: "kept"}
