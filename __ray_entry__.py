@@ -254,6 +254,63 @@ def _q_near_decontam_join(sf_dir: str):
     ).select_columns(["doc_id", "source"])
 
 
+def _q_near_contam_report(sf_dir: str):
+    """Contamination audit pairs (decontam.near_contamination_report):
+    (doc, blocklist doc, uint16-fold agreement count) for every pair the
+    near filter acts on — integer n_agree makes the whole report value-
+    oracle-able."""
+    import pyarrow as pa
+
+    from dupers_ray.pipelines.decontam import near_contamination_report
+
+    docs = _tbl(sf_dir, "documents")
+
+    def side(rem_keep: bool):
+        def f(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 11 == 0) != rem_keep))
+        return f
+
+    corpus = docs.select_columns(["doc_id", "text"]).map_batches(
+        side(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocklist = docs.select_columns(["doc_id", "text"]).map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return near_contamination_report(corpus, blocklist)
+
+
+def _near_contam_report_oracle_sql() -> str:
+    """The near_decontam oracle's candidate+fold machinery, emitting the
+    audit pairs with integer agreement counts instead of the anti-join."""
+    prefix, thr = _sig_sql_prefix()
+    return f"""
+        WITH RECURSIVE {prefix}, bandrows AS (
+            SELECT doc_id, CAST(bin / 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp GROUP BY doc_id, CAST(bin / 4 AS INTEGER)
+        ), folds AS (
+            SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
+            FROM sigcomp GROUP BY doc_id
+        ), cand AS (
+            SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+            FROM bandrows c JOIN bandrows b
+              ON c.band = b.band AND c.sub = b.sub
+            WHERE c.doc_id % 11 <> 0 AND b.doc_id % 11 = 0
+        ), rep AS (
+            SELECT c.cid AS doc_id, c.bid AS block_id,
+                   CAST(len(list_filter([x FOR x IN range(1, 129)],
+                                        i -> fa.f16[i] = fb.f16[i]))
+                        AS BIGINT) AS n_agree
+            FROM cand c
+            JOIN folds fa ON fa.doc_id = c.cid
+            JOIN folds fb ON fb.doc_id = c.bid
+        )
+        SELECT doc_id, block_id, n_agree FROM rep
+        WHERE (n_agree / 128.0) >= {thr}
+    """
+
+
 def _near_decontam_oracle_sql() -> str:
     """SQL restatement of _q_near_decontam on the shared signature-pipeline
     prefix: band sub-signature tuples per doc, DISTINCT cross-side
@@ -2597,6 +2654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_clean": _q_decontam_clean,
         "near_decontam": _q_near_decontam,
         "near_decontam_join": _q_near_decontam_join,
+        "near_contam_report": _q_near_contam_report,
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
         "tiers_incremental": _q_tiers_incremental,
@@ -3175,6 +3233,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_clean": _decontam_oracle_sql(),
         "near_decontam": _near_decontam_oracle_sql(),
         "near_decontam_join": _near_decontam_oracle_sql(),
+        "near_contam_report": _near_contam_report_oracle_sql(),
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
         "tiers_incremental": _tiers_oracle_sql(),

@@ -299,6 +299,116 @@ def near_decontaminate(
     return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def near_contamination_report(
+    docs: "ray.data.Dataset",
+    blocklist: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle=None,
+    minhash=None,
+    threshold: float | None = None,
+) -> "ray.data.Dataset":
+    """Contamination AUDIT: every (corpus doc, blocklist doc) pair that
+    :func:`near_decontaminate` would act on, with the integer uint16-fold
+    agreement count ``n_agree`` (out of num_perm) — the evidence trail a
+    dataset card needs, not just the drop. Same broadcast shape as the
+    filter: blocklist state ships once, the corpus streams, no shuffle.
+    Output: (id_col, block_id, n_agree), pairs with
+    n_agree/num_perm >= threshold only."""
+    from dupers_ray.config import MinHashConfig, ShingleConfig
+    from dupers_ray.functions.hashing import mix_rows_u64
+    from dupers_ray.pipelines.near_dedup import minhash_signatures
+    from dupers_ray.stages.minhash import MinHasher
+
+    shingle = shingle or ShingleConfig()
+    minhash = minhash or MinHashConfig()
+    thr = minhash.jaccard_threshold if threshold is None else threshold
+    bands, rows = minhash.bands, minhash.rows
+    num_perm = minhash.num_perm
+
+    def band_hashes(sig_mat: np.ndarray) -> np.ndarray:
+        d = sig_mat.shape[0]
+        m = sig_mat.reshape(d, bands, rows).astype(np.uint64)
+        out = np.empty((d, bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                out[:, b] = mix_rows_u64(m[:, b, :] + np.uint64(b + 1))
+        return out
+
+    bl_df = minhash_signatures(
+        blocklist, shingle=shingle, minhash=minhash,
+        id_col=id_col, text_col=text_col,
+    ).select_columns([id_col, "sig"]).to_pandas()
+
+    def empty() -> pa.Table:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "block_id": pa.array([], pa.int64()),
+            "n_agree": pa.array([], pa.int64()),
+        })
+
+    if len(bl_df):
+        bl_sig = np.frombuffer(
+            b"".join(bl_df["sig"]), dtype="<u4"
+        ).reshape(len(bl_df), num_perm)
+        keys = band_hashes(bl_sig).reshape(-1)
+        rows_of_key = np.repeat(np.arange(len(bl_df), dtype=np.int64), bands)
+        order = np.argsort(keys, kind="stable")
+        state = (
+            keys[order], rows_of_key[order],
+            (bl_sig & np.uint32(0xFFFF)).astype(np.uint16),
+            bl_df[id_col].to_numpy(),
+        )
+    else:
+        state = None
+    ref = ray.put(state)
+
+    def report(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        if st is None or not len(t):
+            return empty()
+        keys_s, rows_s, bl_f16, bl_ids = st
+        key = ("near_decontam", shingle, minhash)
+        mh = _NEAR_CACHE.get(key)
+        if mh is None:
+            mh = MinHasher(shingle=shingle, minhash=minhash,
+                           id_col=id_col, text_col=text_col)
+            _NEAR_CACHE[key] = mh
+        texts = [s if s is not None else ""
+                 for s in t.column(text_col).to_pylist()]
+        sig, n_sh = mh.signatures(texts)
+        if not sig.shape[0]:
+            return empty()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)[n_sh > 0]
+        q = band_hashes(sig).reshape(-1)
+        lo = np.searchsorted(keys_s, q, side="left")
+        hi = np.searchsorted(keys_s, q, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty()
+        within = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        cand_pos = np.repeat(lo, cnt) + within
+        cand_doc = np.repeat(np.arange(len(q)) // bands, cnt)
+        cand_bl = rows_s[cand_pos]
+        pair = np.unique(cand_doc.astype(np.uint64) * np.uint64(len(bl_f16))
+                         + cand_bl.astype(np.uint64))
+        cand_doc = (pair // np.uint64(len(bl_f16))).astype(np.int64)
+        cand_bl = (pair % np.uint64(len(bl_f16))).astype(np.int64)
+        f16 = (sig & np.uint32(0xFFFF)).astype(np.uint16)
+        n_agree = (f16[cand_doc] == bl_f16[cand_bl]).sum(axis=1).astype(np.int64)
+        keep = (n_agree / num_perm) >= thr
+        return pa.table({
+            id_col: pa.array(ids[cand_doc[keep]]),
+            "block_id": pa.array(bl_ids[cand_bl[keep]]),
+            "n_agree": pa.array(n_agree[keep]),
+        })
+
+    return docs.map_batches(report, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _near_decontaminate_join(
     docs, blocklist, *, id_col, text_col, shingle, minhash, thr,
     num_partitions,

@@ -271,3 +271,42 @@ def test_near_decontaminate_join_equals_broadcast(ray_session):
     ).to_pandas()
     assert sorted(bc.doc_id) == sorted(jn.doc_id)
     assert len(bc) < len(corpus_texts)  # something was dropped
+
+
+def test_near_contamination_report_consistent_with_filter(ray_session):
+    from dupers_ray.pipelines.decontam import (
+        near_contamination_report,
+        near_decontaminate,
+    )
+
+    rng = np.random.default_rng(17)
+    block_texts = [" ".join(rng.choice(WORDS, 40)) for _ in range(5)]
+    corpus_texts = []
+    for i in range(50):
+        if i % 3 == 0:
+            toks = block_texts[i % len(block_texts)].split()
+            toks[i % len(toks)] = "zz"
+            corpus_texts.append(" ".join(toks))
+        else:
+            corpus_texts.append(" ".join(rng.choice(WORDS, 35)))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(corpus_texts)), pa.int64()),
+        "text": pa.array(corpus_texts, pa.string()),
+    })
+    block = pa.table({
+        "doc_id": pa.array(range(700, 705), pa.int64()),
+        "text": pa.array(block_texts, pa.string()),
+    })
+    rep = near_contamination_report(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block)
+    ).to_pandas()
+    kept = near_decontaminate(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block)
+    ).to_pandas()
+    # reported docs == exactly the docs the filter dropped
+    dropped = set(range(len(corpus_texts))) - set(kept.doc_id)
+    assert set(rep.doc_id) == dropped
+    assert len(rep) > 0
+    # agreement counts respect the threshold (0.6 * 128)
+    assert (rep.n_agree >= int(0.6 * 128)).all()
+    assert rep.block_id.between(700, 704).all()
