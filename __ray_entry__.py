@@ -424,6 +424,17 @@ def _q_dedup_tiers_semantic(sf_dir: str):
     )
 
 
+def _q_tier_source_summary(sf_dir: str):
+    """(tier, source, n_docs) — the provenance cut of tier_summary
+    (pipelines/tiers.tier_source_summary)."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import dedup_tiers, tier_source_summary
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    docs = _tbl(sf_dir, "documents")
+    return tier_source_summary(dedup_tiers(docs, cfg), docs)
+
+
 def _q_tiers_incremental(sf_dir: str):
     """Incremental tier cascade (pipelines/tiers.dedup_tiers_incremental):
     a fused store is pre-built for doc_id%3==0, the delta is scanned and
@@ -2657,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_contam_report": _q_near_contam_report,
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
+        "tier_source_summary": _q_tier_source_summary,
         "tiers_incremental": _q_tiers_incremental,
         "dedup_tiers_semantic": _q_dedup_tiers_semantic,
         "cap_per_domain": _q_cap_per_domain,
@@ -3236,6 +3248,12 @@ def oracle_sql() -> dict[str, str]:
         "near_contam_report": _near_contam_report_oracle_sql(),
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
+        "tier_source_summary": f"""
+            WITH t AS ({_tiers_oracle_sql()})
+            SELECT t.tier, d.source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM t JOIN documents d USING (doc_id)
+            GROUP BY t.tier, d.source
+        """,
         "tiers_incremental": _tiers_oracle_sql(),
         "dedup_tiers_semantic": _tiers_oracle_sql(semantic=True),
         "cap_per_domain": """

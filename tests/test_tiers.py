@@ -169,3 +169,20 @@ def test_dedup_tiers_semantic_planted(ray_session):
     got = dict(zip(out.doc_id, out.tier))
     assert got == {0: "kept", 1: "exact", 2: "kept", 3: "semantic",
                    4: "kept", 5: "kept"}
+
+
+def test_tier_source_summary(ray_session):
+    from dupers_ray.pipelines.tiers import dedup_tiers, tier_source_summary
+
+    t = _corpus().append_column(
+        "source", pa.array([f"s{(i) % 2}" for i in range(10)], pa.string())
+    )
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    labels = dedup_tiers(rd.from_arrow(t).select_columns(["doc_id", "text"]), cfg)
+    out = tier_source_summary(labels, rd.from_arrow(t)).to_pandas()
+    got = {(r.tier, r.source): r.n_docs for r in out.itertuples()}
+    exp_counter: dict = {}
+    for i, tier in EXPECTED.items():
+        k = (tier, f"s{i % 2}")
+        exp_counter[k] = exp_counter.get(k, 0) + 1
+    assert got == exp_counter
