@@ -280,6 +280,33 @@ def _q_near_contam_report(sf_dir: str):
     return near_contamination_report(corpus, blocklist)
 
 
+def _q_substring_decontam(sf_dir: str):
+    """Verbatim-quote decontamination (decontam.substring_decontaminate):
+    drop corpus docs CONTAINING any blocklist doc's full text — exactly
+    SQL EXISTS position(b.text IN d.text) > 0."""
+    import pyarrow as pa
+
+    from dupers_ray.pipelines.decontam import substring_decontaminate
+
+    docs = _tbl(sf_dir, "documents")
+
+    def side(rem_keep: bool):
+        def f(t: "pa.Table") -> "pa.Table":
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 11 == 0) != rem_keep))
+        return f
+
+    corpus = docs.select_columns(["doc_id", "source", "text"]).map_batches(
+        side(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    blocklist = docs.select_columns(["doc_id", "text"]).map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return substring_decontaminate(corpus, blocklist).select_columns(
+        ["doc_id", "source"]
+    )
+
+
 def _near_contam_report_oracle_sql() -> str:
     """The near_decontam oracle's candidate+fold machinery, emitting the
     audit pairs with integer agreement counts instead of the anti-join."""
@@ -2666,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_decontam": _q_near_decontam,
         "near_decontam_join": _q_near_decontam_join,
         "near_contam_report": _q_near_contam_report,
+        "substring_decontam": _q_substring_decontam,
         "dedup_tiers": _q_dedup_tiers,
         "tier_summary": _q_tier_summary,
         "tier_source_summary": _q_tier_source_summary,
@@ -3246,6 +3274,15 @@ def oracle_sql() -> dict[str, str]:
         "near_decontam": _near_decontam_oracle_sql(),
         "near_decontam_join": _near_decontam_oracle_sql(),
         "near_contam_report": _near_contam_report_oracle_sql(),
+        # verbatim-quote decontamination: raw-substring EXISTS
+        "substring_decontam": """
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id % 11 <> 0 AND NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 11 = 0
+                  AND b.text IS NOT NULL AND length(b.text) > 0
+                  AND position(b.text IN d.text) > 0)
+        """,
         "dedup_tiers": _tiers_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
         "tier_source_summary": f"""

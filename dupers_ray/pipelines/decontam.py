@@ -299,6 +299,118 @@ def near_decontaminate(
     return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def substring_decontaminate(
+    docs: "ray.data.Dataset",
+    blocklist: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle=None,
+) -> "ray.data.Dataset":
+    """VERBATIM-QUOTE decontamination: drop corpus docs whose text CONTAINS
+    any blocklist document's full text as a raw substring — the leakage
+    mode where an eval item is quoted inside a larger page, which both
+    whole-doc digests and symmetric-Jaccard near-dedup can miss (the
+    cross-corpus cut of stages/containment's Lee-et-al-2022 operator;
+    exactly SQL ``EXISTS position(b.text IN d.text) > 0``).
+
+    Blocklist small-side contract: its texts plus one interior-min-anchor
+    gram per text broadcast once. The corpus streams: per batch, distinct
+    shingle-gram membership against the anchor set selects candidates
+    (100 % recall for blocklist texts with ≥ k+2 tokens — the containment
+    anchor guarantee), then a raw ``in`` check verifies. Blocklist texts
+    too short for an interior anchor are verified directly with a
+    vectorized ``match_substring`` pass each (few by contract; counted).
+    Empty/null blocklist texts never contaminate (SQL length(b.text) > 0
+    guard)."""
+    from dupers_ray.config import MinHashConfig, ShingleConfig
+    from dupers_ray.stages.minhash import MinHasher
+
+    shingle = shingle or ShingleConfig()
+    mh0 = MinHasher(shingle=shingle, minhash=MinHashConfig(),
+                    id_col=id_col, text_col=text_col)
+    bl_col = blocklist.select_columns([text_col]).to_pandas()[text_col]
+    bl_texts = [t for t in bl_col.tolist() if t]
+    if bl_texts:
+        flat, offs = mh0._shingle_hashes(bl_texts)
+        seg_len = np.diff(offs)
+        nonempty = seg_len > 0
+        masked = flat.copy()
+        masked[offs[:-1][nonempty]] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        masked[(offs[1:] - 1)[nonempty]] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        if nonempty.any():
+            mins = np.minimum.reduceat(masked, offs[:-1][nonempty])
+            eligible = seg_len[nonempty] >= 3  # >= 1 interior window
+            anchor_vals = mins[eligible]
+            anchored = np.flatnonzero(nonempty)[eligible]
+        else:
+            anchor_vals = np.empty(0, np.uint64)
+            anchored = np.empty(0, np.int64)
+        order = np.argsort(anchor_vals, kind="stable")
+        shorts = tuple(
+            bl_texts[i] for i in
+            sorted(set(range(len(bl_texts))) - set(anchored.tolist()))
+        )
+        state = (anchor_vals[order], anchored[order],
+                 tuple(bl_texts), shorts)
+    else:
+        state = None
+    ref = ray.put(state)
+
+    def clean(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        if st is None or not len(t):
+            return t
+        anchors_s, owners_s, texts_bl, shorts = st
+        key = ("substr_decontam", shingle)
+        mh = _NEAR_CACHE.get(key)
+        if mh is None:
+            from dupers_ray.config import MinHashConfig as _M
+            mh = MinHasher(shingle=shingle, minhash=_M(),
+                           id_col=id_col, text_col=text_col)
+            _NEAR_CACHE[key] = mh
+        texts = [s if s is not None else ""
+                 for s in t.column(text_col).to_pylist()]
+        drop = np.zeros(len(t), bool)
+        # anchored blocklist texts: gram membership -> raw-in verify
+        if len(anchors_s):
+            flat_, offs_ = mh._shingle_hashes(texts)
+            if flat_.size:
+                doc_of = np.repeat(np.arange(len(texts)), np.diff(offs_))
+                lo = np.searchsorted(anchors_s, flat_, side="left")
+                hi = np.searchsorted(anchors_s, flat_, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total:
+                    within = (np.arange(total)
+                              - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                    pos = np.repeat(lo, cnt) + within
+                    cand_doc = np.repeat(doc_of, cnt)
+                    cand_bl = owners_s[pos]
+                    pair = np.unique(
+                        cand_doc.astype(np.uint64)
+                        * np.uint64(len(texts_bl))
+                        + cand_bl.astype(np.uint64)
+                    )
+                    for p in pair:
+                        d = int(p // len(texts_bl))
+                        b = int(p % len(texts_bl))
+                        if not drop[d] and texts_bl[b] in texts[d]:
+                            drop[d] = True
+        # short blocklist texts: direct vectorized literal match each
+        if shorts:
+            import pyarrow.compute as pc
+
+            col = t.column(text_col)
+            for s in shorts:
+                m = pc.fill_null(pc.match_substring(col, s), False)
+                drop |= m.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~drop))
+
+    return docs.map_batches(clean, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def near_contamination_report(
     docs: "ray.data.Dataset",
     blocklist: "ray.data.Dataset",

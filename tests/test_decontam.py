@@ -310,3 +310,73 @@ def test_near_contamination_report_consistent_with_filter(ray_session):
     # agreement counts respect the threshold (0.6 * 128)
     assert (rep.n_agree >= int(0.6 * 128)).all()
     assert rep.block_id.between(700, 704).all()
+
+
+def test_substring_decontaminate_planted(ray_session):
+    from dupers_ray.pipelines.decontam import substring_decontaminate
+
+    rng = np.random.default_rng(41)
+    quote = " ".join(rng.choice(WORDS, 30))           # >= k+2 tokens
+    short = "alpha beta"                              # < k+2: direct path
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "intro words " + quote + " trailing words",   # contains quote
+            quote,                                        # equals quote
+            " ".join(rng.choice(WORDS, 40)),              # unrelated
+            "xx " + short + " yy",                        # contains short
+            "",                                           # empty
+            None,                                         # null
+        ],
+    })
+    block = pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array([quote, short, ""], pa.string()),  # '' never hits
+    })
+    out = substring_decontaminate(
+        rd.from_arrow(docs).repartition(3), rd.from_arrow(block)
+    ).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [2, 4, 5]
+
+
+def test_substring_decontaminate_matches_duckdb(ray_session):
+    import duckdb
+
+    from dupers_ray.pipelines.decontam import substring_decontaminate
+
+    rng = np.random.default_rng(43)
+    texts = []
+    for i in range(120):
+        body = " ".join(rng.choice(WORDS, int(rng.integers(8, 50))))
+        texts.append(body)
+    # plant quotes: corpus doc i (i%4==1) contains block doc i+3 (%4==0)
+    for i in range(1, 30, 4):
+        texts[i] = texts[i] + " " + texts[i + 3] + " tail"
+    docs_tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    corpus = [(i, t) for i, t in enumerate(texts) if i % 4 != 0]
+    block = [(i, t) for i, t in enumerate(texts) if i % 4 == 0]
+    c_tbl = pa.table({
+        "doc_id": pa.array([i for i, _ in corpus], pa.int64()),
+        "text": pa.array([t for _, t in corpus], pa.string()),
+    })
+    b_tbl = pa.table({
+        "doc_id": pa.array([i for i, _ in block], pa.int64()),
+        "text": pa.array([t for _, t in block], pa.string()),
+    })
+    out = substring_decontaminate(
+        rd.from_arrow(c_tbl).repartition(4), rd.from_arrow(b_tbl)
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("c", c_tbl)
+    con.register("b", b_tbl)
+    exp = con.execute("""
+        SELECT doc_id FROM c d WHERE NOT EXISTS (
+            SELECT 1 FROM b WHERE b.text IS NOT NULL AND length(b.text) > 0
+              AND position(b.text IN d.text) > 0)
+        ORDER BY doc_id
+    """).df()
+    assert sorted(out.doc_id.tolist()) == exp.doc_id.tolist()
+    assert len(out) < len(corpus)  # plants actually dropped something
