@@ -1080,6 +1080,20 @@ def _q_knn_graph(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_knn_graph_ivf(sf_dir: str):
+    """Distributed ANN k-NN graph (stages/embed.knn_graph_ivf) driven at
+    n_probe == n_cells, where every (query, member) pair scores exactly
+    once → exact kNN; SHARES the knn_graph oracle, value-checking the
+    cell routing + per-cell gemm + merge machinery. The approximate
+    regime is recall-tested in tests/test_embed.py."""
+    from dupers_ray.stages.embed import knn_graph_ivf
+
+    out = knn_graph_ivf(
+        _tbl(sf_dir, "embeddings"), k=5, n_cells=16, n_probe=16
+    )
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_topk_cosine_ivf(sf_dir: str):
     """IVF (coarse-quantizer ANN) top-k driven at n_probe == n_cells —
     provably exact (every cell probed), so it shares the brute-force
@@ -2658,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _q_topk_cosine,
         "topk_cosine_ivf": _q_topk_cosine_ivf,
         "knn_graph": _q_knn_graph,
+        "knn_graph_ivf": _q_knn_graph_ivf,
         "compression_stats": _q_compression_stats,
         "cosine_pairs": _q_cosine_pairs,
         "cosine_pairs_lsh": _q_cosine_pairs_lsh,
@@ -2730,6 +2745,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": _q_span_dedup,
         "domain_top_terms": _q_domain_top_terms,
     }
+
+
+_KNN_GRAPH_ORACLE = """
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               list_cosine_similarity(a.embedding, b.embedding) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id FROM ranked WHERE rk <= 5
+"""
 
 
 _TOPK_ORACLE = """
@@ -2892,22 +2924,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_q
             FROM documents
         """,
-        # exact 5-NN graph (self excluded), ids only
-        "knn_graph": """
-            WITH scored AS (
-                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-                       list_cosine_similarity(a.embedding, b.embedding) AS score
-                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-            ), ranked AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY score DESC, vec_id ASC
-                       ) AS rk
-                FROM scored
-            )
-            SELECT query_id, vec_id FROM ranked WHERE rk <= 5
-        """,
+        # exact 5-NN graph (self excluded), ids only; the IVF variant is
+        # driven at full probe, which is exact -> same oracle
+        "knn_graph": _KNN_GRAPH_ORACLE,
+        "knn_graph_ivf": _KNN_GRAPH_ORACLE,
         "topk_cosine": _TOPK_ORACLE,
         "topk_cosine_ivf": _TOPK_ORACLE,
         "cosine_pairs": """

@@ -229,3 +229,51 @@ def test_knn_graph_matches_bruteforce(ray_session):
         got = out[out.query_id == ids[qi]]
         assert got.vec_id.tolist() == ids[order].tolist(), qi
         assert len(got) == k
+
+
+def test_knn_graph_ivf_fullprobe_equals_exact(ray_session):
+    from dupers_ray.stages.embed import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(7)
+    n, d, k = 80, 8, 4
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = knn_graph(ds, k=k).to_pandas()
+    ivf = knn_graph_ivf(ds, k=k, n_cells=8, n_probe=8).to_pandas()
+
+    def key(df):
+        return {q: sorted(zip(g.vec_id, g.score.round(9)))
+                for q, g in df.groupby("query_id")}
+
+    ex, iv = key(exact), key(ivf)
+    assert set(ex) == set(iv)
+    for q in ex:
+        assert [v for v, _ in ex[q]] == [v for v, _ in iv[q]], q
+
+
+def test_knn_graph_ivf_recall(ray_session):
+    from dupers_ray.stages.embed import knn_graph, knn_graph_ivf
+
+    rng = np.random.default_rng(9)
+    n, d, k = 300, 16, 5
+    # clustered data so IVF cells are meaningful
+    centers = rng.normal(size=(6, d)).astype(np.float32) * 3
+    mat = (centers[rng.integers(0, 6, n)]
+           + rng.normal(size=(n, d)).astype(np.float32))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat]),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = knn_graph(ds, k=k).to_pandas()
+    ivf = knn_graph_ivf(ds, k=k, n_cells=12, n_probe=4).to_pandas()
+    ex = {q: set(g.vec_id) for q, g in exact.groupby("query_id")}
+    iv = {q: set(g.vec_id) for q, g in ivf.groupby("query_id")}
+    hits = sum(len(ex[q] & iv.get(q, set())) for q in ex)
+    recall = hits / sum(len(v) for v in ex.values())
+    assert recall >= 0.8, recall
