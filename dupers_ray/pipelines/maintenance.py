@@ -83,6 +83,41 @@ def anti_join_broadcast(
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def anti_join_auto(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key_col: str,
+    right_key_col: str | None = None,
+    semi: bool = False,
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Count-gated anti/semi join: broadcast the right key set when it is
+    small (``ray.put`` once, zero-copy plasma read per task), else one
+    hash-partitioned shuffle. The same switch the tiers cascade uses
+    (tiers.py survivor filter) and the incremental flagship's known-id
+    filter (dupe.py) — at 100 TB the right side can be billions of urls,
+    so an unconditional driver ``take_all`` is an OOM, while an
+    unconditional shuffle punishes the common small-index case."""
+    rkey = right_key_col or key_col
+    keys_ds = right.select_columns([rkey]).materialize()
+    n = keys_ds.count()
+    if n == 0:
+        if semi:
+            return left.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow"
+            )
+        return left
+    if n <= broadcast_limit:
+        # to_pandas (block concat), NOT take_all: row-dict iteration is
+        # ~1000x slower than a column pull
+        keys = keys_ds.to_pandas()[rkey].to_numpy()
+        return anti_join_broadcast(left, keys, key_col=key_col, invert=semi)
+    return anti_join_shuffle(
+        left, keys_ds, key_col=key_col, right_key_col=rkey, semi=semi
+    )
+
+
 def anti_join_shuffle(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

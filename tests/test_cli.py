@@ -142,3 +142,37 @@ def test_tiers_verb_with_store(env, tmp_path, capsys):
     labels2 = dict(zip(t2.column("url").to_pylist(), t2.column("tier").to_pylist()))
     assert labels2 == labels
     assert "fused store now" in capsys.readouterr().out
+
+
+def test_up_clean_shuffle_path(env, tmp_path, monkeypatch):
+    """Force the hash-partitioned anti-join path (broadcast_limit=0) and
+    check `up`/`clean` produce byte-identical indexes to the broadcast
+    path — the count-gated switch the library already uses (tiers.py),
+    now on the CLI verbs so a billion-row index never take_all()s onto
+    the driver (mirrors walkCompare, pkg/dupe/dupe.go:940-966)."""
+    tmp, corpus, idx = env
+    c2 = _corpus(
+        str(tmp_path / "c2.parquet"),
+        {"http://a/1": "CHANGED", "http://c/new": "brand new page"},
+    )
+    live = _corpus(
+        str(tmp_path / "live.parquet"),
+        {"http://a/1": "x", "http://c/new": "y"},
+    )
+
+    def run(index_dir: str) -> list[tuple]:
+        main(["up", "--index", index_dir, corpus, "--bucket", "b1"])
+        main(["up", "--index", index_dir, c2, "--bucket", "b1"])
+        assert main(["clean", "--index", index_dir, live]) == 0
+        t = pq.read_table(index_dir)
+        return sorted(
+            zip(t.column("url").to_pylist(), t.column("digest").to_pylist())
+        )
+
+    broadcast = run(idx)
+
+    monkeypatch.setenv("DUPERS_RAY_BROADCAST_LIMIT", "0")
+    shuffled = run(str(tmp_path / "index_shuffle"))
+
+    assert shuffled == broadcast
+    assert [u for u, _ in shuffled] == ["http://a/1", "http://c/new"]

@@ -72,6 +72,29 @@ def test_sessionize():
     assert u2["n_events"].tolist() == [1, 1]
 
 
+def test_sessionize_string_keys():
+    # string user ids (cookie/device ids — the common web case) must route
+    # through the hash_str_keys partitioner, not an int cast
+    base = 1_700_000_000_000_000
+    rows = {
+        "ts": pa.array(
+            [base, base + 60_000_000, base + 10_000_000_000,
+             base, base + 5_000_000_000],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(["cookie-a", "cookie-a", "cookie-a",
+                             "dev:b", "dev:b"]),
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = sessionize(ds, gap="30m").to_pandas().sort_values(
+        ["user_id", "session_id"]
+    )
+    ua = out[out.user_id == "cookie-a"]
+    assert ua["n_events"].tolist() == [2, 1]
+    ub = out[out.user_id == "dev:b"]
+    assert ub["n_events"].tolist() == [1, 1]
+
+
 def test_hopping_window_agg(ray_session):
     import duckdb
     import ray.data as rd
