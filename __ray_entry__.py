@@ -1171,6 +1171,54 @@ def _q_semantic_dedup(sf_dir: str):
     )
 
 
+def _q_text_embeddings(sf_dir: str):
+    """Actor-pool text embedding (stages/embed_texts.py — hashed-BoW
+    splitmix64 projection, integer-exact) unnested to (doc_id, j, v)
+    rows so the DuckDB oracle value-checks every component."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dupers_ray.stages.embed_texts import DIM, embed_texts
+
+    emb = embed_texts(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4)
+    )
+
+    def unnest(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat = (
+            t.column("embedding").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ids = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            DIM,
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "j": pa.array(np.tile(np.arange(DIM, dtype=np.int64), n)),
+            "v": pa.array(flat),
+        })
+
+    return emb.map_batches(unnest, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_text_semantic_dedup(sf_dir: str):
+    """The full LLM chain text → embed_texts (actor pool) → SemDeDup:
+    tokenless docs filtered (cosine of a zero vector is undefined), cells
+    seeded by the 8 smallest doc_ids at iters=0 so the whole chain —
+    featurizer included — carries a DuckDB value oracle."""
+    from dupers_ray.stages.embed_texts import embed_texts
+    from dupers_ray.stages.semdedup import semantic_dedup
+
+    emb = embed_texts(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4)
+    ).filter(expr="n_tokens > 0")
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, iters=0, id_col="doc_id"
+    )
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source duplicate overlap matrix over prefix-40 digests
     (pipelines/overlap.source_overlap) — which sources duplicate which,
@@ -2287,6 +2335,99 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _embed_sql_cte() -> str:
+    """CTE chain replaying stages/embed_texts.py in SQL: token bucket =
+    md5-u64 % 4096, weight[j] = splitmix64(bucket*64 + j) % 201 - 100,
+    embedding = per-doc sum over token occurrences. Emits ``emb(doc_id,
+    j, v)`` for docs with >= 1 token (same constants as
+    _quality_oracle_sql; DIM=64, N_BUCKETS=4096)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+            FROM documents
+        ), bk AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                    % 4096)::UBIGINT AS bk
+            FROM toks
+        ), dims AS (
+            SELECT unnest(range(64)) AS j
+        ), sm AS (
+            SELECT doc_id, j,
+                   ((bk * 64 + j)::UHUGEINT
+                    + 11400714819323198485::UHUGEINT
+                    ) % {_MOD64} AS x0h,
+                   x0h::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM bk CROSS JOIN dims
+        ), emb AS (
+            SELECT doc_id, j,
+                   SUM(CAST(h % 201 AS BIGINT) - 100) AS v
+            FROM sm GROUP BY doc_id, j
+        )
+    """
+
+
+def _text_embeddings_oracle_sql() -> str:
+    return f"""
+        WITH {_embed_sql_cte()}
+        SELECT d.doc_id,
+               CAST(dims.j AS BIGINT) AS j,
+               CAST(COALESCE(e.v, 0) AS BIGINT) AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(64)) AS j) dims
+        LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = dims.j
+    """
+
+
+def _text_semantic_dedup_oracle_sql() -> str:
+    """The semantic_dedup oracle with the fixture embeddings table swapped
+    for the SQL featurizer CTE (docs with >= 1 token; centroids = the 8
+    smallest doc_ids)."""
+    return f"""
+        WITH {_embed_sql_cte()},
+        embl AS (
+            SELECT doc_id,
+                   list(CAST(v AS DOUBLE) ORDER BY j) AS embedding
+            FROM emb GROUP BY doc_id
+        ), cents AS (
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell,
+                   embedding AS ce
+            FROM embl
+            QUALIFY row_number() OVER (ORDER BY doc_id) <= 8
+        ), assign AS (
+            SELECT e.doc_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.doc_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                c.cell ASC
+                   ) AS rk
+            FROM embl e CROSS JOIN cents c
+        ), cellmap AS (
+            SELECT doc_id, cell FROM assign WHERE rk = 1
+        )
+        SELECT a.doc_id, a.cell,
+               NOT EXISTS (
+                   SELECT 1
+                   FROM cellmap b
+                   JOIN embl eb ON eb.doc_id = b.doc_id
+                   JOIN embl ea ON ea.doc_id = a.doc_id
+                   WHERE b.cell = a.cell AND b.doc_id < a.doc_id
+                     AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+               ) AS keep
+        FROM cellmap a
+    """
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped rollup over lineitem (pipelines/relational.py):
     integer-exact rescaled sums (cents / 1e-4 / 1e-6 dollar units) so the
@@ -2713,6 +2854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         # --- new in round 3 (fills the 50-query driver window) ---
         "sessionize_str": _q_sessionize_str,
+        "text_embeddings": _q_text_embeddings,
+        "text_semantic_dedup": _q_text_semantic_dedup,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -2969,6 +3112,8 @@ def oracle_sql() -> dict[str, str]:
         # embeddings (cell index = rank by vec_id), assignment = argmax
         # cosine with ties to the lower cell, keep = no lower-id row in
         # the same cell at cosine >= 0.4
+        "text_embeddings": _text_embeddings_oracle_sql(),
+        "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """
             WITH cents AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
