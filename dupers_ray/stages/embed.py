@@ -345,6 +345,41 @@ def _candidate_id_pairs(g, id_col: str):
     return pa.table({"a": pa.array(lo, pa.int64()), "b": pa.array(hi, pa.int64())})
 
 
+def lsh_params(
+    threshold: float,
+    *,
+    target_recall: float = 0.9,
+    max_tables: int = 64,
+    max_planes: int = 20,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) sized so hyperplane-LSH recall AT the
+    threshold cosine is >= target_recall. Per-plane collision prob for a
+    pair at cosine t is p = 1 - arccos(t)/pi (Charikar 2002, SimHash);
+    per-table match prob is p^b, so T tables give 1 - (1-p^b)^T. Pick the
+    LARGEST b (fewest false candidates — candidate volume scales ~2^-b
+    per table) whose required T still fits max_tables. Low thresholds are
+    intrinsically expensive in this family (t=0.4 -> (7, 57) at the
+    defaults); below ~0.3 prefer the k-means-cell route
+    (stages/semdedup.py), which bounds pair work by cell instead."""
+    import math
+
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - math.acos(t) / math.pi
+    if p >= 1.0:
+        return max_planes, 1
+    if p <= 0.0:
+        return 4, max_tables
+    best = (4, max_tables)
+    for b in range(4, max_planes + 1):
+        pb = p ** b
+        if pb >= 1.0 - 1e-12:
+            continue
+        needed = math.log(1.0 - target_recall) / math.log(1.0 - pb)
+        if needed <= max_tables:
+            best = (b, max(1, math.ceil(needed)))
+    return best
+
+
 def cosine_pairs_lsh(
     ds: "ray.data.Dataset",
     *,
@@ -352,8 +387,8 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 16,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
     verify: str = "auto",
     broadcast_limit: int = 2_000_000,
@@ -369,7 +404,16 @@ def cosine_pairs_lsh(
     fetched exactly once at verify: broadcast (ray.put of the id-sorted
     corpus matrix) when the corpus has <= broadcast_limit rows, else two
     hash joins against the embedding table (payload bounded by the deduped
-    candidate count, not corpus x tables)."""
+    candidate count, not corpus x tables).
+
+    ``n_planes``/``n_tables`` default to ``lsh_params(threshold)`` —
+    sized for >= 0.9 recall at the threshold cosine (a fixed (16, 8)
+    config had 1% recall at threshold 0.4; round-3 fix). Pass explicit
+    values to override (``n_planes=0`` = full probe = exact)."""
+    if n_planes is None or n_tables is None:
+        auto_b, auto_t = lsh_params(threshold)
+        n_planes = auto_b if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
     ref = ray.put(planes)

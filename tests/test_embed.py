@@ -93,6 +93,35 @@ def test_cosine_pairs_lsh_recall():
     assert (approx["cosine"] >= 0.95).all()
 
 
+def test_cosine_pairs_lsh_recall_driver_config():
+    """Recall floor at the DRIVER's `cosine_pairs_lsh` configuration
+    (threshold=0.4, dim=64) — the rows-only registry entry's quantitative
+    backing (round-2 VERDICT item 10). Moderate-cosine planted pairs are
+    the hard case for hyperplane LSH, hence the lower floor than the
+    0.95-threshold test above."""
+    rng = np.random.default_rng(11)
+    n, dim, n_dup = 400, 64, 30
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(n_dup):
+        # perturbation sized so planted cosines land ~0.5-0.9
+        m[n - n_dup + i] = m[i] + rng.standard_normal(dim).astype(np.float32) * 0.7
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([v.tolist() for v in m], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = cosine_pairs_broadcast(ds, ids, m, threshold=0.4).to_pandas()
+    approx = cosine_pairs_lsh(ds, threshold=0.4, dim=64).to_pandas()
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    approx_pairs = set(zip(approx["a"], approx["b"]))
+    assert len(exact_pairs) >= n_dup
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.85, f"LSH recall at driver config {recall:.2f}"
+    # every emitted pair is verified by exact cosine — precision is 1.0
+    assert (approx["cosine"] >= 0.4).all()
+
+
 def test_cosine_pairs_lsh_fullprobe_exact():
     """n_planes=0 puts every row in one bucket per table: candidates = all
     pairs, so the LSH pipeline's exact verify must reproduce the brute-force
