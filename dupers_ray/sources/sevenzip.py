@@ -338,7 +338,21 @@ def _parse_files_info(f: io.BytesIO) -> list[dict]:
 
 
 def read_7z_members(data: bytes) -> list[tuple[str, bytes]]:
-    """All (member_name, member_bytes) of an in-memory 7z archive."""
+    """All (member_name, member_bytes) of an in-memory 7z archive.
+
+    Total over untrusted bytes: any low-level parse failure (struct
+    underrun, index error, decoder error) surfaces as :class:`Bad7z`, so
+    callers need only catch the two typed errors (the fuzz contract —
+    reference analogue: archive_fuzz.go feeds arbitrary bytes)."""
+    try:
+        return _read_7z_members_checked(data)
+    except (Bad7z, Unsupported7z):
+        raise
+    except Exception as ex:  # noqa: BLE001 — corrupt input, typed re-raise
+        raise Bad7z(f"corrupt archive: {type(ex).__name__}: {ex}") from ex
+
+
+def _read_7z_members_checked(data: bytes) -> list[tuple[str, bytes]]:
     if data[:6] != SIGNATURE:
         raise Bad7z("bad signature")
     nh_off, nh_size = struct.unpack("<QQ", data[12:28])
