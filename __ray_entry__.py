@@ -1219,6 +1219,28 @@ def _q_text_semantic_dedup(sf_dir: str):
     )
 
 
+def _q_image_dup_clusters(sf_dir: str):
+    """Perceptual image dedup over a deterministic synthetic multimodal
+    corpus: each doc's text-prefix sha256 seeds a photo-like image,
+    encoded PNG (even ids) or lossy JPEG q75 (odd ids) — so docs sharing
+    a 40-char text prefix yield perceptually identical images across
+    DIFFERENT encodings. The pHash actor pool + pigeonhole pairs +
+    components pipeline (stages/imagehash.py, from-scratch PNG+JPEG
+    codecs) must assign cluster_id = min doc_id per prefix group, which
+    the DuckDB oracle states directly — a full value check of decode,
+    hash invariance, and clustering at once."""
+    from dupers_ray.stages.imagehash import image_dup_clusters
+    from dupers_ray.synth import synth_doc_images
+
+    media = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_doc_images, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128,
+    )
+    return image_dup_clusters(
+        media, id_col="doc_id", payload_col="payload", hamming_threshold=6
+    )
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source duplicate overlap matrix over prefix-40 digests
     (pipelines/overlap.source_overlap) — which sources duplicate which,
@@ -2856,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_str": _q_sessionize_str,
         "text_embeddings": _q_text_embeddings,
         "text_semantic_dedup": _q_text_semantic_dedup,
+        "image_dup_clusters": _q_image_dup_clusters,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3112,6 +3135,15 @@ def oracle_sql() -> dict[str, str]:
         # embeddings (cell index = rank by vec_id), assignment = argmax
         # cosine with ties to the lower cell, keep = no lower-id row in
         # the same cell at cosine >= 0.4
+        # synthetic images seed from substr(text, 1, 40); perceptual
+        # clusters must equal the exact prefix groups (min-id labeling)
+        "image_dup_clusters": """
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (
+                       PARTITION BY substr(text, 1, 40)
+                   ) AS BIGINT) AS cluster_id
+            FROM documents
+        """,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """

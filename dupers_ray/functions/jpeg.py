@@ -1,0 +1,652 @@
+"""From-scratch baseline JPEG (JFIF) codec — stdlib + numpy only.
+
+Closes the round-2 VERDICT multimodal gap ("JPEG decode raises
+NotImplementedError; real CC image corpora are JPEG"): a baseline
+sequential DCT decoder (SOF0/SOF1, Huffman entropy coding, restart
+markers, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling) plus a minimal
+4:4:4 encoder used to build test fixtures, mirroring the PNG codec
+precedent (functions/png.py).
+
+Sources are the PUBLIC specs only: ITU-T T.81 (ISO/IEC 10918-1) for the
+syntax, Huffman DECODE procedure, zigzag order and the Annex K example
+quantization/Huffman tables; JFIF 1.02 for the APP0 header and the
+BT.601 full-range YCbCr <-> RGB transform. The encoder and decoder are
+written as independent passes over the spec (shared constants only), so
+a round-trip test exercises both directions rather than one mirrored
+implementation.
+
+Scope (documented boundary): 8-bit baseline sequential Huffman JPEG.
+Progressive (SOF2), arithmetic coding, hierarchical and 12-bit modes
+raise :class:`UnsupportedJpeg`; corrupt streams raise :class:`BadJpeg`.
+Reference analogue: none (the Go reference hashes archive members as
+opaque bytes, pkg/dupe/dupe.go:648); this codec exists so image dedup
+can hash DECODED PIXELS (perceptual dup detection survives re-encoding,
+which byte hashing does not).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["BadJpeg", "UnsupportedJpeg", "decode_jpeg", "encode_jpeg"]
+
+
+class BadJpeg(ValueError):
+    """Corrupt or truncated JPEG stream."""
+
+
+class UnsupportedJpeg(ValueError):
+    """Valid JPEG outside the baseline-sequential subset."""
+
+
+# zigzag scan order (T.81 Figure 5): ZIGZAG[i] = raster index of the
+# i-th coefficient in zigzag order
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# T.81 Annex K.1 example quantization tables (luminance, chrominance),
+# raster order
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64)
+
+# T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis: C[k, n] = c_k/2 * cos((2n+1) k pi / 16)."""
+    k = np.arange(8)[:, None].astype(np.float64)
+    n = np.arange(8)[None, :].astype(np.float64)
+    c = np.cos((2 * n + 1) * k * np.pi / 16.0) / 2.0
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) coefficient blocks -> (n, 8, 8) spatial samples."""
+    return np.einsum("ij,bjk,kl->bil", _C.T, blocks, _C, optimize=True)
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial -> (n, 8, 8) coefficients."""
+    return np.einsum("ij,bjk,kl->bil", _C, blocks, _C.T, optimize=True)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _HuffTable:
+    """Canonical Huffman decode state (T.81 F.2.2.3 DECODE procedure)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        code, k = 0, 0
+        for ln in range(1, 17):
+            if bits[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += bits[ln - 1]
+                k += bits[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.vals = vals
+
+
+class _BitReader:
+    """MSB-first reader over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                # T.81 F.2.2.5: pad with 1-bits at the end of the segment
+                self.buf = (self.buf << 8) | 0xFF
+            else:
+                self.buf = (self.buf << 8) | self.data[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return out
+
+    def decode(self, table: _HuffTable) -> int:
+        code = self.read(1)
+        for ln in range(1, 17):
+            if table.maxcode[ln] >= 0 and code <= table.maxcode[ln]:
+                return table.vals[table.valptr[ln] + code - table.mincode[ln]]
+            code = (code << 1) | self.read(1)
+        raise BadJpeg("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``start``: de-stuff 0xFF00, split at RST
+    markers; returns (segments, index of the terminating marker's 0xFF)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:  # stuffed 0xFF data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker terminates the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB array."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise BadJpeg("missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    try:
+        while i < len(data):
+            if data[i] != 0xFF:
+                raise BadJpeg(f"expected marker at {i}")
+            marker = data[i + 1]
+            i += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone
+            if i + 2 > len(data):
+                raise BadJpeg("truncated segment length")
+            (seglen,) = struct.unpack(">H", data[i : i + 2])
+            seg = data[i + 2 : i + seglen]
+            if len(seg) != seglen - 2:
+                raise BadJpeg("truncated segment")
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                    j += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[j : j + 64], np.uint8).astype(np.int64)
+                        j += 64
+                    elif pq == 1:
+                        tbl = np.frombuffer(seg[j : j + 128], ">u2").astype(np.int64)
+                        j += 128
+                    else:
+                        raise BadJpeg(f"bad DQT precision {pq}")
+                    if len(tbl) != 64:
+                        raise BadJpeg("truncated DQT")
+                    raster = np.empty(64, np.int64)
+                    raster[ZIGZAG] = tbl  # stored zigzag -> raster
+                    qt[tq] = raster.reshape(8, 8)
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline+extended seq
+                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8:
+                    raise UnsupportedJpeg(f"{prec}-bit precision")
+                if nc not in (1, 3):
+                    raise UnsupportedJpeg(f"{nc}-component frame")
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise UnsupportedJpeg(f"SOF{marker - 0xC0} mode")
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    if len(bits) != 16 or len(vals) != nv:
+                        raise BadJpeg("truncated DHT")
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, vals)
+                    j += 17 + nv
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise BadJpeg("SOS before SOF")
+                ns = seg[0]
+                scan = []  # (comp_index, dc_table, ac_table)
+                for s in range(ns):
+                    cid, tabs = seg[1 + 2 * s], seg[2 + 2 * s]
+                    idx = next(
+                        (k for k, c in enumerate(frame[2]) if c[0] == cid), None
+                    )
+                    if idx is None:
+                        raise BadJpeg(f"scan references unknown component {cid}")
+                    scan.append((idx, tabs >> 4, tabs & 0x0F))
+                if len(scan) != len(frame[2]):
+                    raise UnsupportedJpeg("multi-scan (non-interleaved) stream")
+                segs, _end = _split_scan(data, i + seglen)
+                return _decode_scan(
+                    frame, scan, qt, huff_dc, huff_ac, restart_interval, segs
+                )
+            # APPn / COM / others: skipped
+            i += seglen
+    except (BadJpeg, UnsupportedJpeg):
+        raise
+    except Exception as ex:  # noqa: BLE001 — corrupt input, typed re-raise
+        raise BadJpeg(f"corrupt stream: {type(ex).__name__}: {ex}") from ex
+    raise BadJpeg("no SOS marker")
+
+
+def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, segs):
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise BadJpeg("zero-sized frame")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h not in (1, 2, 4) or max_v not in (1, 2, 4):
+        raise UnsupportedJpeg(f"sampling {max_h}x{max_v}")
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    n_mcu = mcux * mcuy
+
+    # coefficient planes per component, in MCU-padded block units
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if hs == 0 or vs == 0:
+            raise BadJpeg("zero sampling factor")
+        planes.append(np.zeros((mcuy * vs, mcux * hs, 64), np.int64))
+
+    pred = [0] * len(comps)
+    mcu = 0
+    seg_iter = iter(segs)
+    reader = _BitReader(next(seg_iter))
+    expected_rst = restart_interval or n_mcu
+    since_rst = 0
+    while mcu < n_mcu:
+        if since_rst == expected_rst:
+            # restart: next entropy segment, reset DC predictors
+            try:
+                reader = _BitReader(next(seg_iter))
+            except StopIteration:
+                raise BadJpeg("missing restart segment") from None
+            pred = [0] * len(comps)
+            since_rst = 0
+        my, mx = divmod(mcu, mcux)
+        for ci, tdc, tac in scan:
+            _, hs, vs, tq = comps[ci]
+            if tdc not in huff_dc or tac not in huff_ac:
+                raise BadJpeg("scan references undefined Huffman table")
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, np.int64)
+                    t = reader.decode(huff_dc[tdc])
+                    if t > 15:
+                        raise BadJpeg("bad DC category")
+                    diff = _extend(reader.read(t), t)
+                    pred[ci] += diff
+                    coef[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(huff_ac[tac])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise BadJpeg("AC index overflow")
+                        coef[k] = _extend(reader.read(s), s)
+                        k += 1
+                    planes[ci][my * vs + by, mx * hs + bx] = coef
+        mcu += 1
+        since_rst += 1
+
+    # dequantize + dezigzag + IDCT per component, assemble full planes
+    out_planes = []
+    for (cid, hs, vs, tq), blocks in zip(comps, planes):
+        if tq not in qt:
+            raise BadJpeg(f"missing quantization table {tq}")
+        by, bx = blocks.shape[0], blocks.shape[1]
+        flat = blocks.reshape(-1, 64)
+        raster = np.zeros_like(flat)
+        raster[:, ZIGZAG] = flat  # zigzag order -> raster order
+        deq = raster.astype(np.float64) * qt[tq].reshape(1, 64)
+        spatial = _idct2(deq.reshape(-1, 8, 8)) + 128.0
+        # (by, bx, 8, 8) -> (by*8, bx*8)
+        plane = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            by * 8, bx * 8
+        )
+        # upsample to full-frame resolution (nearest; JFIF permits any)
+        ry, rx = max_v // vs, max_h // hs
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255)
+        return np.dstack([y, y, y]).round().astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.dstack([r, g, b]).round(), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.buf = (self.buf << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of an Annex K base table."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _marker(code: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, code, len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 85,
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes
+    (4:4:4 or 4:2:0, Annex K Huffman tables). Fixture-grade encoder:
+    correctness over speed."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    img = np.asarray(img)
+    if img.ndim == 2:
+        ncomp = 1
+        y_plane = img.astype(np.float64)
+        planes = [y_plane]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ncomp = 3
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        raise ValueError("img must be (h, w) or (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qts = [_scaled_qt(QT_LUMA, quality), _scaled_qt(QT_CHROMA, quality)]
+    comp_qt = [0] if ncomp == 1 else [0, 1, 1]
+    dc_maps = [_huff_encode_map(DC_LUMA_BITS, DC_LUMA_VALS),
+               _huff_encode_map(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_maps = [_huff_encode_map(AC_LUMA_BITS, AC_LUMA_VALS),
+               _huff_encode_map(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    comp_ht = comp_qt  # table 0 for luma, 1 for chroma
+
+    # per-component sampling factors; 4:2:0 downsamples chroma 2x2
+    if ncomp == 3 and subsampling == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    else:
+        sampling = [(1, 1)] * ncomp
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+
+    qcoefs = []  # per comp: (by_c, bx_c, 64) int zigzag quantized coefs
+    for ci, plane in enumerate(planes):
+        hs, vs = sampling[ci]
+        if (hs, vs) != (max_h, max_v):
+            # chroma downsample: pad to even, 2x2 mean
+            ph = plane.shape[0] + (plane.shape[0] & 1)
+            pw = plane.shape[1] + (plane.shape[1] & 1)
+            p = np.pad(plane, ((0, ph - plane.shape[0]),
+                               (0, pw - plane.shape[1])), mode="edge")
+            plane = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        by_c, bx_c = mcuy * vs, mcux * hs
+        p = np.pad(
+            plane,
+            ((0, by_c * 8 - plane.shape[0]), (0, bx_c * 8 - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = p.reshape(by_c, 8, bx_c, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = _dct2(blocks - 128.0)
+        qtab = qts[comp_qt[ci]].reshape(8, 8).astype(np.float64)
+        qc = np.round(coefs / qtab).astype(np.int64).reshape(-1, 64)
+        qcoefs.append(qc[:, ZIGZAG].reshape(by_c, bx_c, 64))
+
+    # headers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tq in range(2 if ncomp == 3 else 1):
+        zz = np.empty(64, np.int64)
+        zz = qts[tq].reshape(-1)[ZIGZAG]
+        out += _marker(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        sof += bytes([ci + 1, hs << 4 | vs, comp_qt[ci]])
+    out += _marker(0xC0, bytes(sof))
+    for tc, maps, tables in (
+        (0, dc_maps, [(DC_LUMA_BITS, DC_LUMA_VALS), (DC_CHROMA_BITS, DC_CHROMA_VALS)]),
+        (1, ac_maps, [(AC_LUMA_BITS, AC_LUMA_VALS), (AC_CHROMA_BITS, AC_CHROMA_VALS)]),
+    ):
+        for th in range(2 if ncomp == 3 else 1):
+            bits, vals = tables[th]
+            out += _marker(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, comp_ht[ci] << 4 | comp_ht[ci]])
+    sos += b"\x00\x3f\x00"  # Ss/Se/AhAl for baseline
+    out += _marker(0xDA, bytes(sos))
+
+    # entropy-coded data: interleaved MCUs (vs x hs blocks per comp)
+    writer = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            out += writer.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _BitWriter()
+            pred = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hs, vs = sampling[ci]
+            blocks_zz = [
+                qcoefs[ci][my * vs + dy, mx * hs + dx]
+                for dy in range(vs)
+                for dx in range(hs)
+            ]
+            for zz in blocks_zz:
+                dc_map, ac_map = dc_maps[comp_ht[ci]], ac_maps[comp_ht[ci]]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t = _category(diff)
+                code, ln = dc_map[t]
+                writer.write(code, ln)
+                if t:
+                    writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                nz_ac = np.nonzero(zz[1:])[0]
+                last_nz = int(nz_ac[-1]) + 1 if len(nz_ac) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = ac_map[(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                    if k == last_nz:
+                        break
+                if last_nz < 63:
+                    code, ln = ac_map[0x00]  # EOB
+                    writer.write(code, ln)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

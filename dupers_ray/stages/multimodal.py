@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-Decode kernels: ``decoder="png"`` is a REAL decode via the from-scratch
-stdlib PNG codec (functions/png.py — zlib + spec filters; nearest-
-neighbor resize to the target tensor); ``decoder="stub"`` raises
+Decode kernels: ``decoder="png"`` / ``"jpeg"`` / ``"auto"`` are REAL
+decodes via the from-scratch codecs (functions/png.py — zlib + spec
+filters; functions/jpeg.py — baseline-sequential T.81; "auto"
+dispatches on the payload magic); ``decoder="stub"`` raises
 NotImplementedError (the honest production default for formats needing
-external codecs — JPEG/ffmpeg); ``decoder="fake"`` produces a
+external codecs — webp/avif/ffmpeg video); ``decoder="fake"`` produces a
 DETERMINISTIC pseudo-decode from the payload bytes so the Ray-side
 plumbing — schemas, batch sizing, actor signatures, output layout — is
 testable without fixtures. Swapping in PIL/ffmpeg later only replaces
@@ -52,31 +53,39 @@ class ImageDecoder:
     State (decoder choice, target size) loads once per actor."""
 
     def __init__(self, *, decoder: str = "stub", target: tuple[int, int] = (32, 32)):
-        if decoder not in ("stub", "fake", "png"):
+        if decoder not in ("stub", "fake", "png", "jpeg", "auto"):
             raise ValueError(f"unknown decoder {decoder!r}")
-        if decoder == "png":
-            # kernel state loaded once per actor
+        if decoder in ("png", "jpeg", "auto"):
+            # kernel state loaded once per actor; "auto" dispatches on the
+            # payload magic (PNG vs baseline JPEG — both from-scratch
+            # codecs: functions/png.py, functions/jpeg.py)
             from dupers_ray.functions.png import decode_png, resize_nearest
+            from dupers_ray.functions.jpeg import decode_jpeg
+            from dupers_ray.stages.imagehash import _decode_any
 
-            self._decode, self._resize = decode_png, resize_nearest
+            self._decode = {
+                "png": decode_png, "jpeg": decode_jpeg, "auto": _decode_any,
+            }[decoder]
+            self._resize = resize_nearest
         self.decoder = decoder
         self.h, self.w = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "stub":
             raise NotImplementedError(
-                "image codec not available in this environment; construct "
-                "ImageDecoder(decoder='png') for real PNG decode or "
-                "ImageDecoder(decoder='fake') for deterministic plumbing tests"
+                "external codec formats (webp/avif/video) are not available "
+                "in this environment; construct ImageDecoder(decoder='auto') "
+                "for real PNG + baseline-JPEG decode, or decoder='fake' for "
+                "deterministic plumbing tests"
             )
         payloads = batch.column("payload").to_pylist()
         pixels = []
         means = np.empty(len(payloads), np.float64)
         for i, p in enumerate(payloads):
-            if self.decoder == "png":
-                img = self._resize(self._decode(p or b""), self.h, self.w)
-            else:
+            if self.decoder == "fake":
                 img = _fake_decode_image(p or b"", self.h, self.w)
+            else:
+                img = self._resize(self._decode(p or b""), self.h, self.w)
             pixels.append(img.tobytes())
             means[i] = float(img.mean())
         return pa.table(

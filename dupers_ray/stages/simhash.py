@@ -101,20 +101,41 @@ def simhash_pairs(
     """(src, dst, hamming) pairs with hamming <= cfg.hamming_threshold.
     Bands = hamming_threshold + 1 (pigeonhole-complete). One groupby."""
     cfg = cfg or SimHashConfig()
-    n_bands = max(cfg.bands, cfg.hamming_threshold + 1)
-    width = 64 // n_bands
-    thr = cfg.hamming_threshold
-
     sigs = ds.map_batches(
         simhash_batch,
         fn_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    return hamming_pairs_from_sigs(
+        sigs,
+        hamming_threshold=cfg.hamming_threshold,
+        n_bands=max(cfg.bands, cfg.hamming_threshold + 1),
+        num_partitions=num_partitions,
+    )
+
+
+def hamming_pairs_from_sigs(
+    sigs: "ray.data.Dataset",
+    *,
+    node_col: str = "node",
+    hash_col: str = "simhash",
+    hamming_threshold: int = 3,
+    n_bands: int | None = None,
+    num_partitions: int = 256,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """(src, dst, hamming) pairs with hamming <= threshold over ANY
+    (node uint64, 64-bit signature) dataset — the pigeonhole band
+    machinery shared by text SimHash and perceptual image hashes
+    (stages/imagehash.py). Bands default to threshold+1 (complete)."""
+    n_bands = n_bands or (hamming_threshold + 1)
+    width = 64 // n_bands
+    thr = hamming_threshold
 
     def explode(t: pa.Table) -> pa.Table:
-        sig = np.asarray(t.column("simhash"), dtype=np.uint64)
-        node = np.asarray(t.column("node"), dtype=np.uint64)
+        sig = np.asarray(t.column(hash_col), dtype=np.uint64)
+        node = np.asarray(t.column(node_col), dtype=np.uint64)
         d = len(sig)
         bands = np.empty((d, n_bands), np.uint64)
         mask = np.uint64((1 << width) - 1)
@@ -136,7 +157,7 @@ def simhash_pairs(
             }
         )
 
-    def pairs_in_bucket(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
+    def pairs_in_bucket(g: pd.DataFrame, max_bucket: int = max_bucket) -> pd.DataFrame:
         out_s, out_d, out_h = [], [], []
         for _, sub in g.groupby("bkey", sort=False):
             sub = sub.drop_duplicates(subset=["node"])

@@ -215,3 +215,52 @@ def write_pages_parquet(
             pq.write_table(chunk, os.path.join(pages_dir, f"part-{i:05d}.parquet"))
     pq.write_table(res.truth, os.path.join(path, "truth.parquet"))
     return res
+
+
+def synth_doc_images(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 40,
+    size: tuple[int, int] = (48, 64),
+) -> "pa.Table":
+    """Deterministic synthetic image per document — the multimodal test
+    corpus (no external data, per the graft contract): the sha256 of the
+    text's first ``prefix`` chars seeds a low-frequency 'photo-like' RGB
+    mixture, encoded as PNG for even ids and baseline JPEG (q75) for odd
+    ids. Identical text prefixes therefore yield perceptually identical
+    images ACROSS different encodings — planting ground-truth clusters
+    that the pHash pipeline must recover and a DuckDB oracle can state
+    as min(doc_id) per prefix group. Output: (id, payload binary)."""
+    import hashlib
+
+    from dupers_ray.functions.jpeg import encode_jpeg
+    from dupers_ray.functions.png import encode_png
+
+    h, w = size
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    payloads: list[bytes] = []
+    for doc_id, text in zip(ids, texts):
+        key = hashlib.sha256((text or "")[:prefix].encode()).digest()
+        rng = np.random.default_rng(np.frombuffer(key[:16], np.uint64))
+        img = np.zeros((h, w, 3))
+        for c in range(3):
+            for _ in range(4):
+                fy, fx = rng.uniform(0.5, 3, 2)
+                ph = rng.uniform(0, 2 * np.pi)
+                img[..., c] += rng.uniform(20, 60) * np.sin(
+                    2 * np.pi * (fy * yy / h + fx * xx / w) + ph
+                )
+        img = img - img.min()
+        arr = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+        if doc_id % 2 == 0:
+            payloads.append(encode_png(arr))
+        else:
+            payloads.append(encode_jpeg(arr, quality=75))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "payload": pa.array(payloads, pa.binary()),
+    })
