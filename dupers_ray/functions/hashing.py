@@ -41,6 +41,19 @@ def sha256_hex_many(items: Iterable[bytes]) -> list[str]:
     return [sha(b).hexdigest() for b in items]
 
 
+def sha256_u64_pairs(items: "Iterable[bytes]") -> tuple[np.ndarray, np.ndarray]:
+    """(first-8-bytes, second-8-bytes) of each SHA-256 as uint64 arrays
+    (big-endian) — one frombuffer instead of two per-row hex parses;
+    byte-identical to ``hex_prefix_u64`` + ``int(hex[16:32], 16)``."""
+    sha = hashlib.sha256
+    blob = b"".join(sha(b).digest()[:16] for b in items)
+    if not blob:
+        e = np.empty(0, np.uint64)
+        return e, e.copy()
+    arr = np.frombuffer(blob, ">u8").reshape(-1, 2).astype(np.uint64)
+    return np.ascontiguousarray(arr[:, 0]), np.ascontiguousarray(arr[:, 1])
+
+
 def hex_prefix_u64(hex_digests: Sequence[str]) -> np.ndarray:
     """First 8 bytes of each hex digest as uint64 (big-endian) — the shuffle
     key. Uniform because SHA-256 output is."""

