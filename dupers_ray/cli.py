@@ -43,6 +43,26 @@ def _ray_ready() -> None:
         )
 
 
+def windows_path_check(name: str) -> str | None:
+    """M13 input validation (reference WindowsChk, pkg/cmd/cmd.go:198-247):
+    a Windows drive-letter path whose cmd.exe quoting leaves a trailing
+    backslash (``"C:\\dir\\"`` — the quote escapes into the argument) or a
+    bare drive root ``C:\\`` is rejected before any dataset I/O. Returns
+    an error message, or None when the path is fine. Non-Windows-looking
+    paths always pass (the engine normally runs on posix paths/urls)."""
+    if len(name) < 2 or name[1] != ":" or not name[0].isalpha():
+        return None  # not a drive-letter path
+    if name[-1] == '"':
+        # cmd.exe turned a trailing \" into an escaped quote: `C:\dir"`
+        return (
+            "please remove the trailing backslash \\ from the quoted "
+            f"directory path {name!r}"
+        )
+    if len(name) == 3 and name[2] == "\\":
+        return f"bare drive root {name!r} is not a usable directory"
+    return None
+
+
 def _broadcast_limit() -> int:
     """Row-count ceiling for broadcasting an anti-join key set to every
     task; above it the CLI verbs switch to the hash-partitioned shuffle
@@ -438,6 +458,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     a = build_parser().parse_args(argv)
+    # M13: validate path-like args before any dataset I/O (reference
+    # WindowsChk runs on every task's directory args, task.go callers)
+    for attr in ("corpus", "index", "out", "store", "source"):
+        v = getattr(a, attr, None)
+        if isinstance(v, str):
+            msg = windows_path_check(v)
+            if msg:
+                print(f"error: {msg}", file=sys.stderr)
+                return 2
     _ray_ready()
     return a.fn(a)
 

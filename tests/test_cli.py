@@ -176,3 +176,21 @@ def test_up_clean_shuffle_path(env, tmp_path, monkeypatch):
 
     assert shuffled == broadcast
     assert [u for u, _ in shuffled] == ["http://a/1", "http://c/new"]
+
+
+def test_windows_path_check(tmp_path, capsys):
+    """M13 (reference WindowsChk, pkg/cmd/cmd.go:198-247): drive-letter
+    paths with a cmd.exe-escaped trailing quote or a bare drive root are
+    rejected before any I/O; posix paths and clean Windows paths pass."""
+    from dupers_ray.cli import windows_path_check
+
+    assert windows_path_check("/data/corpus.parquet") is None
+    assert windows_path_check("relative/path") is None
+    assert windows_path_check("C:\\data\\corpus") is None
+    assert windows_path_check("") is None
+    assert windows_path_check('C:\\data"') is not None  # escaped quote
+    assert windows_path_check("C:\\") is not None       # bare drive root
+
+    rc = main(["ls", "--index", 'C:\\broken"'])
+    assert rc == 2
+    assert "trailing backslash" in capsys.readouterr().err
