@@ -1241,6 +1241,25 @@ def _q_image_dup_clusters(sf_dir: str):
     )
 
 
+def _q_audio_dup_clusters(sf_dir: str):
+    """Audio counterpart of image_dup_clusters: each doc's text-prefix
+    sha256 seeds a 4-sine WAV clip rendered at DIFFERENT sample rates
+    and gains by id parity; the rate-invariant spectral fingerprint
+    (stages/audiohash.py — PCM decode, FFT peak constellation) must
+    cluster prefix groups exactly, stated by the same min-id oracle."""
+    from dupers_ray.stages.audiohash import audio_dup_clusters
+    from dupers_ray.synth import synth_doc_audio
+
+    media = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_doc_audio, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=128,
+    )
+    return audio_dup_clusters(
+        media, id_col="doc_id", payload_col="payload",
+        n_peaks=6, bin_hz=50.0,
+    )
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source duplicate overlap matrix over prefix-40 digests
     (pipelines/overlap.source_overlap) — which sources duplicate which,
@@ -2879,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_embeddings": _q_text_embeddings,
         "text_semantic_dedup": _q_text_semantic_dedup,
         "image_dup_clusters": _q_image_dup_clusters,
+        "audio_dup_clusters": _q_audio_dup_clusters,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3138,6 +3158,13 @@ def oracle_sql() -> dict[str, str]:
         # synthetic images seed from substr(text, 1, 40); perceptual
         # clusters must equal the exact prefix groups (min-id labeling)
         "image_dup_clusters": """
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (
+                       PARTITION BY substr(text, 1, 40)
+                   ) AS BIGINT) AS cluster_id
+            FROM documents
+        """,
+        "audio_dup_clusters": """
             SELECT doc_id,
                    CAST(min(doc_id) OVER (
                        PARTITION BY substr(text, 1, 40)

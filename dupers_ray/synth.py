@@ -264,3 +264,110 @@ def synth_doc_images(
         id_col: batch.column(id_col),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+def _photo_scene(key: bytes, scene: int, h: int, w: int) -> "np.ndarray":
+    """Low-frequency 'photo-like' RGB array deterministically derived
+    from (sha256 key, scene index) — evaluating a continuous sinusoid
+    mixture on ANY (h, w) grid, so two renderings of the same scene at
+    different resolutions depict the same image (pHash-invariant)."""
+    rng = np.random.default_rng(
+        np.frombuffer(key[:16], np.uint64) + np.uint64(scene)
+    )
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3))
+    for c in range(3):
+        for _ in range(4):
+            fy, fx = rng.uniform(0.5, 3, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            img[..., c] += rng.uniform(20, 60) * np.sin(
+                2 * np.pi * (fy * yy / h + fx * xx / w) + ph
+            )
+    img = img - img.min()
+    return (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+
+
+def synth_doc_videos(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 40,
+    n_scenes: int = 3,
+) -> "pa.Table":
+    """Deterministic synthetic DVID video per document (the video leg of
+    the multimodal triad): the text-prefix sha256 seeds ``n_scenes``
+    photo-like scene images; even ids render 6 PNG frames at 48x64 /
+    10 fps, odd ids 9 JPEG-q75 frames at 36x48 / 15 fps — same scene
+    SEQUENCE, different codec, frame count, fps and resolution. Docs
+    sharing a prefix must therefore cluster under the scene-sampled
+    pHash majority vote (stages/videohash.py), stated by the DuckDB
+    oracle as min(doc_id) per prefix group."""
+    import hashlib
+
+    from dupers_ray.functions.jpeg import encode_jpeg
+    from dupers_ray.functions.png import encode_png
+    from dupers_ray.stages.videohash import encode_video
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    payloads: list[bytes] = []
+    for doc_id, text in zip(ids, texts):
+        key = hashlib.sha256((text or "")[:prefix].encode()).digest()
+        if doc_id % 2 == 0:
+            n_frames, fps, (h, w), enc = 6, 10, (48, 64), encode_png
+        else:
+            n_frames, fps, (h, w) = 9, 15, (36, 48)
+            enc = lambda a: encode_jpeg(a, quality=75)  # noqa: E731
+        scene_png = [enc(_photo_scene(key, s, h, w)) for s in range(n_scenes)]
+        frames = [
+            scene_png[min(i * n_scenes // n_frames, n_scenes - 1)]
+            for i in range(n_frames)
+        ]
+        payloads.append(encode_video(frames, fps=fps))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+def synth_doc_audio(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 40,
+    duration_s: float = 0.5,
+) -> "pa.Table":
+    """Deterministic synthetic WAV clip per document (audio counterpart
+    of synth_doc_images): the text-prefix sha256 seeds 4 distinct sine
+    frequencies on a 100 Hz grid in [300, 3000] Hz; even ids render at
+    8 kHz, odd ids at 44.1 kHz with different amplitudes — same tonal
+    content, different bytes/rates/gains. Docs sharing a prefix must
+    therefore land in one cluster under the rate-invariant spectral
+    fingerprint (stages/audiohash.py), which a DuckDB oracle states as
+    min(doc_id) per prefix group. Output: (id, payload binary)."""
+    import hashlib
+
+    from dupers_ray.stages.audiohash import encode_wav_pcm16
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    payloads: list[bytes] = []
+    for doc_id, text in zip(ids, texts):
+        key = hashlib.sha256((text or "")[:prefix].encode()).digest()
+        rng = np.random.default_rng(np.frombuffer(key[:16], np.uint64))
+        # 6 peaks on a 50 Hz grid in [300, 3950]: C(74, 6) ~ 2e8 distinct
+        # constellations — birthday-safe for corpora of ~1e4 distinct
+        # prefixes (4 peaks x 100 Hz collided at sf0.01 already)
+        freqs = 50.0 * rng.choice(np.arange(6, 80), size=6, replace=False)
+        rate = 8000 if doc_id % 2 == 0 else 44100
+        amp = 0.2 if doc_id % 2 == 0 else 0.11
+        t = np.arange(int(rate * duration_s)) / rate
+        x = sum(amp * (1.0 - 0.1 * k) * np.sin(2 * np.pi * f * t)
+                for k, f in enumerate(freqs))
+        payloads.append(encode_wav_pcm16(x, rate))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "payload": pa.array(payloads, pa.binary()),
+    })
