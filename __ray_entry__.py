@@ -1260,6 +1260,22 @@ def _q_audio_dup_clusters(sf_dir: str):
     )
 
 
+def _q_video_dup_clusters(sf_dir: str):
+    """Video leg of the multimodal triad: each doc's text-prefix sha256
+    seeds a 3-scene DVID video rendered with DIFFERENT codecs, frame
+    counts, fps and resolutions by id parity (synth.synth_doc_videos);
+    the scene-sampled dHash majority vote (stages/videohash.py) must
+    cluster prefix groups exactly, stated by the same min-id oracle."""
+    from dupers_ray.stages.videohash import video_dup_clusters
+    from dupers_ray.synth import synth_doc_videos
+
+    media = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_doc_videos, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64,
+    )
+    return video_dup_clusters(media, id_col="doc_id", payload_col="payload")
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source duplicate overlap matrix over prefix-40 digests
     (pipelines/overlap.source_overlap) — which sources duplicate which,
@@ -2899,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_semantic_dedup": _q_text_semantic_dedup,
         "image_dup_clusters": _q_image_dup_clusters,
         "audio_dup_clusters": _q_audio_dup_clusters,
+        "video_dup_clusters": _q_video_dup_clusters,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3165,6 +3182,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "audio_dup_clusters": """
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (
+                       PARTITION BY substr(text, 1, 40)
+                   ) AS BIGINT) AS cluster_id
+            FROM documents
+        """,
+        "video_dup_clusters": """
             SELECT doc_id,
                    CAST(min(doc_id) OVER (
                        PARTITION BY substr(text, 1, 40)
