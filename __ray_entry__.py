@@ -1276,6 +1276,72 @@ def _q_video_dup_clusters(sf_dir: str):
     return video_dup_clusters(media, id_col="doc_id", payload_col="payload")
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (stages/dsir.py — integer-exact
+    adaptation of Xie et al. 2023): hashed-token bucket distributions
+    for the src0 target subset vs the whole corpus, Laplace-smoothed
+    fixed-point ppm coefficients, per-doc score = one bincount dot.
+    Full SQL oracle restates the identical md5-bucket/count/ppm chain."""
+    from dupers_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]),
+        target_value="src0",
+    )
+
+
+def _q_dsir_topk(sf_dir: str):
+    """Top-50 docs by DSIR weight (score DESC, doc_id ASC) — the
+    deterministic selection rule; per-batch partial top-k combiner,
+    no global sort."""
+    from dupers_ray.stages.dsir import dsir_topk, dsir_weights
+
+    w = dsir_weights(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]),
+        target_value="src0",
+    )
+    return dsir_topk(w, k=50)
+
+
+_DSIR_SQL_BODY = """
+    toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), bkt AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % 4096
+                    AS BIGINT) AS bucket
+        FROM toks
+    ), cnt AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_r,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t
+        FROM bkt GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(sum(n_r) + 4096 AS BIGINT) AS nr,
+               CAST(sum(n_t) + 4096 AS BIGINT) AS nt
+        FROM cnt
+    ), coef AS (
+        SELECT bucket,
+               ((n_t + 1) * 1000000) // nt
+               - ((n_r + 1) * 1000000) // nr AS a
+        FROM cnt, tot
+    ), sc AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c.a) AS BIGINT) AS score
+        FROM bkt b JOIN coef c USING (bucket) GROUP BY b.doc_id
+    ), dsir AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    )
+"""
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source duplicate overlap matrix over prefix-40 digests
     (pipelines/overlap.source_overlap) — which sources duplicate which,
@@ -2916,6 +2982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _q_image_dup_clusters,
         "audio_dup_clusters": _q_audio_dup_clusters,
         "video_dup_clusters": _q_video_dup_clusters,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_topk": _q_dsir_topk,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3194,6 +3262,15 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY substr(text, 1, 40)
                    ) AS BIGINT) AS cluster_id
             FROM documents
+        """,
+        "dsir_weights": f"""
+            WITH {_DSIR_SQL_BODY}
+            SELECT doc_id, n_tokens, score FROM dsir
+        """,
+        "dsir_topk": f"""
+            WITH {_DSIR_SQL_BODY}
+            SELECT doc_id, n_tokens, score FROM dsir
+            ORDER BY score DESC, doc_id LIMIT 50
         """,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
