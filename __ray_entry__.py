@@ -1303,6 +1303,82 @@ def _q_dsir_topk(sf_dir: str):
     return dsir_topk(w, k=50)
 
 
+def _q_link_edges(sf_dir: str):
+    """Host-level link graph extracted from synthetic html pages with
+    ARITHMETICALLY planted outlinks (synth.synth_doc_html: doc i →
+    host{(i*31+7j+1) % N} for j < 1 + i%3, plus relative/ftp decoys the
+    extractor must drop). The vectorized Arrow split/extract_regex
+    chain (stages/linkgraph.extract_links) must recover exactly the
+    planted arithmetic, which the DuckDB oracle states directly."""
+    from dupers_ray.stages.linkgraph import extract_links
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return extract_links(pages)
+
+
+def _q_pagerank_hosts(sf_dir: str):
+    """Integer fixed-point PageRank (2 power iterations, damping 85/100,
+    rank in ppm) over the extracted host graph — stages/linkgraph.
+    pagerank streams per-edge contributions through one groupby-sum per
+    iteration with the rank vector broadcast. The oracle restates the
+    identical integer recurrence in two chained CTEs."""
+    from dupers_ray.stages.linkgraph import extract_links, pagerank
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    links = extract_links(pages).select_columns(["src_host", "dst_host"])
+    return pagerank(links, iters=2)
+
+
+_LINK_EDGES_SQL = """
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    j AS (SELECT unnest(range(3)) AS j)
+    SELECT d.doc_id,
+           'host' || CAST(d.doc_id AS VARCHAR) || '.example' AS src_host,
+           'host' || CAST((d.doc_id * 31 + 7 * j.j + 1) % n.cnt AS VARCHAR)
+               || '.example' AS dst_host
+    FROM documents d, j, n
+    WHERE j.j < 1 + d.doc_id % 3
+"""
+
+_PAGERANK_SQL = """
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    edges AS (
+        SELECT 'host' || CAST(d.doc_id AS VARCHAR) || '.example' AS src,
+               'host' || CAST((d.doc_id * 31 + 7 * j.j + 1) % n.cnt
+                   AS VARCHAR) || '.example' AS dst
+        FROM documents d, (SELECT unnest(range(3)) AS j) j, n
+        WHERE j.j < 1 + d.doc_id % 3
+    ),
+    hosts AS (SELECT DISTINCT src AS host FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    c1 AS (SELECT e.dst AS host,
+                  sum((85 * 1000000) // (100 * o.deg)) AS s
+           FROM edges e JOIN outdeg o USING (src) GROUP BY e.dst),
+    r1 AS (SELECT h.host, 150000 + COALESCE(c1.s, 0) AS pr
+           FROM hosts h LEFT JOIN c1 USING (host)),
+    c2 AS (SELECT e.dst AS host,
+                  sum((85 * r1.pr) // (100 * o.deg)) AS s
+           FROM edges e JOIN outdeg o USING (src)
+           JOIN r1 ON r1.host = e.src GROUP BY e.dst),
+    r2 AS (SELECT h.host, 150000 + COALESCE(c2.s, 0) AS pr
+           FROM hosts h LEFT JOIN c2 USING (host))
+    SELECT host, CAST(pr AS BIGINT) AS pr_ppm FROM r2
+"""
+
+
 _DSIR_SQL_BODY = """
     toks AS (
         SELECT doc_id, source,
@@ -2984,6 +3060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_clusters": _q_video_dup_clusters,
         "dsir_weights": _q_dsir_weights,
         "dsir_topk": _q_dsir_topk,
+        "link_edges": _q_link_edges,
+        "pagerank_hosts": _q_pagerank_hosts,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3272,6 +3350,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, score FROM dsir
             ORDER BY score DESC, doc_id LIMIT 50
         """,
+        "link_edges": _LINK_EDGES_SQL,
+        "pagerank_hosts": _PAGERANK_SQL,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """

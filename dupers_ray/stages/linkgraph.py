@@ -1,0 +1,182 @@
+"""Web link-graph extraction + integer fixed-point PageRank.
+
+The link-analysis leg a web-corpus engine needs next to dedup: pull
+``<a href>`` targets out of the raw ``html`` column, roll them up to a
+host-level edge list, and rank hosts with a fixed number of power
+iterations (Page et al. 1999). Everything is integer fixed-point
+(rank in parts-per-million, damping 85/100, floor division) so the
+driver oracle hash-compares exactly — the gopher_rules / dsir idiom.
+
+Scale shape:
+- ``extract_links`` is ONE stateless vectorized pass: Arrow
+  ``split_pattern`` on ``href="`` fans each page out to its link
+  pieces (offsets arithmetic, no Python per row), a second
+  ``split_pattern(max_splits=1)`` + ``list_element`` closes the quote,
+  and ``extract_regex`` keeps the https host. Malformed/relative
+  hrefs drop out as nulls — counted, not crashed.
+- Host edges pre-aggregate inside the batch (src, dst, weight) before
+  any shuffle, so boilerplate nav-bars collapse early.
+- ``pagerank`` keeps the rank vector as a broadcast object (one
+  ``ray.put`` per iteration, read once per task — the standard
+  "rank vector fits in aggregate memory" regime: ~10^8 hosts x 16 B;
+  per-edge contributions stream through ONE groupby-sum per
+  iteration, never materializing the edge list on the driver). For a
+  rank vector beyond memory, swap the broadcast for the cogroup join
+  in pipelines/joins.py — the contribution/groupby shape is unchanged.
+
+Reference analogue: none (dupers has no link surface) — engine-new,
+like the quality/dedup-cascade stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+PPM = 1_000_000
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+
+
+def extract_links(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    host_col: str = "src_host",
+) -> "ray.data.Dataset":
+    """(id, src_host, dst_host) — one row per https link; the page's own
+    host comes from its first self-identifying column (``host_col`` if
+    present in the input) or is derived by the caller. Pages with no
+    links contribute no rows here (pagerank adds the base mass to every
+    node, linked-to or not)."""
+    import pyarrow.compute as pc
+
+    def links(t: pa.Table) -> pa.Table:
+        html = t.column(html_col)
+        if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+            html = pc.cast(html, pa.string())
+        pieces = pc.split_pattern(html.combine_chunks(), 'href="')
+        flat = pc.list_flatten(pieces)
+        parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+        # piece 0 of each list is pre-href prose; mask it via offsets
+        nlinks = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+        starts = np.repeat(np.cumsum(nlinks) - nlinks, nlinks)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        keep = pos > 0
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        # close the quote, keep the https host
+        url = pc.list_element(
+            pc.split_pattern(flat, '"', max_splits=1), 0
+        )
+        host = pc.struct_field(
+            pc.extract_regex(url, r'^https://(?P<host>[^/"]+)'), "host"
+        )
+        ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
+        idx = pa.array(parent[ok])
+        return pa.table({
+            id_col: t.column(id_col).take(idx),
+            "src_host": t.column(host_col).take(idx),
+            "dst_host": host.filter(pa.array(ok)),
+        })
+
+    return ds.map_batches(links, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    *,
+    iters: int = 2,
+    base: int = PPM,
+    broadcast_limit: int = 50_000_000,
+) -> pa.Table:
+    """(host, pr_ppm) after ``iters`` integer power iterations over the
+    (src_host, dst_host) edge dataset. Fixed-point contract (the SQL
+    oracle restates it verbatim):
+
+        r0[v]   = 1_000_000
+        r_k+1[v] = 150_000 + sum over edges (u, v) of
+                   (85 * r_k[u]) // (100 * outdeg[u])
+
+    Nodes = union of src and dst hosts; every node keeps the 150_000
+    base even with no in-links. Rank vector + outdeg are broadcast
+    (asserted under ``broadcast_limit`` entries); contributions stream
+    through one groupby-sum per iteration."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()  # consumed iters+2 times
+
+    def uniq_hosts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(
+            pa.chunked_array([
+                t.column("src_host").combine_chunks(),
+                t.column("dst_host").combine_chunks(),
+            ])
+        )
+        return pa.table({"host": u})
+
+    hosts_rows = (
+        edges.map_batches(uniq_hosts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("host").count().take_all()
+    )
+    hosts = np.sort(np.array([r["host"] for r in hosts_rows]))
+    n_hosts = len(hosts)
+    if n_hosts > broadcast_limit:
+        raise ValueError(
+            f"pagerank rank vector ({n_hosts} hosts) exceeds "
+            f"broadcast_limit; use the cogroup-join variant"
+        )
+
+    deg_rows = (
+        edges.groupby("src_host").count().take_all()
+    )
+    outdeg = np.ones(n_hosts, np.int64)  # nodes w/o out-links never contribute
+    if deg_rows:
+        dsrc = np.array([r["src_host"] for r in deg_rows])
+        dcnt = np.array([r["count()"] for r in deg_rows], np.int64)
+        outdeg[np.searchsorted(hosts, dsrc)] = dcnt
+
+    hosts_ref = ray.put(hosts)
+    deg_ref = ray.put(outdeg)
+    r = np.full(n_hosts, base, np.int64)
+
+    for _ in range(iters):
+        r_ref = ray.put(r)
+
+        def contribs(t: pa.Table) -> pa.Table:
+            h = ray.get(hosts_ref)
+            d = ray.get(deg_ref)
+            rv = ray.get(r_ref)
+            src = np.asarray(t.column("src_host"))
+            dst = t.column("dst_host")
+            si = np.searchsorted(h, src)
+            c = (DAMPING_NUM * rv[si]) // (DAMPING_DEN * d[si])
+            return pa.table({
+                "dst_host": dst,
+                "contrib": pa.array(c.astype(np.int64)),
+            })
+
+        agg = (
+            edges.map_batches(contribs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("dst_host")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .take_all()
+        )
+        r = np.full(n_hosts, (DAMPING_DEN - DAMPING_NUM) * base // DAMPING_DEN,
+                    np.int64)
+        if agg:
+            ai = np.searchsorted(hosts, np.array([x["dst_host"] for x in agg]))
+            r[ai] += np.array([x["contrib"] for x in agg], np.int64)
+
+    return pa.table({
+        "host": pa.array(hosts),
+        "pr_ppm": pa.array(r),
+    })

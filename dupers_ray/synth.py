@@ -266,6 +266,44 @@ def synth_doc_images(
     })
 
 
+def synth_doc_html(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int = 500,
+) -> "pa.Table":
+    """Deterministic synthetic html page per document, with
+    ARITHMETICALLY planted outlinks so a DuckDB oracle can restate the
+    extracted link graph without parsing html: doc i lives on
+    ``host{i}.example`` and links to ``host{(i*31 + 7*j + 1) % n_docs}
+    .example`` for j in range(1 + i % 3). The page also carries decoy
+    relative/ftp hrefs that a correct extractor must DROP. Output:
+    (id, src_host, html binary)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    hosts: list[str] = []
+    pages: list[bytes] = []
+    for i, text in zip(ids.tolist(), texts):
+        links = "".join(
+            f'<a href="https://host{(i * 31 + 7 * j + 1) % n_docs}.example'
+            f'/p/{i}-{j}">l{j}</a>'
+            for j in range(1 + i % 3)
+        )
+        body = (
+            f'<html><head><a href="/relative/nav">skip</a></head><body>'
+            f'<p>{(text or "")[:80]}</p>{links}'
+            f'<a href="ftp://legacy.example/f">old</a></body></html>'
+        )
+        hosts.append(f"host{i}.example")
+        pages.append(body.encode())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "src_host": pa.array(hosts, pa.string()),
+        "html": pa.array(pages, pa.binary()),
+    })
+
+
 def _photo_scene(key: bytes, scene: int, h: int, w: int) -> "np.ndarray":
     """Low-frequency 'photo-like' RGB array deterministically derived
     from (sha256 key, scene index) — evaluating a continuous sinusoid
