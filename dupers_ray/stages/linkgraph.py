@@ -41,6 +41,58 @@ DAMPING_NUM = 85
 DAMPING_DEN = 100
 
 
+def links_batch(
+    t: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    host_col: str = "src_host",
+) -> pa.Table:
+    """The per-batch kernel of :func:`extract_links` (module-level so
+    the fuzz tests can drive it without a Ray dataset). Total on ANY
+    input bytes: non-UTF-8 html decodes lossily (U+FFFD), malformed
+    hrefs drop to zero rows."""
+    import pyarrow.compute as pc
+
+    html = t.column(html_col)
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        try:
+            html = pc.cast(html, pa.string())
+        except pa.ArrowInvalid:
+            # rare path: garbage bytes in a crawl — decode lossily
+            html = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in html.to_pylist()],
+                pa.string(),
+            )
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    pieces = pc.split_pattern(html, 'href="')
+    flat = pc.list_flatten(pieces)
+    parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    # piece 0 of each list is pre-href prose; mask it via offsets
+    nlinks = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+    starts = np.repeat(np.cumsum(nlinks) - nlinks, nlinks)
+    pos = np.arange(len(flat), dtype=np.int64) - starts
+    keep = pos > 0
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    # close the quote, keep the https host
+    url = pc.list_element(
+        pc.split_pattern(flat, '"', max_splits=1), 0
+    )
+    host = pc.struct_field(
+        pc.extract_regex(url, r'^https://(?P<host>[^/"]+)'), "host"
+    )
+    ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
+    idx = pa.array(parent[ok])
+    return pa.table({
+        id_col: t.column(id_col).take(idx),
+        "src_host": t.column(host_col).take(idx),
+        "dst_host": host.filter(pa.array(ok)),
+    })
+
+
 def extract_links(
     ds: "ray.data.Dataset",
     *,
@@ -49,42 +101,19 @@ def extract_links(
     host_col: str = "src_host",
 ) -> "ray.data.Dataset":
     """(id, src_host, dst_host) — one row per https link; the page's own
-    host comes from its first self-identifying column (``host_col`` if
-    present in the input) or is derived by the caller. Pages with no
+    host comes from its self-identifying ``host_col``. Pages with no
     links contribute no rows here (pagerank adds the base mass to every
-    node, linked-to or not)."""
-    import pyarrow.compute as pc
+    node, linked-to or not). ONE stateless vectorized pass
+    (:func:`links_batch`)."""
+    import functools
 
-    def links(t: pa.Table) -> pa.Table:
-        html = t.column(html_col)
-        if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-            html = pc.cast(html, pa.string())
-        pieces = pc.split_pattern(html.combine_chunks(), 'href="')
-        flat = pc.list_flatten(pieces)
-        parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
-        # piece 0 of each list is pre-href prose; mask it via offsets
-        nlinks = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
-        starts = np.repeat(np.cumsum(nlinks) - nlinks, nlinks)
-        pos = np.arange(len(flat), dtype=np.int64) - starts
-        keep = pos > 0
-        flat = flat.filter(pa.array(keep))
-        parent = parent[keep]
-        # close the quote, keep the https host
-        url = pc.list_element(
-            pc.split_pattern(flat, '"', max_splits=1), 0
-        )
-        host = pc.struct_field(
-            pc.extract_regex(url, r'^https://(?P<host>[^/"]+)'), "host"
-        )
-        ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
-        idx = pa.array(parent[ok])
-        return pa.table({
-            id_col: t.column(id_col).take(idx),
-            "src_host": t.column(host_col).take(idx),
-            "dst_host": host.filter(pa.array(ok)),
-        })
-
-    return ds.map_batches(links, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        functools.partial(
+            links_batch, id_col=id_col, html_col=html_col, host_col=host_col
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def pagerank(

@@ -100,3 +100,35 @@ def test_pagerank_sink_and_source():
         "b": 150_000 + (85 * PPM) // 100,
         "c": 150_000,
     }
+
+
+# ------------------------------------------------------- fuzz robustness
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_links_batch_total_on_garbage(blob):
+    """The extraction kernel never raises on arbitrary html bytes
+    (non-UTF-8 decodes lossily; malformed hrefs drop to zero rows) —
+    drives links_batch directly, no Ray dataset per example."""
+    from dupers_ray.stages.linkgraph import links_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "src_host": pa.array(["f.example", "g.example"]),
+        "html": pa.array(
+            [blob, blob + b'<a href="https://ok.example/x">y</a>'],
+            pa.binary(),
+        ),
+    })
+    got = links_batch(t)
+    hosts = got.column("dst_host").to_pylist()
+    assert all(h for h in hosts)
+    # the well-formed trailing link must survive whatever precedes it,
+    # unless the garbage opens an unterminated href=" quote that
+    # swallows it or splits it (both correct parses of broken html)
+    if b'href="' not in blob and b'"' not in blob:
+        assert "ok.example" in hosts
