@@ -1341,6 +1341,52 @@ def _q_pagerank_hosts(sf_dir: str):
     return pagerank(links, iters=2)
 
 
+def _q_hits_hosts(sf_dir: str):
+    """Integer HITS (one max-normalized round) over the extracted host
+    graph — stages/linkgraph.hits: auth from one indeg groupby, hub from
+    one broadcast-lookup contribution groupby; fixed-point ppm values
+    bounded at any corpus size by the max-normalization."""
+    from dupers_ray.stages.linkgraph import extract_links, hits
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return hits(extract_links(pages).select_columns(["src_host", "dst_host"]))
+
+
+_HITS_SQL = """
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    edges AS (
+        SELECT 'host' || CAST(d.doc_id AS VARCHAR) || '.example' AS src,
+               'host' || CAST((d.doc_id * 31 + 7 * j.j + 1) % n.cnt
+                   AS VARCHAR) || '.example' AS dst
+        FROM documents d, (SELECT unnest(range(3)) AS j) j, n
+        WHERE j.j < 1 + d.doc_id % 3
+    ),
+    hosts AS (SELECT DISTINCT src AS host FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    a1 AS (SELECT dst AS host, count(*) * 1000000 AS a FROM edges GROUP BY dst),
+    auth AS (SELECT h.host,
+                    (COALESCE(a1.a, 0) * 1000000)
+                        // GREATEST((SELECT max(a) FROM a1), 1) AS auth_ppm
+             FROM hosts h LEFT JOIN a1 USING (host)),
+    h1 AS (SELECT e.src AS host, sum(auth.auth_ppm) AS hb
+           FROM edges e JOIN auth ON auth.host = e.dst GROUP BY e.src),
+    hub AS (SELECT h.host,
+                   (COALESCE(h1.hb, 0) * 1000000)
+                       // GREATEST((SELECT max(hb) FROM h1), 1) AS hub_ppm
+            FROM hosts h LEFT JOIN h1 USING (host))
+    SELECT hosts.host,
+           CAST(auth.auth_ppm AS BIGINT) AS auth_ppm,
+           CAST(hub.hub_ppm AS BIGINT) AS hub_ppm
+    FROM hosts JOIN auth USING (host) JOIN hub USING (host)
+"""
+
+
 _LINK_EDGES_SQL = """
     WITH n AS (SELECT count(*) AS cnt FROM documents),
     j AS (SELECT unnest(range(3)) AS j)
@@ -3062,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_topk": _q_dsir_topk,
         "link_edges": _q_link_edges,
         "pagerank_hosts": _q_pagerank_hosts,
+        "hits_hosts": _q_hits_hosts,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3352,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_edges": _LINK_EDGES_SQL,
         "pagerank_hosts": _PAGERANK_SQL,
+        "hits_hosts": _HITS_SQL,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """

@@ -209,3 +209,89 @@ def pagerank(
         "host": pa.array(hosts),
         "pr_ppm": pa.array(r),
     })
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    *,
+    base: int = PPM,
+    broadcast_limit: int = 50_000_000,
+) -> pa.Table:
+    """(host, auth_ppm, hub_ppm) — one integer HITS round (Kleinberg
+    1999) with fixed-point max-normalization so values stay bounded at
+    any corpus size. Contract (the SQL oracle restates it verbatim):
+
+        h0[u]       = 1_000_000
+        a1[v]       = sum over edges (u, v) of h0[u]
+        auth_ppm[v] = (a1[v] * 1_000_000) // max(a1)
+        h1[u]       = sum over edges (u, v) of auth_ppm[v]
+        hub_ppm[u]  = (h1[u] * 1_000_000) // max(h1)
+
+    Hosts receiving/sending no links score 0 on that side. Same
+    distributed shape as :func:`pagerank`: contributions stream through
+    one groupby-sum per half-step, the score vector broadcasts."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()  # consumed 3 times
+
+    def uniq_hosts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = pc.unique(
+            pa.chunked_array([
+                t.column("src_host").combine_chunks(),
+                t.column("dst_host").combine_chunks(),
+            ])
+        )
+        return pa.table({"host": u})
+
+    hosts_rows = (
+        edges.map_batches(uniq_hosts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("host").count().take_all()
+    )
+    hosts = np.sort(np.array([r["host"] for r in hosts_rows]))
+    n_hosts = len(hosts)
+    if n_hosts > broadcast_limit:
+        raise ValueError(
+            f"hits score vector ({n_hosts} hosts) exceeds broadcast_limit"
+        )
+
+    # a1[v] = indeg(v) * base (h0 is uniform): one groupby count
+    indeg_rows = edges.groupby("dst_host").count().take_all()
+    a1 = np.zeros(n_hosts, np.int64)
+    if indeg_rows:
+        di = np.searchsorted(hosts, np.array([r["dst_host"] for r in indeg_rows]))
+        a1[di] = np.array([r["count()"] for r in indeg_rows], np.int64) * base
+    auth = (a1 * PPM) // max(int(a1.max()), 1)
+
+    hosts_ref = ray.put(hosts)
+    auth_ref = ray.put(auth)
+
+    def hub_contribs(t: pa.Table) -> pa.Table:
+        h = ray.get(hosts_ref)
+        a = ray.get(auth_ref)
+        dst = np.asarray(t.column("dst_host"))
+        return pa.table({
+            "src_host": t.column("src_host"),
+            "contrib": pa.array(a[np.searchsorted(h, dst)].astype(np.int64)),
+        })
+
+    agg = (
+        edges.map_batches(hub_contribs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("src_host")
+        .aggregate(Sum("contrib", alias_name="contrib"))
+        .take_all()
+    )
+    h1 = np.zeros(n_hosts, np.int64)
+    if agg:
+        si = np.searchsorted(hosts, np.array([x["src_host"] for x in agg]))
+        h1[si] = np.array([x["contrib"] for x in agg], np.int64)
+    hub = (h1 * PPM) // max(int(h1.max()), 1)
+
+    return pa.table({
+        "host": pa.array(hosts),
+        "auth_ppm": pa.array(auth),
+        "hub_ppm": pa.array(hub),
+    })

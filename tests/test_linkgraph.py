@@ -132,3 +132,27 @@ def test_links_batch_total_on_garbage(blob):
     # swallows it or splits it (both correct parses of broken html)
     if b'href="' not in blob and b'"' not in blob:
         assert "ok.example" in hosts
+
+
+def test_hits_matches_python_reference():
+    from dupers_ray.stages.linkgraph import hits
+
+    n = 12
+    links = extract_links(rd.from_arrow(_pages(n)).repartition(3))
+    got = hits(links.select_columns(["src_host", "dst_host"]))
+    edges = [(f"host{i}.example", f"host{(i * 31 + 7 * j + 1) % n}.example")
+             for i in range(n) for j in range(1 + i % 3)]
+    hosts = sorted({h for e in edges for h in e})
+    a1 = {h: 0 for h in hosts}
+    for _, d in edges:
+        a1[d] += PPM
+    mx = max(a1.values()) or 1
+    auth = {h: (v * PPM) // mx for h, v in a1.items()}
+    h1 = {h: 0 for h in hosts}
+    for s, d in edges:
+        h1[s] += auth[d]
+    mh = max(h1.values()) or 1
+    hub = {h: (v * PPM) // mh for h, v in h1.items()}
+    gm = {r["host"]: (r["auth_ppm"], r["hub_ppm"]) for r in got.to_pylist()}
+    assert gm == {h: (auth[h], hub[h]) for h in hosts}
+    assert max(v[0] for v in gm.values()) == PPM  # normalization pins max
