@@ -94,6 +94,25 @@ def run_bench() -> dict:
 
     n_docs = timed("dupe_pages", headline)
 
+    # flagship-only mode: --scaling sets this so each subprocess measures
+    # ONLY the headline pipeline (the scaling metric) instead of paying
+    # ~20 min of secondary queries per 2-CPU run
+    if os.environ.get("GRAFT_BENCH_ONLY") == "headline":
+        headline_sec = queries["dupe_pages"]
+        result = {
+            "metric": "dupe_pipeline_pages_sec",
+            "value": headline_sec,
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_docs": BENCH_DOCS,
+            "docs_assigned": n_docs,
+            "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec else None,
+        }
+        ray.shutdown()
+        return result
+
     # secondary pipelines over the driver tables
     doc_path = os.path.join(SF_DIR, "documents.parquet")
     timed("exact_canonical_docs", lambda: exact_canonical(
@@ -203,6 +222,40 @@ def run_bench() -> dict:
     timed("corpus_freq_pages", lambda: doc_freq_stats(
         rd.read_parquet(pages_path, columns=["url", "text"]),
         id_col="url", strategy="broadcast").count())
+
+    # round-3 ops at bench scale: DSIR selection (two token scans + one
+    # <=4096-key groupby) and link-graph PageRank (synthesized hrefs →
+    # vectorized extraction → 2 integer power iterations over ~1.8M edges)
+    def dsir_pages():
+        from dupers_ray.stages.dsir import dsir_weights
+
+        return dsir_weights(
+            rd.read_parquet(pages_path, columns=["url", "text", "lang"]),
+            id_col="url", target_col="lang", target_value="en",
+        ).count()
+
+    timed("dsir_weights_pages", dsir_pages)
+
+    def pagerank_pages():
+        import numpy as np
+        import pyarrow as pa_
+
+        from dupers_ray.functions.hashing import node_ids
+        from dupers_ray.stages.linkgraph import extract_links, pagerank
+        from dupers_ray.synth import synth_doc_html
+
+        def to_pages(t: "pa_.Table") -> "pa_.Table":
+            urls = [str(u) for u in t.column("url").to_pylist()]
+            ids = node_ids(urls).view(np.int64)
+            t2 = pa_.table({"doc_id": pa_.array(ids), "text": t.column("text")})
+            return synth_doc_html(t2, n_docs=BENCH_DOCS)
+
+        pages = rd.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            to_pages, batch_format="pyarrow", zero_copy_batch=True)
+        links = extract_links(pages).select_columns(["src_host", "dst_host"])
+        return len(pagerank(links, iters=2))
+
+    timed("pagerank_pages", pagerank_pages)
     timed("funnel_events", lambda: funnel_counts(
         rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))).count())
     timed("semantic_dedup_embeddings", lambda: semantic_dedup(
@@ -227,7 +280,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="headline")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
