@@ -1243,10 +1243,11 @@ def _q_image_dup_clusters(sf_dir: str):
 
 def _q_audio_dup_clusters(sf_dir: str):
     """Audio counterpart of image_dup_clusters: each doc's text-prefix
-    sha256 seeds a 4-sine WAV clip rendered at DIFFERENT sample rates
-    and gains by id parity; the rate-invariant spectral fingerprint
-    (stages/audiohash.py — PCM decode, FFT peak constellation) must
-    cluster prefix groups exactly, stated by the same min-id oracle."""
+    sha256 seeds a 6-sine WAV clip (50 Hz grid) rendered at DIFFERENT
+    sample rates and gains by id parity; the rate-invariant spectral
+    fingerprint (stages/audiohash.py — PCM decode, FFT peak
+    constellation) must cluster prefix groups exactly, stated by the
+    same min-id oracle."""
     from dupers_ray.stages.audiohash import audio_dup_clusters
     from dupers_ray.synth import synth_doc_audio
 

@@ -260,6 +260,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while i < len(data):
             if data[i] != 0xFF:
                 raise BadJpeg(f"expected marker at {i}")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+            # marker code — skip them instead of misreading 0xFF as a
+            # marker and a garbage segment length after it
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
             i += 2
             if marker == 0xD9:  # EOI

@@ -101,11 +101,16 @@ class AudioHasher:
         for i, p in enumerate(payloads):
             try:
                 x, rate = self._decode(p or b"")
-                fp[i] = np.uint64(
-                    spectral_fingerprint(
-                        x, rate, n_peaks=self.n_peaks, bin_hz=self.bin_hz
-                    )
-                ).astype(np.int64)
+                f = spectral_fingerprint(
+                    x, rate, n_peaks=self.n_peaks, bin_hz=self.bin_hz
+                )
+                if f == 0:
+                    # short/silent/out-of-band clips share the 0 sentinel;
+                    # flag them so clustering never merges unrelated
+                    # silence into one giant false-dup group (imagehash
+                    # applies the same rule to its zero hashes)
+                    err[i] = "no_spectral_content"
+                fp[i] = np.uint64(f).astype(np.int64)
                 sr[i], ns[i] = rate, len(x)
             except Exception as ex:  # noqa: BLE001 — corrupt rows flow on
                 err[i] = f"{type(ex).__name__}: {ex}"
@@ -177,31 +182,20 @@ def audio_dup_clusters(
         out = df.groupby("fingerprint", sort=False)[id_col].min().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    mins = (
+    # one row per DISTINCT fingerprint (bounded by content diversity, not
+    # corpus size) — take_all is empty-safe where an arrow-refs concat of
+    # a schema-less empty aggregate is not
+    agg_col = f"min({id_col})"
+    rows = (
         ok.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fingerprint")
         .min(id_col)
+        .take_all()
     )
-    # rename aggregate column to a stable name
-    agg_col = f"min({id_col})"
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "fingerprint": t.column("fingerprint"),
-            "cluster_id": t.column(agg_col),
-        })
-
-    fp_to_cluster = mins.map_batches(finish, batch_format="pyarrow")
-
-    # broadcast the (fingerprint -> cluster) map: one row per DISTINCT
-    # fingerprint (bounded by content diversity, not corpus size)
     import ray
 
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in fp_to_cluster.to_arrow_refs()]
-    )
-    fps = np.asarray(tbl.column("fingerprint"), dtype=np.int64)
-    cls = np.asarray(tbl.column("cluster_id"), dtype=np.int64)
+    fps = np.array([r["fingerprint"] for r in rows], np.int64)
+    cls = np.array([r[agg_col] for r in rows], np.int64)
     order = np.argsort(fps)
     ref = ray.put((fps[order], cls[order]))
 

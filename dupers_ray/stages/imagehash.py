@@ -51,8 +51,13 @@ def resize_area(gray: np.ndarray, oh: int, ow: int) -> np.ndarray:
     xs = (np.arange(ow, dtype=np.int64) * w) // ow
     rows = np.add.reduceat(gray.astype(np.float64), ys, axis=0)
     both = np.add.reduceat(rows, xs, axis=1)
-    ycnt = np.diff(np.append(ys, h)).astype(np.float64)
-    xcnt = np.diff(np.append(xs, w)).astype(np.float64)
+    # upsampling axis (source smaller than target): bin edges repeat,
+    # reduceat returns the single source element for the repeated bin and
+    # np.diff gives a 0 count — clamp to 1 for exact nearest-neighbor
+    # behavior instead of a divide-by-zero that collapses every small
+    # image to one degenerate hash
+    ycnt = np.maximum(np.diff(np.append(ys, h)), 1).astype(np.float64)
+    xcnt = np.maximum(np.diff(np.append(xs, w)), 1).astype(np.float64)
     return both / (ycnt[:, None] * xcnt[None, :])
 
 

@@ -72,6 +72,10 @@ def links_batch(
             )
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
+    # null pages contribute zero links, not a task crash: split_pattern
+    # propagates nulls and list_value_length(null) poisons the offsets
+    # arithmetic below with NaN
+    html = pc.fill_null(html, "")
     pieces = pc.split_pattern(html, 'href="')
     flat = pc.list_flatten(pieces)
     parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
@@ -164,12 +168,21 @@ def _sum_by_host(
     def partial(t: pa.Table) -> pa.Table:
         h = ray.get(hosts_ref)
         ids, vals = make_pairs(t, h)
-        acc = np.bincount(ids, weights=vals.astype(np.float64),
-                          minlength=0)  # exact: |vals| < 2^53 per batch
+        if len(ids) == 0:
+            return pa.table({
+                "hid": pa.array([], pa.int64()),
+                "val": pa.array([], pa.int64()),
+            })
+        # int64 scatter-add (np.add.at), NOT a float-weighted bincount:
+        # per-host contribution sums can exceed 2^53 at the 10^8-host
+        # regime, where float64 accumulation would silently round and
+        # break the integer-exact oracle contract
+        acc = np.zeros(int(ids.max()) + 1, np.int64)
+        np.add.at(acc, ids, vals.astype(np.int64))
         nz = np.nonzero(acc)[0]
         return pa.table({
             "hid": pa.array(nz.astype(np.int64)),
-            "val": pa.array(acc[nz].astype(np.int64)),
+            "val": pa.array(acc[nz]),
         })
 
     out = np.zeros(n_hosts, np.int64)
@@ -178,6 +191,17 @@ def _sum_by_host(
     ).take_all():
         out[row["hid"]] += row["val"]
     return out
+
+
+def _scale_ppm(v: np.ndarray) -> np.ndarray:
+    """Exact elementwise ``(v * PPM) // max(v)`` without int64 overflow:
+    the fast vectorized product is used only when ``max(v) * PPM`` fits
+    int64; beyond that (hosts with >9.2M in-links) the same floor
+    division runs in exact Python ints."""
+    mx = max(int(v.max()) if len(v) else 0, 1)
+    if mx <= (2**63 - 1) // PPM:
+        return (v * PPM) // mx
+    return np.array([(int(x) * PPM) // mx for x in v.tolist()], np.int64)
 
 
 def pagerank(
@@ -270,7 +294,7 @@ def hits(
             np.full(len(t), base, np.int64),
         ),
     )
-    auth = (a1 * PPM) // max(int(a1.max()), 1)
+    auth = _scale_ppm(a1)
     auth_ref = ray.put(auth)
 
     def hub_pairs(t: pa.Table, h: np.ndarray):
@@ -280,7 +304,7 @@ def hits(
         return si, a[di]
 
     h1 = _sum_by_host(edges, hosts_ref, n_hosts, hub_pairs)
-    hub = (h1 * PPM) // max(int(h1.max()), 1)
+    hub = _scale_ppm(h1)
 
     return pa.table({
         "host": pa.array(hosts),

@@ -241,21 +241,11 @@ def synth_doc_images(
     h, w = size
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     payloads: list[bytes] = []
     for doc_id, text in zip(ids, texts):
         key = hashlib.sha256((text or "")[:prefix].encode()).digest()
-        rng = np.random.default_rng(np.frombuffer(key[:16], np.uint64))
-        img = np.zeros((h, w, 3))
-        for c in range(3):
-            for _ in range(4):
-                fy, fx = rng.uniform(0.5, 3, 2)
-                ph = rng.uniform(0, 2 * np.pi)
-                img[..., c] += rng.uniform(20, 60) * np.sin(
-                    2 * np.pi * (fy * yy / h + fx * xx / w) + ph
-                )
-        img = img - img.min()
-        arr = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+        # scene 0 of the shared generator (seeding identical: +0)
+        arr = _photo_scene(key, 0, h, w)
         if doc_id % 2 == 0:
             payloads.append(encode_png(arr))
         else:
@@ -378,8 +368,8 @@ def synth_doc_audio(
     duration_s: float = 0.5,
 ) -> "pa.Table":
     """Deterministic synthetic WAV clip per document (audio counterpart
-    of synth_doc_images): the text-prefix sha256 seeds 4 distinct sine
-    frequencies on a 100 Hz grid in [300, 3000] Hz; even ids render at
+    of synth_doc_images): the text-prefix sha256 seeds 6 distinct sine
+    frequencies on a 50 Hz grid in [300, 3950] Hz; even ids render at
     8 kHz, odd ids at 44.1 kHz with different amplitudes — same tonal
     content, different bytes/rates/gains. Docs sharing a prefix must
     therefore land in one cluster under the rate-invariant spectral

@@ -78,3 +78,32 @@ def test_audio_dup_clusters_end_to_end():
     assert len(got) == 3  # corrupt row excluded
     assert got.loc[0, "cluster_id"] == got.loc[1, "cluster_id"] == 0
     assert got.loc[2, "cluster_id"] == 2
+
+
+def test_silent_and_short_clips_never_cluster_together():
+    """Zero-fingerprint clips (silence, <16 samples, out-of-band) are
+    flagged no_spectral_content and EXCLUDED from clustering — they must
+    not merge into one giant false-dup group."""
+    silent = encode_wav_pcm16(np.zeros(4000), 8000)
+    tiny = encode_wav_pcm16(np.zeros(4), 8000)
+    real = encode_wav_pcm16(_tone(FREQS_A, 8000), 8000)
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array([silent, tiny, real], pa.binary()),
+    }))
+    h = hash_audio(ds, id_col="media_id", concurrency=1).to_pandas()
+    h = h.set_index("media_id")
+    assert h.loc[0, "decode_error"] == "no_spectral_content"
+    assert h.loc[1, "decode_error"] == "no_spectral_content"
+    assert h.loc[2, "decode_error"] is None
+    got = audio_dup_clusters(ds, id_col="media_id", concurrency=1).to_pandas()
+    assert got["media_id"].tolist() == [2]
+
+
+def test_all_corrupt_input_yields_empty_not_crash():
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([b"junk", b"more junk"], pa.binary()),
+    }))
+    got = audio_dup_clusters(ds, id_col="media_id", concurrency=1)
+    assert got.count() == 0

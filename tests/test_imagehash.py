@@ -118,3 +118,24 @@ def test_image_dup_clusters_end_to_end():
     assert out.loc[0, "cluster_id"] == out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == 0
     assert out.loc[3, "cluster_id"] == 3
     assert out.loc[4, "cluster_id"] == 4
+
+
+def test_small_image_hashes_not_degenerate():
+    """Images smaller than the hash grids (upsampling path) must hash
+    DISTINCTLY — the divide-by-zero regression collapsed every sub-32px
+    image to one degenerate hash and merged unrelated thumbnails."""
+    import numpy as np
+
+    from dupers_ray.stages.imagehash import dhash64, phash64, resize_area, to_gray
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    ga, gb = to_gray(a), to_gray(b)
+    up = resize_area(ga, 32, 32)
+    assert np.isfinite(up).all()
+    assert phash64(ga) != phash64(gb) != 0
+    assert dhash64(to_gray(a[:4, :4])) != dhash64(to_gray(b[:4, :4]))
+    # upsampling is exact nearest-neighbor: constant image stays constant
+    const = np.full((3, 5), 42.0)
+    assert (resize_area(const, 32, 32) == 42.0).all()

@@ -125,3 +125,19 @@ def test_decoder_survives_mutations():
             assert out.dtype == np.uint8 and out.ndim == 3
         except ValueError:
             pass  # BadJpeg/UnsupportedJpeg are ValueErrors — the contract
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code; the decoder must skip them, not misparse 0xFF as a marker."""
+    import numpy as np
+
+    from dupers_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.linspace(0, 255, 24 * 16 * 3).reshape(24, 16, 3).astype(np.uint8)
+    data = encode_jpeg(img, quality=90)
+    assert data[:2] == b"\xff\xd8"
+    padded = data[:2] + b"\xff" * 3 + data[2:]
+    a = decode_jpeg(data)
+    b = decode_jpeg(padded)
+    assert (a == b).all()

@@ -156,3 +156,32 @@ def test_hits_matches_python_reference():
     gm = {r["host"]: (r["auth_ppm"], r["hub_ppm"]) for r in got.to_pylist()}
     assert gm == {h: (auth[h], hub[h]) for h in hosts}
     assert max(v[0] for v in gm.values()) == PPM  # normalization pins max
+
+
+def test_links_batch_null_html_rows():
+    from dupers_ray.stages.linkgraph import links_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "src_host": pa.array(["a.example", "b.example"]),
+        "html": pa.array([None, '<a href="https://x.example/p">y</a>'],
+                         pa.string()),
+    })
+    got = links_batch(t)
+    assert got.column("dst_host").to_pylist() == ["x.example"]
+    tb = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "src_host": pa.array(["a.example"]),
+        "html": pa.array([None], pa.binary()),
+    })
+    assert len(links_batch(tb)) == 0
+
+
+def test_scale_ppm_overflow_safe():
+    from dupers_ray.stages.linkgraph import _scale_ppm
+
+    v = np.array([10_000_000_000_000, 5_000_000_000_000, 0], np.int64)
+    got = _scale_ppm(v)  # max*PPM = 1e19 > 2^63: exact python-int path
+    assert got.tolist() == [1_000_000, 500_000, 0]
+    small = np.array([3, 1], np.int64)
+    assert _scale_ppm(small).tolist() == [1_000_000, 333_333]

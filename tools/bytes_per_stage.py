@@ -11,7 +11,7 @@ that explains the 8→32 single-box efficiency plateau documented in
 BASELINE.md.
 
 Usage:
-    RAY_GRAFT_CPUS=32 python tools/bytes_per_stage.py [sf_dir]
+    RAY_GRAFT_CPUS=32 python tools/bytes_per_stage.py
     python tools/bytes_per_stage.py --dram-only
 """
 
@@ -63,7 +63,7 @@ def dram_probe(proc_counts=(1, 4, 8, 16, 32), mb: int = 256, reps: int = 3) -> d
     return out
 
 
-def stage_bench(sf_dir: str, ncpu: int) -> dict:
+def stage_bench(ncpu: int) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
@@ -158,10 +158,10 @@ def main() -> None:
     if "--dram-only" in sys.argv:
         print(json.dumps({"dram_gbps": dram_probe()}))
         return
-    sf_dir = next((a for a in sys.argv[1:] if not a.startswith("-")),
-                  os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    # the tool always benches the flagship's own cached pages corpus
+    # (ensure_pages_corpus); it takes no sf_dir operand
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    result = stage_bench(sf_dir, ncpu)
+    result = stage_bench(ncpu)
     if "--with-dram" in sys.argv:
         result["dram_gbps"] = dram_probe()
     print(json.dumps(result, indent=2))
