@@ -369,6 +369,51 @@ def cmd_db(a) -> int:
     return 0
 
 
+def cmd_rank(a) -> int:
+    """Link-graph host ranking over a corpus with raw html: vectorized
+    href extraction → integer fixed-point PageRank or HITS
+    (stages/linkgraph.py — engine-new, no reference analogue)."""
+    import ray.data as rd
+
+    from dupers_ray.stages.linkgraph import extract_links, hits, pagerank
+
+    corpus = _read(a.corpus).select_columns(
+        [a.id_col, a.host_col, a.html_col]
+    )
+    edges = extract_links(
+        corpus, id_col=a.id_col, html_col=a.html_col, host_col=a.host_col
+    ).select_columns(["src_host", "dst_host"])
+    if a.algo == "pagerank":
+        tbl = pagerank(edges, iters=a.iters)
+    else:
+        tbl = hits(edges)
+    _emit(rd.from_arrow(tbl), a.out, "rank")
+    return 0
+
+
+def cmd_select(a) -> int:
+    """DSIR-style data selection: importance weights of every doc vs the
+    target subset's hashed-token distribution; --k keeps the top-k
+    (stages/dsir.py)."""
+    from dupers_ray.stages.dsir import dsir_topk, dsir_weights
+
+    corpus = _read(a.corpus).select_columns(
+        [a.id_col, a.text_col, a.target_col]
+    )
+    w = dsir_weights(
+        corpus, id_col=a.id_col, text_col=a.text_col,
+        target_col=a.target_col, target_value=a.target_value,
+    )
+    if a.k:
+        import ray.data as rd
+
+        _emit(rd.from_arrow(dsir_topk(w, id_col=a.id_col, k=a.k)),
+              a.out, "select")
+    else:
+        _emit(w, a.out, "select")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dupers_ray", description=__doc__.splitlines()[0]
@@ -453,6 +498,26 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = idx(sub.add_parser("db", help="per-bucket info + grand total"))
     s.set_defaults(fn=cmd_db)
+
+    s = sub.add_parser("rank", help="host PageRank/HITS from raw html")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--html-col", default="html")
+    s.add_argument("--host-col", default="src_host")
+    s.add_argument("--algo", choices=("pagerank", "hits"), default="pagerank")
+    s.add_argument("--iters", type=int, default=2)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_rank)
+
+    s = sub.add_parser("select", help="DSIR importance weights / top-k")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--target-col", required=True)
+    s.add_argument("--target-value", required=True)
+    s.add_argument("--k", type=int, default=0, help="keep only the top-k")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_select)
     return p
 
 

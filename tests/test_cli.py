@@ -194,3 +194,43 @@ def test_windows_path_check(tmp_path, capsys):
     rc = main(["ls", "--index", 'C:\\broken"'])
     assert rc == 2
     assert "trailing backslash" in capsys.readouterr().err
+
+
+def test_rank_and_select_verbs(env, tmp_path, capsys):
+    """Engine-new round-3 verbs: `rank` (PageRank/HITS over raw html)
+    and `select` (DSIR weights / top-k)."""
+    import numpy as np
+
+    from dupers_ray.synth import synth_doc_html
+
+    batch = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([f"body {i} alpha" if i < 4 else f"body {i} beta"
+                          for i in range(8)]),
+        "source": pa.array(["tgt"] * 4 + ["raw"] * 4),
+    })
+    pages = synth_doc_html(batch, n_docs=8)
+    pages = pages.append_column("text", batch.column("text"))
+    pages = pages.append_column("source", batch.column("source"))
+    corpus = str(tmp_path / "html_corpus.parquet")
+    pq.write_table(pages, corpus)
+
+    out = str(tmp_path / "ranks")
+    assert main(["rank", corpus, "--id-col", "doc_id", "--out", out]) == 0
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"host", "pr_ppm"}
+    assert t.num_rows == 8 and (np.array(t.column("pr_ppm")) >= 150_000).all()
+
+    out2 = str(tmp_path / "hits")
+    assert main(["rank", corpus, "--id-col", "doc_id", "--algo", "hits",
+                 "--out", out2]) == 0
+    assert set(pq.read_table(out2).column_names) == {"host", "auth_ppm",
+                                                     "hub_ppm"}
+
+    out3 = str(tmp_path / "sel")
+    assert main(["select", corpus, "--id-col", "doc_id",
+                 "--target-col", "source", "--target-value", "tgt",
+                 "--k", "3", "--out", out3]) == 0
+    sel = pq.read_table(out3)
+    assert sel.num_rows == 3
+    assert set(sel.column_names) == {"doc_id", "n_tokens", "score"}
