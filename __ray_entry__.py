@@ -1388,6 +1388,38 @@ _HITS_SQL = """
 """
 
 
+def _q_anchor_profiles(sf_dir: str):
+    """How the web describes each host: inlink anchor-text counts per
+    target host (stages/linkgraph.anchor_profiles — per-batch combiner
+    then one (dst_host, anchor) groupby). Anchors are planted
+    arithmetically (t{(i+j)%7}), so the oracle states the counts
+    directly."""
+    from dupers_ray.stages.linkgraph import anchor_profiles, extract_links
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return anchor_profiles(extract_links(pages, anchors=True))
+
+
+_ANCHOR_PROFILES_SQL = """
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    edges AS (
+        SELECT 'host' || CAST((d.doc_id * 31 + 7 * j.j + 1) % n.cnt
+                   AS VARCHAR) || '.example' AS dst_host,
+               't' || CAST((d.doc_id + j.j) % 7 AS VARCHAR) AS anchor
+        FROM documents d, (SELECT unnest(range(3)) AS j) j, n
+        WHERE j.j < 1 + d.doc_id % 3
+    )
+    SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n
+    FROM edges GROUP BY dst_host, anchor
+"""
+
+
 _LINK_EDGES_SQL = """
     WITH n AS (SELECT count(*) AS cnt FROM documents),
     j AS (SELECT unnest(range(3)) AS j)
@@ -3110,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges": _q_link_edges,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
+        "anchor_profiles": _q_anchor_profiles,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3401,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
         "link_edges": _LINK_EDGES_SQL,
         "pagerank_hosts": _PAGERANK_SQL,
         "hits_hosts": _HITS_SQL,
+        "anchor_profiles": _ANCHOR_PROFILES_SQL,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """

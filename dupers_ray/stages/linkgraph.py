@@ -52,11 +52,13 @@ def links_batch(
     id_col: str = "doc_id",
     html_col: str = "html",
     host_col: str = "src_host",
+    anchors: bool = False,
 ) -> pa.Table:
     """The per-batch kernel of :func:`extract_links` (module-level so
     the fuzz tests can drive it without a Ray dataset). Total on ANY
     input bytes: non-UTF-8 html decodes lossily (U+FFFD), malformed
-    hrefs drop to zero rows."""
+    hrefs drop to zero rows. With ``anchors=True`` an ``anchor`` column
+    carries the link's inner text (empty when the tag never closes)."""
     import pyarrow.compute as pc
 
     html = t.column(html_col)
@@ -95,11 +97,19 @@ def links_batch(
     )
     ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
     idx = pa.array(parent[ok])
-    return pa.table({
+    cols = {
         id_col: t.column(id_col).take(idx),
         "src_host": t.column(host_col).take(idx),
         "dst_host": host.filter(pa.array(ok)),
-    })
+    }
+    if anchors:
+        # anchor = inner text of the <a> tag: past the closing quote and
+        # the rest of the attribute list, up to the next '<'
+        a = pc.struct_field(
+            pc.extract_regex(flat, r'^[^"]*"[^>]*>(?P<a>[^<]*)'), "a"
+        )
+        cols["anchor"] = pc.fill_null(a, "").filter(pa.array(ok))
+    return pa.table(cols)
 
 
 def extract_links(
@@ -108,20 +118,57 @@ def extract_links(
     id_col: str = "doc_id",
     html_col: str = "html",
     host_col: str = "src_host",
+    anchors: bool = False,
 ) -> "ray.data.Dataset":
-    """(id, src_host, dst_host) — one row per https link; the page's own
-    host comes from its self-identifying ``host_col``. Pages with no
-    links contribute no rows here (pagerank adds the base mass to every
-    node, linked-to or not). ONE stateless vectorized pass
+    """(id, src_host, dst_host[, anchor]) — one row per https link; the
+    page's own host comes from its self-identifying ``host_col``. Pages
+    with no links contribute no rows here (pagerank adds the base mass
+    to every node, linked-to or not). ONE stateless vectorized pass
     (:func:`links_batch`)."""
     import functools
 
     return ds.map_batches(
         functools.partial(
-            links_batch, id_col=id_col, html_col=html_col, host_col=host_col
+            links_batch, id_col=id_col, html_col=html_col,
+            host_col=host_col, anchors=anchors,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def anchor_profiles(
+    links: "ray.data.Dataset",
+    *,
+    anchor_col: str = "anchor",
+) -> "ray.data.Dataset":
+    """(dst_host, anchor, n) — how the web DESCRIBES each host: counts
+    of inlink anchor texts per target host (the classic off-page label
+    signal anchor-text ranking uses). Combiner shape: per-batch pandas
+    groupby-size pre-aggregates before ONE (dst_host, anchor) groupby —
+    nav-bar boilerplate collapses inside the batch, and the shuffle
+    carries at most distinct-(host, anchor) rows."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["dst_host", anchor_col], sort=False)
+            .size().reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["dst_host", anchor_col], sort=False)["n"]
+            .sum().reset_index()
+        )
+
+    return (
+        links.select_columns(["dst_host", anchor_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("dst_host")
+        .map_groups(merge, batch_format="pandas")
     )
 
 

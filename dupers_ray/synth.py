@@ -267,9 +267,10 @@ def synth_doc_html(
     ARITHMETICALLY planted outlinks so a DuckDB oracle can restate the
     extracted link graph without parsing html: doc i lives on
     ``host{i}.example`` and links to ``host{(i*31 + 7*j + 1) % n_docs}
-    .example`` for j in range(1 + i % 3). The page also carries decoy
-    relative/ftp hrefs that a correct extractor must DROP. Output:
-    (id, src_host, html binary)."""
+    .example`` for j in range(1 + i % 3), with anchor text
+    ``t{(i + j) % 7}`` (planted arithmetic too, so anchor_profiles has a
+    value oracle). The page also carries decoy relative/ftp hrefs that a
+    correct extractor must DROP. Output: (id, src_host, html binary)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
     hosts: list[str] = []
@@ -277,7 +278,7 @@ def synth_doc_html(
     for i, text in zip(ids.tolist(), texts):
         links = "".join(
             f'<a href="https://host{(i * 31 + 7 * j + 1) % n_docs}.example'
-            f'/p/{i}-{j}">l{j}</a>'
+            f'/p/{i}-{j}" rel="x">t{(i + j) % 7}</a>'
             for j in range(1 + i % 3)
         )
         body = (

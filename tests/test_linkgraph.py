@@ -185,3 +185,41 @@ def test_scale_ppm_overflow_safe():
     assert got.tolist() == [1_000_000, 500_000, 0]
     small = np.array([3, 1], np.int64)
     assert _scale_ppm(small).tolist() == [1_000_000, 333_333]
+
+
+def test_anchor_extraction_and_profiles():
+    from dupers_ray.stages.linkgraph import anchor_profiles
+
+    n = 12
+    links = extract_links(rd.from_arrow(_pages(n)).repartition(3),
+                          anchors=True)
+    got = links.to_pandas()
+    exp_anchor = {
+        (i, f"host{(i * 31 + 7 * j + 1) % n}.example"): f"t{(i + j) % 7}"
+        for i in range(n) for j in range(1 + i % 3)
+    }
+    for _, r in got.iterrows():
+        assert r["anchor"] == exp_anchor[(r["doc_id"], r["dst_host"])]
+
+    prof = anchor_profiles(links).to_pandas()
+    from collections import Counter
+
+    exp = Counter()
+    for (_, dst), a in exp_anchor.items():
+        exp[(dst, a)] += 1
+    assert Counter(
+        {(r.dst_host, r.anchor): r.n for r in prof.itertuples()}
+    ) == exp
+
+
+def test_anchor_unclosed_tag_empty():
+    from dupers_ray.stages.linkgraph import links_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "src_host": pa.array(["a.example"]),
+        "html": pa.array(['<a href="https://x.example/p'], pa.string()),
+    })
+    got = links_batch(t, anchors=True)
+    assert got.column("dst_host").to_pylist() == ["x.example"]
+    assert got.column("anchor").to_pylist() == [""]
