@@ -1406,6 +1406,34 @@ def _q_anchor_profiles(sf_dir: str):
     return anchor_profiles(extract_links(pages, anchors=True))
 
 
+def _q_redirect_roots(sf_dir: str):
+    """Redirect-chain resolution by distributed pointer doubling
+    (stages/chains.resolve_pointers — one 24-B-row cogroup self-join per
+    round, ceil(log2 L) rounds): planted chains doc i → i-1 with roots
+    at multiples of 4 must resolve to root = i - i%4 with hops = i%4,
+    which the oracle states directly."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from dupers_ray.stages.chains import resolve_pointers
+
+    docs = _tbl(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: "_pa.Table") -> "_pa.Table":
+        i = t.column("doc_id").cast(_pa.int64())
+        step = _pc.cast(_pc.not_equal(_pc.bit_wise_and(i, 3), 0), _pa.int64())
+        return _pa.table({"id": i, "ptr": _pc.subtract(i, step)})
+
+    out = resolve_pointers(
+        docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True),
+        rounds=2,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "root", "hops"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 _ANCHOR_PROFILES_SQL = """
     WITH n AS (SELECT count(*) AS cnt FROM documents),
     edges AS (
@@ -3143,6 +3171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "anchor_profiles": _q_anchor_profiles,
+        "redirect_roots": _q_redirect_roots,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3435,6 +3464,12 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _PAGERANK_SQL,
         "hits_hosts": _HITS_SQL,
         "anchor_profiles": _ANCHOR_PROFILES_SQL,
+        "redirect_roots": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(doc_id - doc_id % 4 AS BIGINT) AS root,
+                   CAST(doc_id % 4 AS BIGINT) AS hops
+            FROM documents
+        """,
         "text_embeddings": _text_embeddings_oracle_sql(),
         "text_semantic_dedup": _text_semantic_dedup_oracle_sql(),
         "semantic_dedup": """
