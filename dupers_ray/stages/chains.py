@@ -40,7 +40,14 @@ def resolve_pointers(
     """(id, root, hops) for every row of an (id, ptr) edge table; nodes
     whose ptr == id are roots (hops 0). ``rounds`` bounds resolvable
     chain length at 2**rounds — the default 16 covers 65k-deep chains
-    (real redirect chains are < 10; browsers cap at ~20)."""
+    (real redirect chains are < 10; browsers cap at ~20).
+
+    Redirect CYCLES (a → b → a — real crawl data has them) never
+    crash or hang: rounds is a hard bound and the output deterministic.
+    A cycle member's hops lands at exactly 2**rounds and KEEPS DOUBLING
+    with extra rounds, while a resolved node's (root, hops) is a fixed
+    point — so running one extra round and comparing hops disambiguates
+    cycles from genuinely 2**rounds-deep chains (pytest-pinned)."""
     import pyarrow.compute as pc
 
     from dupers_ray.pipelines.joins import hash_join

@@ -47,3 +47,25 @@ def test_long_chain_needs_log_rounds():
     got = full.set_index("id").sort_index()
     assert (got["root"] == 0).all()
     assert (got["hops"].to_numpy() == ids).all()
+
+
+def test_cycles_never_hang_and_are_detectable():
+    """Redirect cycles are real crawl data: rounds is a hard bound, the
+    output is deterministic, cycle hops double with extra rounds while
+    resolved nodes stay fixed (the documented disambiguation rule)."""
+    # 0 <-> 1 is a 2-cycle; 2 -> 3 -> 4(root) is a normal chain
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ptr": pa.array([1, 0, 3, 4, 4], pa.int64()),
+    })
+    r2 = resolve_pointers(rd.from_arrow(t), rounds=2).to_pandas()
+    r3 = resolve_pointers(rd.from_arrow(t), rounds=3).to_pandas()
+    r2 = r2.set_index("id").sort_index()
+    r3 = r3.set_index("id").sort_index()
+    # resolved chain: fixed point across extra rounds
+    for i, root, hops in [(2, 4, 2), (3, 4, 1), (4, 4, 0)]:
+        assert (r2.loc[i, "root"], r2.loc[i, "hops"]) == (root, hops)
+        assert (r3.loc[i, "root"], r3.loc[i, "hops"]) == (root, hops)
+    # cycle members: hops == 2**rounds, doubling each extra round
+    assert r2.loc[0, "hops"] == 4 and r2.loc[1, "hops"] == 4
+    assert r3.loc[0, "hops"] == 8 and r3.loc[1, "hops"] == 8
