@@ -1062,6 +1062,22 @@ def _q_topk_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_topk_cosine_sq8(sf_dir: str):
+    """int8 scalar-quantized top-10 with exact rescoring
+    (stages/embed.topk_cosine_sq8 — SQ8 candidate generation, 4x
+    smaller vectors at scale, exact float64 rescore of survivors).
+    Value-checked against the SAME exact-cosine oracle as topk_cosine:
+    with the 4x rescore margin the pruned search must reproduce the
+    exact result."""
+    from dupers_ray.stages.embed import topk_cosine_sq8
+
+    qids, qm = _emb_queries(sf_dir)
+    out = topk_cosine_sq8(
+        _tbl(sf_dir, "embeddings"), qm, k=10, query_ids=qids
+    )
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_compression_stats(sf_dir: str):
     """Per-doc DEFLATE compressibility (stages/quality.compression_stats)
     — integer ppm ratio; zlib is not SQL-expressible, so this is the
@@ -3172,6 +3188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _q_hits_hosts,
         "anchor_profiles": _q_anchor_profiles,
         "redirect_roots": _q_redirect_roots,
+        "topk_cosine_sq8": _q_topk_cosine_sq8,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3464,6 +3481,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _PAGERANK_SQL,
         "hits_hosts": _HITS_SQL,
         "anchor_profiles": _ANCHOR_PROFILES_SQL,
+        "topk_cosine_sq8": _TOPK_ORACLE,
         "redirect_roots": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(doc_id - doc_id % 4 AS BIGINT) AS root,

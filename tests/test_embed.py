@@ -306,3 +306,37 @@ def test_knn_graph_ivf_recall(ray_session):
     hits = sum(len(ex[q] & iv.get(q, set())) for q in ex)
     recall = hits / sum(len(v) for v in ex.values())
     assert recall >= 0.8, recall
+
+
+def test_topk_cosine_sq8_equals_exact():
+    """SQ8 candidate generation + exact rescoring must reproduce the
+    exact operator's output at the fixture scale (the driver oracle
+    contract); quantization roundtrip error is pinned."""
+    import numpy as np
+    import ray.data as rd
+
+    from dupers_ray.stages.embed import quantize_sq8, topk_cosine, topk_cosine_sq8
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q8, s = quantize_sq8(emb)
+    back = q8.astype(np.float32) * s
+    err = np.abs(back - emb).max() / np.abs(emb).max()
+    assert err < 0.01 and q8.dtype == np.int8
+
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(emb.tolist(), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    qm = emb[:6]
+    a = topk_cosine(ds, qm, k=8).to_pandas()
+    b = topk_cosine_sq8(
+        rd.from_arrow(tbl).repartition(4), qm, k=8
+    ).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert a[key].sort_values(key).values.tolist() == \
+        b[key].sort_values(key).values.tolist()
