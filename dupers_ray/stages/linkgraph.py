@@ -172,11 +172,19 @@ def anchor_profiles(
     )
 
 
-def _discover_hosts(
+def _host_index(
     edges: "ray.data.Dataset", broadcast_limit: int
-) -> np.ndarray:
-    """Sorted unique host array: per-batch ``pc.unique`` partials merged
-    driver-side (each batch forwards at most its distinct hosts)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hosts, hashes): unique host strings aligned to their SORTED
+    md5-u64 hashes. The uint64 hash array is what gets broadcast —
+    a plain numeric ndarray rides the object store zero-copy and
+    searchsorts in C, where broadcasting the strings themselves means
+    pickling an object array (measured: the dominant cost at 4.5M
+    hosts — every worker paid the unpickle and every probe a Python
+    string compare). Hash collisions are checked on the driver (md5-u64
+    over <=5e7 hosts: P(collision) < 1e-4) and raise rather than
+    silently merging two hosts."""
+    from dupers_ray.functions.hashing import hash_str_u64
 
     def uniq_hosts(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -189,16 +197,42 @@ def _discover_hosts(
         )
         return pa.table({"host": u})
 
-    parts = edges.map_batches(
-        uniq_hosts, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    hosts = np.unique(np.array([r["host"] for r in parts]))
+    # stream Arrow batches to the driver — take_all() would materialize
+    # one Python dict per row
+    chunks = [
+        np.asarray(t.column("host"))
+        for t in edges.map_batches(
+            uniq_hosts, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not chunks:
+        return np.array([], dtype=object), np.array([], np.uint64)
+    hosts = np.concatenate(chunks)  # may repeat across batches
+    hashes = hash_str_u64([str(h) for h in hosts.tolist()])
+    order = np.argsort(hashes, kind="stable")
+    hs, ho = hashes[order], hosts[order]
+    keep = np.ones(len(hs), bool)
+    keep[1:] = hs[1:] != hs[:-1]
+    dup = np.flatnonzero(~keep)
+    if len(dup) and (ho[dup] != ho[dup - 1]).any():
+        raise ValueError("host md5-u64 hash collision — two distinct "
+                         "hosts share a 64-bit hash")
+    hosts, hashes = ho[keep], hs[keep]
     if len(hosts) > broadcast_limit:
         raise ValueError(
             f"rank vector ({len(hosts)} hosts) exceeds broadcast_limit; "
             f"switch the partial merges to int-keyed groupby-sums"
         )
-    return hosts
+    return hosts, hashes
+
+
+def _lookup(hsorted: np.ndarray, col) -> np.ndarray:
+    """Host-string column → index into the hash-sorted host table."""
+    from dupers_ray.functions.hashing import hash_str_u64
+
+    hv = hash_str_u64([str(x) for x in col.to_pylist()])
+    return np.searchsorted(hsorted, hv)
 
 
 def _sum_by_host(
@@ -207,10 +241,10 @@ def _sum_by_host(
     n_hosts: int,
     make_pairs,
 ) -> np.ndarray:
-    """Driver-merged reduction: ``make_pairs(table, hosts) -> (ids,
-    values)`` runs per batch, a bincount pre-aggregates to sparse
-    (id, sum) partial rows (<= distinct ids per batch), and the driver
-    ``np.add.at``s the partials into one dense int64 vector."""
+    """Driver-merged reduction: ``make_pairs(table, hash_table) ->
+    (ids, values)`` runs per batch, a scatter-add pre-aggregates to
+    sparse (id, sum) partial rows (<= distinct ids per batch), and the
+    driver ``np.add.at``s the partials into one dense int64 vector."""
 
     def partial(t: pa.Table) -> pa.Table:
         h = ray.get(hosts_ref)
@@ -233,10 +267,15 @@ def _sum_by_host(
         })
 
     out = np.zeros(n_hosts, np.int64)
-    for row in edges.map_batches(
+    for t in edges.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        out[row["hid"]] += row["val"]
+    ).iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            np.add.at(
+                out,
+                np.asarray(t.column("hid"), dtype=np.int64),
+                np.asarray(t.column("val"), dtype=np.int64),
+            )
     return out
 
 
@@ -272,15 +311,15 @@ def pagerank(
     driver-side (see module docstring) — zero shuffles."""
     edges = edges.materialize()  # consumed iters+2 times
 
-    hosts = _discover_hosts(edges, broadcast_limit)
+    hosts, hashes = _host_index(edges, broadcast_limit)
     n_hosts = len(hosts)
-    hosts_ref = ray.put(hosts)
+    hosts_ref = ray.put(hashes)
 
     outdeg = np.maximum(
         _sum_by_host(
             edges, hosts_ref, n_hosts,
             lambda t, h: (
-                np.searchsorted(h, np.asarray(t.column("src_host"))),
+                _lookup(h, t.column("src_host")),
                 np.ones(len(t), np.int64),
             ),
         ),
@@ -295,8 +334,8 @@ def pagerank(
         def pairs(t: pa.Table, h: np.ndarray):
             d = ray.get(deg_ref)
             rv = ray.get(r_ref)
-            si = np.searchsorted(h, np.asarray(t.column("src_host")))
-            di = np.searchsorted(h, np.asarray(t.column("dst_host")))
+            si = _lookup(h, t.column("src_host"))
+            di = _lookup(h, t.column("dst_host"))
             return di, (DAMPING_NUM * rv[si]) // (DAMPING_DEN * d[si])
 
         contrib = _sum_by_host(edges, hosts_ref, n_hosts, pairs)
@@ -329,15 +368,15 @@ def hits(
     partials, driver merge, zero shuffles."""
     edges = edges.materialize()  # consumed 3 times
 
-    hosts = _discover_hosts(edges, broadcast_limit)
+    hosts, hashes = _host_index(edges, broadcast_limit)
     n_hosts = len(hosts)
-    hosts_ref = ray.put(hosts)
+    hosts_ref = ray.put(hashes)
 
     # a1[v] = indeg(v) * base (h0 is uniform)
     a1 = _sum_by_host(
         edges, hosts_ref, n_hosts,
         lambda t, h: (
-            np.searchsorted(h, np.asarray(t.column("dst_host"))),
+            _lookup(h, t.column("dst_host")),
             np.full(len(t), base, np.int64),
         ),
     )
@@ -346,8 +385,8 @@ def hits(
 
     def hub_pairs(t: pa.Table, h: np.ndarray):
         a = ray.get(auth_ref)
-        si = np.searchsorted(h, np.asarray(t.column("src_host")))
-        di = np.searchsorted(h, np.asarray(t.column("dst_host")))
+        si = _lookup(h, t.column("src_host"))
+        di = _lookup(h, t.column("dst_host"))
         return si, a[di]
 
     h1 = _sum_by_host(edges, hosts_ref, n_hosts, hub_pairs)
