@@ -1293,6 +1293,46 @@ def _q_video_dup_clusters(sf_dir: str):
     return video_dup_clusters(media, id_col="doc_id", payload_col="payload")
 
 
+def _q_multimodal_consensus(sf_dir: str):
+    """Cross-modal duplicate consensus: a doc joins a perceptual cluster
+    only when >= 2 of the three media modalities (image pHash, audio
+    spectral fingerprint, video scene-dHash) independently assign it
+    there — the modality-level majority vote that suppresses any single
+    decoder's false positives. Composition of three oracle-green
+    pipelines; ONE (doc, cluster) groupby of 16-byte vote rows. All
+    three modalities derive from the same text prefix in the synthetic
+    corpus, so the oracle is the same min-per-prefix statement."""
+    import pandas as pd
+    import pyarrow as _pa
+
+    def votes(ds):
+        return ds.map_batches(
+            lambda t: _pa.table({
+                "doc_id": t.column("doc_id").cast(_pa.int64()),
+                "cluster_id": t.column("cluster_id").cast(_pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+
+    allv = (
+        votes(_q_image_dup_clusters(sf_dir))
+        .union(votes(_q_audio_dup_clusters(sf_dir)),
+               votes(_q_video_dup_clusters(sf_dir)))
+    )
+
+    def consensus(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["doc_id", "cluster_id"], sort=False).size()
+        out = []
+        for doc, sub in cnt.groupby(level=0, sort=False):
+            agreed = sub[sub >= 2]
+            c = (int(agreed.index.get_level_values(1).min())
+                 if len(agreed) else int(doc))
+            out.append((int(doc), c))
+        return pd.DataFrame(out, columns=["doc_id", "cluster_id"])
+
+    return allv.groupby("doc_id").map_groups(consensus, batch_format="pandas")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (stages/dsir.py — integer-exact
     adaptation of Xie et al. 2023): hashed-token bucket distributions
@@ -3189,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_profiles": _q_anchor_profiles,
         "redirect_roots": _q_redirect_roots,
         "topk_cosine_sq8": _q_topk_cosine_sq8,
+        "multimodal_consensus": _q_multimodal_consensus,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
@@ -3482,6 +3523,13 @@ def oracle_sql() -> dict[str, str]:
         "hits_hosts": _HITS_SQL,
         "anchor_profiles": _ANCHOR_PROFILES_SQL,
         "topk_cosine_sq8": _TOPK_ORACLE,
+        "multimodal_consensus": """
+            SELECT doc_id,
+                   CAST(min(doc_id) OVER (
+                       PARTITION BY substr(text, 1, 40)
+                   ) AS BIGINT) AS cluster_id
+            FROM documents
+        """,
         "redirect_roots": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(doc_id - doc_id % 4 AS BIGINT) AS root,
