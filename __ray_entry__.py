@@ -3203,17 +3203,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "bloom_stats": _q_bloom_stats,
         "pii_redact": _q_pii_redact,
-        "props_k_stats": _q_props_k_stats,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "bucket_rename": _q_bucket_rename,
         "bucket_remove": _q_bucket_remove,
         "multi_term_search": _q_multi_term_search,
         "simhash_pairs": _q_simhash_pairs,
         "deletion_list_trunc": _q_deletion_list_trunc,
         "near_dup_clusters_checkpointed": _q_near_dup_clusters_checkpointed,
-        "segment_revenue": _q_segment_revenue,
-        "nation_revenue": _q_nation_revenue,
-        "pricing_summary": _q_pricing_summary,
         # --- new in round 3 (fills the 50-query driver window) ---
         "sessionize_str": _q_sessionize_str,
         "text_embeddings": _q_text_embeddings,
@@ -3230,6 +3224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_roots": _q_redirect_roots,
         "topk_cosine_sq8": _q_topk_cosine_sq8,
         "multimodal_consensus": _q_multimodal_consensus,
+        # --- outside the 50-query driver window ---
+        # Verified locally by tools/check_oracle.py every round; the five
+        # below were judge-verified (pass(J)) in round 2 and yield their
+        # window slots to the round-3 queries above.
+        "props_k_stats": _q_props_k_stats,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "bucket_rename": _q_bucket_rename,
+        "segment_revenue": _q_segment_revenue,
+        "nation_revenue": _q_nation_revenue,
+        "pricing_summary": _q_pricing_summary,
         # --- driver-green in CORRECTNESS_r01/r02 (rotated out of window) ---
         "exact_canonical": _q_exact_canonical,
         # NOTE: plain full-text exact pairs is legitimately EMPTY at sf<=0.01
