@@ -10,7 +10,9 @@ import ray.data as rd
 from dupers_ray.stages.linededup import (
     _doc_lines,
     frequent_lines,
+    frequent_lines_by_key,
     remove_duplicate_lines,
+    remove_host_boilerplate,
 )
 
 BOILER = "cookie notice please accept all cookies to continue reading now"
@@ -84,6 +86,46 @@ def test_remove_duplicate_lines_matches_brute():
     # doc 8 repeats BOILER twice but the second copy sits off the 10-token
     # grid (9-token filler) — fixed-grid chunking only drops aligned copies
     assert got[8]["n_removed"] == 1
+
+
+def test_host_boilerplate_scoping():
+    """The defining property vs global line dedup: a chunk repeated
+    within ONE host is stripped, the same chunk appearing once on each
+    of two different hosts is kept."""
+    texts = [
+        BOILER + " page one of site a with its own unique words here",
+        BOILER + " page two of site a gets independent body content too",
+        FOOTER,  # site a AND site b each carry FOOTER exactly once
+        FOOTER + " site b page whose footer must survive host scoping ok",
+        "plain site b page with nothing repeated across any host pages",
+    ]
+    srcs = ["a", "a", "a", "b", "b"]
+    table = pa.table(
+        {"doc_id": list(range(len(texts))), "text": texts, "source": srcs}
+    )
+    ds = rd.from_arrow(table).repartition(3)
+
+    out = sorted(
+        remove_host_boilerplate(
+            ds, key_col="source", tokens_per_line=10, min_docs=2
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    # BOILER repeats within host a -> stripped from docs 0 and 1
+    assert out[0]["n_removed"] == 1 and BOILER not in out[0]["clean_text"]
+    assert out[1]["n_removed"] == 1
+    # FOOTER occurs once per host -> kept everywhere (global dedup would
+    # strip it: 2 distinct docs corpus-wide)
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == FOOTER
+    assert out[3]["n_removed"] == 0 and FOOTER in out[3]["clean_text"]
+    g = remove_duplicate_lines(ds, tokens_per_line=10, min_docs=2)
+    by_id = {r["doc_id"]: r for r in g.take_all()}
+    assert by_id[2]["n_removed"] == 1  # the contrast the test pins
+
+    # frequent set is host-folded: same parametrization, two thresholds
+    f2 = frequent_lines_by_key(ds, key_col="source", min_docs=2)
+    f3 = frequent_lines_by_key(ds, key_col="source", min_docs=3)
+    assert len(f2) == 1 and len(f3) == 0
 
 
 def test_frequent_lines_threshold():
