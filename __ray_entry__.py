@@ -49,6 +49,35 @@ def _q_exact_canonical(sf_dir: str):
     )
 
 
+def _q_fast_membership(sf_dir: str):
+    """dupers -fast mode (lookupOne over the preloaded Compare map,
+    pkg/dupe/dupe.go:919-931; -fast status counts lookups not files,
+    dupe.go:376-385): flag whether each doc's sha256 digest already
+    exists in a stored index (here: the source='src0' docs) WITHOUT
+    filtering — pipelines/maintenance.membership_flags, count-gated
+    broadcast-or-cogroup. Oracle states digest membership as text
+    membership (sha256 equality ≡ byte equality)."""
+    import pyarrow.compute as _pc
+
+    from dupers_ray.pipelines.maintenance import membership_flags
+    from dupers_ray.stages.digest import digest_dataset
+
+    docs = digest_dataset(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+    index = docs.filter(
+        expr="source == 'src0'"
+    ).map_batches(
+        lambda t: t.select(["digest"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    flagged = membership_flags(docs, index, key_col="digest")
+    return flagged.map_batches(
+        lambda t: t.select(["doc_id", "in_index"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_exact_pairs(sf_dir: str):
     from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
 
@@ -3245,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated entries below were judge-verified (pass(J)) in round 2
         # and yield their window slots to the round-3 queries above.
         "host_boilerplate": _q_host_boilerplate,
+        "fast_membership": _q_fast_membership,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3358,6 +3388,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
             GROUP BY sha256(text)
+        """,
+        "fast_membership": """
+            SELECT d.doc_id,
+                   d.text IN (SELECT text FROM documents
+                              WHERE source = 'src0'
+                                AND text IS NOT NULL AND length(text) > 0)
+                       AS in_index
+            FROM documents d
+            WHERE d.text IS NOT NULL AND length(d.text) > 0
         """,
         "exact_pairs_trunc": """
             WITH d AS (

@@ -118,6 +118,52 @@ def anti_join_auto(
     )
 
 
+def membership_flags(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key_col: str,
+    right_key_col: str | None = None,
+    flag_col: str = "in_index",
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """dupers ``-fast`` mode: answer "is this content already stored?"
+    from the checksum index alone, WITHOUT filtering — every left row
+    comes back with a boolean ``flag_col`` (reference: lookupOne checks
+    the Compare map preloaded from the DB, pkg/dupe/dupe.go:919-931; the
+    -fast status line counts those lookups instead of walked files,
+    dupe.go:376-385). Count-gated like :func:`anti_join_auto`: broadcast
+    the index key set when small (``ray.put`` once, zero-copy plasma
+    read per task), else ONE hash-partitioned cogroup — at 100 TB the
+    index is billions of digests and a driver pull would OOM."""
+    rkey = right_key_col or key_col
+    keys_ds = right.select_columns([rkey]).materialize()
+    n = keys_ds.count()
+    if n == 0:
+        return left.map_batches(
+            lambda t: t.append_column(
+                flag_col, pa.array(np.zeros(len(t), bool))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    if n <= broadcast_limit:
+        keys = keys_ds.to_pandas()[rkey].to_numpy()
+        arr = pa.array(pd.unique(np.asarray(keys)))
+        ref = ray.put(arr)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column(key_col), value_set=ray.get(ref))
+            return batch.append_column(flag_col, m.combine_chunks())
+
+        return left.map_batches(
+            flag, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return anti_join_shuffle(
+        left, keys_ds, key_col=key_col, right_key_col=rkey,
+        flag_col=flag_col,
+    )
+
+
 def anti_join_shuffle(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -126,10 +172,13 @@ def anti_join_shuffle(
     right_key_col: str | None = None,
     semi: bool = False,
     left_schema: "pa.Schema | None" = None,
+    flag_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partitioned anti (or semi) join for large right sides: tag both
     sides, union, co-group by key hash, filter left rows by presence of a
-    right row with equal key. One all-to-all shuffle.
+    right row with equal key. One all-to-all shuffle. With ``flag_col``
+    set, no row is filtered — presence comes back as a boolean column
+    (the membership_flags large-index path).
 
     The R side is padded with TYPED null columns for every left column (the
     same technique as joins.cogroup_join) and groups are resolved in pure
@@ -164,9 +213,12 @@ def anti_join_shuffle(
         side = g.column("__side")
         lg = g.filter(pc.equal(side, "L"))
         rkeys = g.filter(pc.equal(side, "R")).column("__key").combine_chunks()
-        keep = pc.is_in(lg.column("__key"), value_set=rkeys)
-        if not semi:
-            keep = pc.invert(keep)
+        present = pc.is_in(lg.column("__key"), value_set=rkeys)
+        if flag_col is not None:
+            return lg.select(left_cols).append_column(
+                flag_col, present.combine_chunks()
+            )
+        keep = present if semi else pc.invert(present)
         return lg.filter(keep).select(left_cols)
 
     return l.union(r).groupby("__h").map_groups(resolve, batch_format="pyarrow")
