@@ -49,6 +49,30 @@ def _q_exact_canonical(sf_dir: str):
     )
 
 
+def _q_main_content(sf_dir: str):
+    """Boilerplate-vs-content extraction by link density (stages/extract.
+    main_content_one — Kohlschütter et al. 2010 boilerpipe heuristic):
+    over block-structured pages with planted links-only nav/footer, a
+    prose block, and an arithmetic promo block on doc_id % 4 == 0, the
+    extractor must keep exactly the prose + promo. ONE streaming
+    map_batches pass; oracle restates the planted arithmetic."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.extract import extract_main_content
+    from dupers_ray.synth import synth_doc_html_blocks
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pages = docs.map_batches(
+        synth_doc_html_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pages.map_batches(
+        extract_main_content, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "main_text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_fast_membership(sf_dir: str):
     """dupers -fast mode (lookupOne over the preloaded Compare map,
     pkg/dupe/dupe.go:919-931; -fast status counts lookups not files,
@@ -3275,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and yield their window slots to the round-3 queries above.
         "host_boilerplate": _q_host_boilerplate,
         "fast_membership": _q_fast_membership,
+        "main_content": _q_main_content,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3388,6 +3413,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
             GROUP BY sha256(text)
+        """,
+        "main_content": """
+            SELECT doc_id,
+                   ltrim(COALESCE(text, '') ||
+                         CASE WHEN doc_id % 4 = 0
+                              THEN ' promo ' || CAST(doc_id AS VARCHAR)
+                                   || ' extra'
+                              ELSE '' END) AS main_text
+            FROM documents
         """,
         "fast_membership": """
             SELECT d.doc_id,

@@ -54,6 +54,73 @@ def extract_text(batch: pa.Table, *, html_col: str = "html", out_col: str = "tex
     return batch.append_column(out_col, arr)
 
 
+_BLOCK_RE = re.compile(
+    rb"(?i)</?(?:p|div|nav|header|footer|aside|article|section|li|ul|ol|"
+    rb"table|tr|td|h[1-6]|br)\b[^>]*>"
+)
+_ANCHOR_RE = re.compile(rb"(?is)<a\b[^>]*>(.*?)</a\s*>")
+
+
+def _visible_len(segment: bytes) -> int:
+    """Length of the whitespace-collapsed visible text of an html
+    segment — the same strip/decode/collapse chain as
+    :func:`extract_text_one`, so density is measured on exactly the
+    text a reader sees."""
+    raw = _TAG_RE.sub(b" ", segment)
+    s = raw.decode("utf-8", errors="replace")
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return len(_WS_RE.sub(" ", s).strip())
+
+
+def main_content_one(
+    html: bytes | None, *, max_link_density: float = 0.5
+) -> str:
+    """Boilerplate-vs-content block classification by LINK DENSITY
+    (Kohlschütter et al. 2010 "Boilerplate Detection Using Shallow Text
+    Features" — the boilerpipe/readability heuristic, reimplemented from
+    the paper's public description): split the page into block-level
+    segments, measure each block's anchor-text share, and keep blocks
+    whose linked characters are <= ``max_link_density`` of the visible
+    characters. Nav bars, footers and link farms are (nearly) all
+    anchor text and drop out; running prose keeps. Deterministic,
+    stdlib-only, same entity/whitespace canon as the exact extractor so
+    planted pages restate exactly in SQL."""
+    if not html:
+        return ""
+    cleaned = _COMMENT_RE.sub(b" ", _SCRIPT_RE.sub(b" ", html))
+    kept: list[str] = []
+    for seg in _BLOCK_RE.split(cleaned):
+        if not seg.strip():
+            continue
+        total = _visible_len(seg)
+        if not total:
+            continue
+        linked = sum(_visible_len(m) for m in _ANCHOR_RE.findall(seg))
+        if linked <= max_link_density * total:
+            raw = _TAG_RE.sub(b" ", seg)
+            s = raw.decode("utf-8", errors="replace")
+            for ent, ch in _ENTITIES:
+                s = s.replace(ent, ch)
+            kept.append(_WS_RE.sub(" ", s).strip())
+    return " ".join(k for k in kept if k)
+
+
+def extract_main_content(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    out_col: str = "main_text",
+    max_link_density: float = 0.5,
+) -> pa.Table:
+    """map_batches stage: html binary -> link-density main content."""
+    texts = [
+        main_content_one(b, max_link_density=max_link_density)
+        for b in batch.column(html_col).to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(texts, pa.string()))
+
+
 def drop_html(batch: pa.Table, *, html_col: str = "html") -> pa.Table:
     """Project away the wide binary column as soon as text is extracted —
     keeps downstream blocks small (SURVEY.md §7.4 'very wide rows')."""

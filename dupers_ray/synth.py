@@ -295,6 +295,42 @@ def synth_doc_html(
     })
 
 
+def synth_doc_html_blocks(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Deterministic block-structured html page per document for the
+    main-content extractor: a links-only <nav> (anchor density 1.0 —
+    boilerplate), the doc text in <p> (density 0 — content), an
+    ARITHMETICALLY planted low-link promo block ``promo {i} extra`` for
+    doc_id % 4 == 0 (content — must be kept), and a links-only <footer>.
+    The oracle restates the planted arithmetic: main_text =
+    ltrim(text || CASE doc_id%4 WHEN 0 THEN ' promo '||doc_id||' extra'
+    END). Output: (id, html binary)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    pages: list[bytes] = []
+    for i, text in zip(ids.tolist(), texts):
+        promo = (
+            f"<div>promo {i} extra</div>" if i % 4 == 0 else ""
+        )
+        body = (
+            f'<html><body>'
+            f'<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+            f'<p>{text or ""}</p>{promo}'
+            f'<footer><a href="/contact">contact</a> '
+            f'<a href="/terms">terms</a></footer>'
+            f"</body></html>"
+        )
+        pages.append(body.encode())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "html": pa.array(pages, pa.binary()),
+    })
+
+
 def _photo_scene(key: bytes, scene: int, h: int, w: int) -> "np.ndarray":
     """Low-frequency 'photo-like' RGB array deterministically derived
     from (sha256 key, scene index) — evaluating a continuous sinusoid

@@ -1,0 +1,69 @@
+"""Link-density main-content extraction (stages/extract.main_content_one,
+Kohlschütter et al. 2010 heuristic): handcrafted density cases + the
+planted block-page round trip."""
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from dupers_ray.stages.extract import extract_main_content, main_content_one
+from dupers_ray.synth import synth_doc_html_blocks
+
+
+def test_links_only_blocks_drop_prose_keeps():
+    html = (
+        b'<html><body>'
+        b'<nav><a href="/">home</a> <a href="/x">about</a></nav>'
+        b"<p>real article text goes here</p>"
+        b'<footer><a href="/c">contact</a></footer>'
+        b"</body></html>"
+    )
+    assert main_content_one(html) == "real article text goes here"
+
+
+def test_density_threshold_is_on_visible_chars():
+    # "click here" linked (10 visible chars) inside 30 visible chars of
+    # prose -> density 1/3 <= 0.5, kept WITH its anchor text; a block
+    # that is 2/3 link text drops.
+    mixed = b'<p>read the <a href="/d">click here</a> docs for it</p>'
+    assert main_content_one(mixed) == "read the click here docs for it"
+    linky = b'<p>ad <a href="/d">very long anchor text</a></p>'
+    assert main_content_one(linky) == ""
+    # threshold is a parameter
+    assert main_content_one(linky, max_link_density=1.0) == (
+        "ad very long anchor text"
+    )
+
+
+def test_edge_inputs():
+    assert main_content_one(None) == ""
+    assert main_content_one(b"") == ""
+    assert main_content_one(b"<p>   </p>") == ""
+    # script/style/comment content never counts as text
+    assert (
+        main_content_one(b"<p><script>var x=1;</script>hi</p>") == "hi"
+    )
+    # entity decoding matches extract_text_one's canon
+    assert main_content_one(b"<p>a &amp; b</p>") == "a & b"
+
+
+def test_planted_blocks_round_trip():
+    docs = pa.table(
+        {"doc_id": [0, 1, 4, 7], "text": ["t zero", "t one", "t four", ""]}
+    )
+    pages = rd.from_arrow(docs).map_batches(
+        synth_doc_html_blocks, batch_format="pyarrow"
+    )
+    out = {
+        r["doc_id"]: r["main_text"]
+        for r in pages.map_batches(
+            extract_main_content, batch_format="pyarrow"
+        ).take_all()
+    }
+    assert out == {
+        0: "t zero promo 0 extra",
+        1: "t one",
+        4: "t four promo 4 extra",
+        7: "",
+    }
