@@ -73,6 +73,48 @@ def _q_main_content(sf_dir: str):
     )
 
 
+def _q_noindex_filter(sf_dir: str):
+    """Crawl-politeness filter (stages/filters.drop_noindex): drop pages
+    whose <meta name=robots> declares noindex — planted on
+    doc_id % 7 == 3 in the block pages. One vectorized Arrow RE2 match
+    per batch directly over the html BYTES; oracle restates the planted
+    arithmetic. Returns the kept (indexable) doc ids + text lengths."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from dupers_ray.stages.filters import drop_noindex
+    from dupers_ray.synth import synth_doc_html_blocks
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pages = docs.map_batches(
+        synth_doc_html_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = drop_noindex(pages)
+    return kept.map_batches(
+        lambda t: _pa.table({
+            "doc_id": t.column("doc_id"),
+            "html_bytes": _pc.binary_length(t.column("html")).cast(_pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _q_latest_snapshot(sf_dir: str):
+    """Newest capture per key (pipelines/maintenance.latest_per_key —
+    the crawl-snapshot dedup: only a url's latest capture seeds the
+    index; reference re-walk overwrites bucket entries the same way,
+    dupe.go:955-963). Per-batch combiner keeps one row per key per
+    batch, so the groupby shuffles keys x blocks rows, never the corpus.
+    Deterministic (ts, event_id) tie-break; oracle is the row_number
+    window."""
+    from dupers_ray.pipelines.maintenance import latest_per_key
+
+    return latest_per_key(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        key_col="user_id", order_col="ts", tie_col="event_id",
+    )
+
+
 def _q_fast_membership(sf_dir: str):
     """dupers -fast mode (lookupOne over the preloaded Compare map,
     pkg/dupe/dupe.go:919-931; -fast status counts lookups not files,
@@ -3300,6 +3342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_boilerplate": _q_host_boilerplate,
         "fast_membership": _q_fast_membership,
         "main_content": _q_main_content,
+        "noindex_filter": _q_noindex_filter,
+        "latest_snapshot": _q_latest_snapshot,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3422,6 +3466,33 @@ def oracle_sql() -> dict[str, str]:
                                    || ' extra'
                               ELSE '' END) AS main_text
             FROM documents
+        """,
+        "noindex_filter": """
+            SELECT doc_id,
+                   CAST(
+                     strlen('<html><head>'
+                       || CASE WHEN doc_id % 7 = 3
+                          THEN '<meta name="robots" content="noindex, nofollow">'
+                          ELSE '' END
+                       || '</head><body>'
+                       || '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+                       || '<p>' || COALESCE(text, '') || '</p>'
+                       || CASE WHEN doc_id % 4 = 0
+                          THEN '<div>promo ' || CAST(doc_id AS VARCHAR)
+                               || ' extra</div>' ELSE '' END
+                       || '<footer><a href="/contact">contact</a> '
+                       || '<a href="/terms">terms</a></footer></body></html>')
+                     AS BIGINT) AS html_bytes
+            FROM documents WHERE doc_id % 7 <> 3
+        """,
+        "latest_snapshot": """
+            SELECT user_id, ts, event_id FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "fast_membership": """
             SELECT d.doc_id,

@@ -224,6 +224,42 @@ def anti_join_shuffle(
     return l.union(r).groupby("__h").map_groups(resolve, batch_format="pyarrow")
 
 
+def latest_per_key(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str,
+    order_col: str,
+    tie_col: str,
+) -> "ray.data.Dataset":
+    """Newest row per key — the crawl-snapshot dedup: a 100 TB crawl
+    carries many captures of the same url and only the latest should
+    seed the index (the reference's re-walk overwrites a bucket's entry
+    with the fresh stat, pkg/dupe/dupe.go:955-963 — same newest-wins
+    semantics lifted to a dataflow op). Deterministic tie-break on
+    ``tie_col``.
+
+    Scale shape: per-batch combiner keeps ONE row per key per batch
+    (vectorized sort + group-tail), so the groupby shuffles at most
+    keys x blocks rows, never the corpus; the resolve is the same
+    kernel per group. Output columns: (key, order, tie)."""
+    cols = [key_col, order_col, tie_col]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas().sort_values(cols)
+        out = df.groupby(key_col, sort=False).tail(1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols).tail(1)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.groupby(key_col).map_groups(
+        resolve, batch_format="pandas"
+    )
+
+
 def hash_str_keys(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic uint64 partitioning hash of a string array. Vectorized
     via polars' Rust hash kernel (fixed seed → stable across processes for

@@ -54,6 +54,35 @@ def skip_junk(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_NOINDEX_RE = (
+    r'(?is)<meta\s+[^>]*'
+    r'(?:name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+    r'content\s*=\s*["\x27][^"\x27]*noindex'
+    r'|content\s*=\s*["\x27][^"\x27]*noindex[^>]*'
+    r'name\s*=\s*["\x27]?robots)'
+)
+
+
+def drop_noindex(
+    ds: "ray.data.Dataset", *, html_col: str = "html"
+) -> "ray.data.Dataset":
+    """Drop pages whose ``<meta name="robots">`` declares ``noindex`` —
+    the crawl-politeness filter every web corpus pipeline runs before
+    training-data use. Pure Arrow RE2 directly over the raw html BYTES
+    (one vectorized match per batch; attribute order, quoting and case
+    tolerant; no decode, no per-row Python)."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(
+                pc.match_substring_regex(batch.column(html_col), _NOINDEX_RE)
+            )
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def skip_self(
     ds: "ray.data.Dataset", self_urls: list[str], *, url_col: str = "url"
 ) -> "ray.data.Dataset":

@@ -308,7 +308,10 @@ def synth_doc_html_blocks(
     doc_id % 4 == 0 (content — must be kept), and a links-only <footer>.
     The oracle restates the planted arithmetic: main_text =
     ltrim(text || CASE doc_id%4 WHEN 0 THEN ' promo '||doc_id||' extra'
-    END). Output: (id, html binary)."""
+    END). Docs with doc_id % 7 == 3 additionally carry
+    ``<meta name="robots" content="noindex, nofollow">`` in <head>
+    (zero visible chars — main_content is unaffected) for the
+    drop_noindex filter's oracle. Output: (id, html binary)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
     pages: list[bytes] = []
@@ -316,8 +319,12 @@ def synth_doc_html_blocks(
         promo = (
             f"<div>promo {i} extra</div>" if i % 4 == 0 else ""
         )
+        robots = (
+            '<meta name="robots" content="noindex, nofollow">'
+            if i % 7 == 3 else ""
+        )
         body = (
-            f'<html><body>'
+            f'<html><head>{robots}</head><body>'
             f'<nav><a href="/">home</a> <a href="/about">about</a></nav>'
             f'<p>{text or ""}</p>{promo}'
             f'<footer><a href="/contact">contact</a> '
