@@ -1474,6 +1474,25 @@ def _q_link_edges(sf_dir: str):
     return extract_links(pages)
 
 
+def _q_link_edges_nofollow(sf_dir: str):
+    """rel=nofollow honoring (stages/linkgraph.links_batch
+    drop_nofollow): pages gain a tracker{i%13} link that carries
+    rel="nofollow" on EVEN ids only — the extractor must keep the
+    planted arithmetic edges plus exactly the odd-id tracker edges.
+    Same single vectorized pass; one extra RE2 match on the link
+    pieces."""
+    from dupers_ray.stages.linkgraph import extract_links
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n, "nofollow": True},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return extract_links(pages, drop_nofollow=True)
+
+
 def _q_pagerank_hosts(sf_dir: str):
     """Integer fixed-point PageRank (2 power iterations, damping 85/100,
     rank in ppm) over the extracted host graph — stages/linkgraph.
@@ -3344,6 +3363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": _q_main_content,
         "noindex_filter": _q_noindex_filter,
         "latest_snapshot": _q_latest_snapshot,
+        "link_edges_nofollow": _q_link_edges_nofollow,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3684,6 +3704,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id LIMIT 50
         """,
         "link_edges": _LINK_EDGES_SQL,
+        "link_edges_nofollow": """
+            WITH n AS (SELECT count(*) AS cnt FROM documents),
+            j AS (SELECT unnest(range(3)) AS j)
+            SELECT d.doc_id,
+                   'host' || CAST(d.doc_id AS VARCHAR) || '.example'
+                       AS src_host,
+                   'host' || CAST((d.doc_id * 31 + 7 * j.j + 1) % n.cnt
+                       AS VARCHAR) || '.example' AS dst_host
+            FROM documents d, j, n
+            WHERE j.j < 1 + d.doc_id % 3
+            UNION ALL
+            SELECT d.doc_id,
+                   'host' || CAST(d.doc_id AS VARCHAR) || '.example'
+                       AS src_host,
+                   'tracker' || CAST(d.doc_id % 13 AS VARCHAR)
+                       || '.example' AS dst_host
+            FROM documents d WHERE d.doc_id % 2 = 1
+        """,
         "pagerank_hosts": _PAGERANK_SQL,
         "hits_hosts": _HITS_SQL,
         "anchor_profiles": _ANCHOR_PROFILES_SQL,

@@ -53,12 +53,17 @@ def links_batch(
     html_col: str = "html",
     host_col: str = "src_host",
     anchors: bool = False,
+    drop_nofollow: bool = False,
 ) -> pa.Table:
     """The per-batch kernel of :func:`extract_links` (module-level so
     the fuzz tests can drive it without a Ray dataset). Total on ANY
     input bytes: non-UTF-8 html decodes lossily (U+FFFD), malformed
     hrefs drop to zero rows. With ``anchors=True`` an ``anchor`` column
-    carries the link's inner text (empty when the tag never closes)."""
+    carries the link's inner text (empty when the tag never closes).
+    With ``drop_nofollow=True``, links whose tag declares
+    ``rel=nofollow`` are dropped — the PageRank-relevant crawler rule
+    (rel attributes BEFORE the href fall outside the split piece and
+    are not seen; same post-href scope as the anchor extraction)."""
     import pyarrow.compute as pc
 
     html = t.column(html_col)
@@ -96,6 +101,11 @@ def links_batch(
         pc.extract_regex(url, r'^https://(?P<host>[^/"]+)'), "host"
     )
     ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
+    if drop_nofollow:
+        nf = pc.match_substring_regex(
+            flat, r'(?i)^[^"]*"[^>]*\brel\s*=\s*["\x27]?[^"\x27>]*nofollow'
+        ).to_numpy(zero_copy_only=False)
+        ok &= ~nf
     idx = pa.array(parent[ok])
     cols = {
         id_col: t.column(id_col).take(idx),
@@ -119,6 +129,7 @@ def extract_links(
     html_col: str = "html",
     host_col: str = "src_host",
     anchors: bool = False,
+    drop_nofollow: bool = False,
 ) -> "ray.data.Dataset":
     """(id, src_host, dst_host[, anchor]) — one row per https link; the
     page's own host comes from its self-identifying ``host_col``. Pages
@@ -131,6 +142,7 @@ def extract_links(
         functools.partial(
             links_batch, id_col=id_col, html_col=html_col,
             host_col=host_col, anchors=anchors,
+            drop_nofollow=drop_nofollow,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -262,6 +262,7 @@ def synth_doc_html(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_docs: int = 500,
+    nofollow: bool = False,
 ) -> "pa.Table":
     """Deterministic synthetic html page per document, with
     ARITHMETICALLY planted outlinks so a DuckDB oracle can restate the
@@ -270,7 +271,10 @@ def synth_doc_html(
     .example`` for j in range(1 + i % 3), with anchor text
     ``t{(i + j) % 7}`` (planted arithmetic too, so anchor_profiles has a
     value oracle). The page also carries decoy relative/ftp hrefs that a
-    correct extractor must DROP. Output: (id, src_host, html binary)."""
+    correct extractor must DROP. With ``nofollow=True`` every page gains
+    a ``tracker{i % 13}.example`` link that carries ``rel="nofollow"``
+    on EVEN ids only — a nofollow-honoring extractor must keep exactly
+    the odd-id tracker edges. Output: (id, src_host, html binary)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
     hosts: list[str] = []
@@ -281,9 +285,15 @@ def synth_doc_html(
             f'/p/{i}-{j}" rel="x">t{(i + j) % 7}</a>'
             for j in range(1 + i % 3)
         )
+        tracker = ""
+        if nofollow:
+            rel = ' rel="nofollow"' if i % 2 == 0 else ""
+            tracker = (
+                f'<a href="https://tracker{i % 13}.example/t"{rel}>sp</a>'
+            )
         body = (
             f'<html><head><a href="/relative/nav">skip</a></head><body>'
-            f'<p>{(text or "")[:80]}</p>{links}'
+            f'<p>{(text or "")[:80]}</p>{links}{tracker}'
             f'<a href="ftp://legacy.example/f">old</a></body></html>'
         )
         hosts.append(f"host{i}.example")

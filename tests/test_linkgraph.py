@@ -223,3 +223,25 @@ def test_anchor_unclosed_tag_empty():
     got = links_batch(t, anchors=True)
     assert got.column("dst_host").to_pylist() == ["x.example"]
     assert got.column("anchor").to_pylist() == [""]
+
+
+def test_drop_nofollow_scopes_to_rel_value():
+    from dupers_ray.stages.linkgraph import links_batch
+
+    html = (
+        '<a href="https://keep1.example/a" rel="x">k</a>'
+        '<a href="https://drop.example/b" rel="nofollow">d</a>'
+        "<a href=\"https://drop2.example/c\" REL='ugc nofollow'>d</a>"
+        '<a href="https://keep2.example/d">k</a>'
+        # "nofollow" in prose after the tag closes must not poison the link
+        '<a href="https://keep3.example/e" rel="me">see nofollow docs</a>'
+    )
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "src_host": pa.array(["s.example"]),
+        "html": pa.array([html], pa.string()),
+    })
+    kept = links_batch(t, drop_nofollow=True).column("dst_host").to_pylist()
+    assert kept == ["keep1.example", "keep2.example", "keep3.example"]
+    # default keeps everything
+    assert len(links_batch(t)) == 5
