@@ -115,6 +115,43 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_web_curated(sf_dir: str):
+    """End-to-end WEB curation composition over block pages: noindex
+    filter → link-density main-content extraction → host-scoped
+    boilerplate removal, each stage individually oracle-green
+    (noindex_filter / main_content / host_boilerplate). One synth pass,
+    one content pass, the boilerplate two-pass — no joins; the oracle
+    chains the same three statements."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.extract import extract_main_content
+    from dupers_ray.stages.filters import drop_noindex
+    from dupers_ray.stages.linededup import remove_host_boilerplate
+    from dupers_ray.synth import synth_doc_html_blocks
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    # synth_doc_html_blocks emits (doc_id, html); carry source for the
+    # host key of the boilerplate stage
+    def with_source(t: _pa.Table) -> _pa.Table:
+        page = synth_doc_html_blocks(t)
+        return page.append_column("source", t.column("source"))
+
+    pages = docs.map_batches(
+        with_source, batch_format="pyarrow", zero_copy_batch=True
+    )
+    content = drop_noindex(pages).map_batches(
+        extract_main_content, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "source", "main_text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return remove_host_boilerplate(
+        content, id_col="doc_id", text_col="main_text", key_col="source",
+        tokens_per_line=10, min_docs=2,
+    )
+
+
 def _q_fast_membership(sf_dir: str):
     """dupers -fast mode (lookupOne over the preloaded Compare map,
     pkg/dupe/dupe.go:919-931; -fast status counts lookups not files,
@@ -3364,6 +3401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noindex_filter": _q_noindex_filter,
         "latest_snapshot": _q_latest_snapshot,
         "link_edges_nofollow": _q_link_edges_nofollow,
+        "web_curated": _q_web_curated,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3513,6 +3551,43 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "web_curated": """
+            WITH base AS (
+                SELECT doc_id, source,
+                       ltrim(COALESCE(text, '') ||
+                             CASE WHEN doc_id % 4 = 0
+                                  THEN ' promo ' || CAST(doc_id AS VARCHAR)
+                                       || ' extra'
+                                  ELSE '' END) AS mt
+                FROM documents
+                WHERE doc_id % 7 <> 3
+            ), split AS (
+                SELECT doc_id, source, string_split(mt, ' ') AS tk FROM base
+            ), lines AS (
+                SELECT doc_id, source, li,
+                       array_to_string(tk[li*10+1 : li*10+10], ' ') AS line
+                FROM split,
+                     LATERAL (SELECT unnest(generate_series(
+                                  0, (len(tk)-1)//10)) AS li)
+            ), freq AS (
+                SELECT source, line FROM lines
+                GROUP BY source, line HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+                SELECT l.doc_id, l.li, l.line FROM lines l
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM freq f
+                    WHERE f.source = l.source AND f.line = l.line
+                )
+            )
+            SELECT s.doc_id,
+                   CAST((len(s.tk)-1)//10 + 1 AS BIGINT) AS n_lines,
+                   CAST((len(s.tk)-1)//10 + 1 - count(k.line)
+                        AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.line, ' ' ORDER BY k.li), '')
+                       AS clean_text
+            FROM split s LEFT JOIN kept k ON s.doc_id = k.doc_id
+            GROUP BY s.doc_id, len(s.tk)
         """,
         "fast_membership": """
             SELECT d.doc_id,

@@ -67,3 +67,26 @@ def test_planted_blocks_round_trip():
         4: "t four promo 4 extra",
         7: "",
     }
+
+
+def test_fuzz_total_on_garbage_bytes():
+    """Total on ANY input: random/truncated/bit-flipped html never
+    crashes main_content_one or the noindex regex (the archive-sniffer
+    fuzz contract, applied to the html kernels)."""
+    import numpy as np
+
+    from dupers_ray.stages.filters import _NOINDEX_RE
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(7)
+    blobs = [bytes(rng.integers(0, 256, rng.integers(0, 400))) for _ in range(60)]
+    blobs += [
+        b"<p" * 50, b"<a href=\"" * 30, b"<meta name=robots" * 20,
+        b"<html>" + bytes(rng.integers(0, 256, 100)) + b"</html>",
+    ]
+    for b in blobs:
+        s = main_content_one(b)
+        assert isinstance(s, str)
+    arr = pa.array(blobs, pa.binary())
+    m = pc.match_substring_regex(arr, _NOINDEX_RE)
+    assert len(m) == len(blobs)
