@@ -115,6 +115,44 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """From-scratch WARC container (sources/warc.py, ISO 28500 — the
+    actual Common-Crawl page format): per batch, docs become response
+    records with arithmetic url/date, serialized as per-record gzip
+    members (the CC layout) and parsed BACK through the reader — url,
+    second-resolution WARC-Date, and the HTTP-header-stripped body must
+    all survive, which the oracle states directly."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from dupers_ray.sources.warc import build_warc, parse_warc
+
+    def roundtrip(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        recs = [
+            (
+                f"https://host{i}.example/p",
+                1_700_000_000_000_000 + i * 1_000_000,
+                f"<p>{tx or ''}</p>".encode(),
+            )
+            for i, tx in zip(ids, texts)
+        ]
+        parsed = parse_warc(build_warc(recs, gzip_members=True))
+        assert parsed.column("warc_error").null_count == len(parsed)
+        return _pa.table({
+            "url": parsed.column("url"),
+            "warc_ts": parsed.column("warc_ts"),
+            "n_bytes": _pc.binary_length(parsed.column("html")).cast(
+                _pa.int64()
+            ),
+        })
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_web_curated(sf_dir: str):
     """End-to-end WEB curation composition over block pages: noindex
     filter → link-density main-content extraction → host-scoped
@@ -3402,6 +3440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": _q_latest_snapshot,
         "link_edges_nofollow": _q_link_edges_nofollow,
         "web_curated": _q_web_curated,
+        "warc_roundtrip": _q_warc_roundtrip,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3551,6 +3590,15 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/p' AS url,
+                   make_timestamp(1700000000000000
+                                  + doc_id * 1000000) AS warc_ts,
+                   CAST(strlen('<p>' || COALESCE(text, '') || '</p>')
+                        AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "web_curated": """
             WITH base AS (
