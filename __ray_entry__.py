@@ -115,6 +115,42 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_surt_keys(sf_dir: str):
+    """SURT keys (stages/urlnorm.surt_key — the openwayback/CDX
+    sort-friendly URL transform): arithmetic crawl URLs, half carrying a
+    www. prefix the transform must strip, run through canonical_url →
+    surt_key; the oracle states the reversed-host arithmetic directly
+    (both www and bare variants land on the same key)."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.urlnorm import canonical_url, surt_key
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls = [
+            f"https://{'www.' if i % 2 == 0 else ''}sub{i % 5}"
+            f".site{i % 97}.example/p{i % 4}/x?b={i % 3}&a=1"
+            for i in ids
+        ]
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": _pa.array(urls, _pa.string()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = pages.map_batches(
+        canonical_url, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        surt_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "surt"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """From-scratch WARC container (sources/warc.py, ISO 28500 — the
     actual Common-Crawl page format): per batch, docs become response
@@ -3441,6 +3477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges_nofollow": _q_link_edges_nofollow,
         "web_curated": _q_web_curated,
         "warc_roundtrip": _q_warc_roundtrip,
+        "surt_keys": _q_surt_keys,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3590,6 +3627,15 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "surt_keys": """
+            SELECT doc_id,
+                   'example,site' || CAST(doc_id % 97 AS VARCHAR)
+                       || ',sub' || CAST(doc_id % 5 AS VARCHAR)
+                       || ')/p' || CAST(doc_id % 4 AS VARCHAR)
+                       || '/x?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+                       AS surt
+            FROM documents
         """,
         "warc_roundtrip": """
             SELECT 'https://host' || CAST(doc_id AS VARCHAR)

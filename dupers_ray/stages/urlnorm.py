@@ -121,6 +121,57 @@ def canonical_url(
     return batch.append_column(out_col, canon)
 
 
+def surt_key(
+    batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "surt",
+) -> pa.Table:
+    """SURT — Sort-friendly URI Reordering Transform, the key format web
+    archives and Common Crawl's CDX indexes use (public openwayback
+    spec): reverse the host labels comma-joined, ``)``, then the path +
+    query. ``www.``-prefix and port are dropped (the standard SURT
+    canonicalization options), so ``https://www.a.b.example/p?q=1`` →
+    ``example,b,a)/p?q=1``. Expects a CANONICAL url column
+    (:func:`canonical_url`: lowercase, sorted params).
+
+    Vectorized: ONE split + a numpy within-list reversal permutation on
+    the flattened labels (2*start + len - 1 - i) + one list join — no
+    per-row Python. Non-URL rows yield null."""
+    import numpy as np
+
+    m = pc.extract_regex(
+        batch.column(url_col),
+        pattern=r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://(?P<auth>[^/?]*)"
+                r"(?P<rest>.*)$",
+    )
+    auth = pc.struct_field(m, "auth")
+    rest = pc.struct_field(m, "rest")
+    host = pc.replace_substring_regex(auth, pattern=r":\d+$", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r"^www\.", replacement="")
+
+    parts = pc.split_pattern(pc.fill_null(host, ""), ".")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    flat = pc.list_flatten(parts)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    starts = np.cumsum(lens) - lens
+    starts_r = np.repeat(starts, lens)
+    lens_r = np.repeat(lens, lens)
+    idx = np.arange(int(lens.sum()), dtype=np.int64)
+    perm = 2 * starts_r + lens_r - 1 - idx
+    rev = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32()),
+        flat.take(pa.array(perm)),
+    )
+    rev_host = pc.binary_join(rev, ",")
+    surt = pc.binary_join_element_wise(
+        rev_host, ")", pc.fill_null(rest, ""), ""
+    )
+    surt = pc.if_else(pc.is_null(auth), pa.scalar(None, pa.string()), surt)
+    if out_col in batch.column_names:
+        return batch.set_column(batch.column_names.index(out_col), out_col, surt)
+    return batch.append_column(out_col, surt)
+
+
 def registrable_domain(
     batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "domain",
 ) -> pa.Table:

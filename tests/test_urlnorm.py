@@ -168,3 +168,49 @@ def test_domain_top_terms(ray_session):
     # two.org: fish x3, cat x1
     assert rows == [("one.com", "cat", 3), ("one.com", "bird", 1),
                     ("two.org", "fish", 3), ("two.org", "cat", 1)]
+
+
+def test_surt_key_cases():
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import surt_key
+
+    t = pa.table({"url_canon": [
+        "https://www.a.b.example/p?q=1",   # www stripped, labels reversed
+        "https://example.com/",
+        "https://single/x",                 # single-label host
+        "https://host.example:8080/p",      # port dropped
+        "http://x.y/",                      # scheme dropped either way
+        "not a url",                        # null out
+        None,
+        "",                                 # empty string -> null
+    ]})
+    got = surt_key(t).column("surt").to_pylist()
+    assert got == [
+        "example,b,a)/p?q=1",
+        "com,example)/",
+        "single)/x",
+        "example,host)/p",
+        "y,x)/",
+        None,
+        None,
+        None,
+    ]
+
+
+def test_surt_key_batch_permutation_is_per_list():
+    """The within-list reversal must not leak labels across rows —
+    mixed label counts in one batch."""
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import surt_key
+
+    t = pa.table({"url_canon": [
+        "https://a.b.c.d.example/1",
+        "https://q.example/2",
+        "https://x.y.z/3",
+    ]})
+    got = surt_key(t).column("surt").to_pylist()
+    assert got == [
+        "example,d,c,b,a)/1", "example,q)/2", "z,y,x)/3",
+    ]
