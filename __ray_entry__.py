@@ -189,6 +189,37 @@ def _q_warc_roundtrip(sf_dir: str):
     )
 
 
+def _q_cdx_index(sf_dir: str):
+    """CDX capture index (sources/warc.cdx_index — the index Common
+    Crawl publishes next to its WARCs): arithmetic pages → WARC build →
+    parse → canonical/SURT → sha256 digest → ONE global (surt, ts) sort
+    (the intended all-to-all of index building). Composes three
+    oracle-green stages; the oracle states every column directly."""
+    import pyarrow as _pa
+
+    from dupers_ray.sources.warc import build_warc, cdx_index, parse_warc
+
+    def to_pages(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        recs = [
+            (
+                f"https://host{i}.example/p",
+                1_700_000_000_000_000 + i * 1_000_000,
+                f"<p>{tx or ''}</p>".encode(),
+            )
+            for i, tx in zip(ids, texts)
+        ]
+        return parse_warc(build_warc(recs, gzip_members=True)).drop_columns(
+            ["warc_error"]
+        )
+
+    pages = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cdx_index(pages)
+
+
 def _q_web_curated(sf_dir: str):
     """End-to-end WEB curation composition over block pages: noindex
     filter → link-density main-content extraction → host-scoped
@@ -3478,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_curated": _q_web_curated,
         "warc_roundtrip": _q_warc_roundtrip,
         "surt_keys": _q_surt_keys,
+        "cdx_index": _q_cdx_index,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3627,6 +3659,19 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "cdx_index": """
+            SELECT 'example,host' || CAST(doc_id AS VARCHAR) || ')/p'
+                       AS surt,
+                   make_timestamp(1700000000000000
+                                  + doc_id * 1000000) AS warc_ts,
+                   'https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/p' AS url,
+                   sha256('<p>' || COALESCE(text, '') || '</p>')
+                       AS digest,
+                   CAST(strlen('<p>' || COALESCE(text, '') || '</p>')
+                        AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "surt_keys": """
             SELECT doc_id,

@@ -168,6 +168,39 @@ def build_warc(
     return out.getvalue()
 
 
+def cdx_index(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """CDX-style capture index over parsed WARC pages — the queryable
+    index Common Crawl publishes next to its WARCs: one row per capture
+    ``(surt, warc_ts, url, digest, n_bytes)``, globally sorted by
+    ``(surt, warc_ts)`` so lookups are range-partition pruned. The sort
+    is the ONE intended all-to-all of index building (range-partitioned
+    output files ARE the index); everything before it is stateless
+    map_batches (canonical_url → surt_key → sha256 digest)."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.stages.digest import add_digests
+    from dupers_ray.stages.urlnorm import canonical_url, surt_key
+
+    rows = pages.map_batches(
+        canonical_url, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        surt_key, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        add_digests, fn_kwargs={"content_col": "html"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: pa.table({
+            "surt": t.column("surt"),
+            "warc_ts": t.column("warc_ts"),
+            "url": t.column("url"),
+            "digest": t.column("digest"),
+            "n_bytes": pc.binary_length(t.column("html")).cast(pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return rows.sort(["surt", "warc_ts"])
+
+
 def read_warc_files(paths: list[str] | str) -> "ray.data.Dataset":
     """WARC files on disk → pages dataset ``(url, warc_ts, html,
     warc_error)``. One stateless vectorized parse per file row; file

@@ -75,3 +75,28 @@ def test_read_warc_files_ingest(tmp_path):
     rows = sorted(ds.take_all(), key=lambda r: r["url"])
     assert [r["url"] for r in rows] == [u for u, _, _ in RECS]
     assert rows[0]["html"] == b"<p>one</p>"
+
+
+def test_cdx_index_sorted_and_complete():
+    import ray.data as rd
+
+    from dupers_ray.sources.warc import cdx_index
+
+    t = pa.table({
+        "url": ["https://b.example/x", "https://a.example/y",
+                "https://a.example/y"],
+        "warc_ts": pa.array(
+            [2_000_000, 1_000_000, 3_000_000], pa.timestamp("us")
+        ),
+        "html": pa.array([b"bb", b"aa", b"aa2"], pa.binary()),
+    })
+    rows = cdx_index(rd.from_arrow(t).repartition(2)).take_all()
+    keys = [(r["surt"], r["warc_ts"]) for r in rows]
+    assert keys == sorted(keys)  # globally (surt, ts) sorted
+    assert [r["surt"] for r in rows] == [
+        "example,a)/y", "example,a)/y", "example,b)/x"
+    ]
+    assert rows[0]["n_bytes"] == 2 and rows[2]["url"] == "https://b.example/x"
+    import hashlib
+
+    assert rows[2]["digest"] == hashlib.sha256(b"bb").hexdigest()
