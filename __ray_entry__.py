@@ -115,6 +115,57 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_charset_transcode(sf_dir: str):
+    """Charset sniff + transcode-at-ingest (stages/extract.sniff_charset
+    / transcode_html — WHATWG sniff subset: BOM, then meta charset,
+    then utf-8): pages planted in utf-16le-BOM (doc_id%3==1),
+    meta-labelled latin-1 (%3==2) and plain utf-8, all carrying the
+    non-ASCII marker ``café``, must come back as IDENTICAL utf-8 text
+    with the right label. Oracle states label arithmetic + the exact
+    text."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.extract import extract_text_one, transcode_html
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        pages = []
+        for i, tx in zip(ids, texts):
+            body = f"<p>{tx or ''} café {i}</p>"
+            if i % 3 == 1:
+                raw = ("<html>" + body + "</html>").encode("utf-16")  # BOM'd
+            elif i % 3 == 2:
+                raw = (
+                    '<html><head><meta charset="iso-8859-1"></head>'
+                    + body + "</html>"
+                ).encode("latin-1")
+            else:
+                raw = ("<html>" + body + "</html>").encode("utf-8")
+            pages.append(raw)
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "html": _pa.array(pages, _pa.binary()),
+        })
+
+    def finish(t: _pa.Table) -> _pa.Table:
+        texts = [
+            extract_text_one(b) for b in t.column("html").to_pylist()
+        ]
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "charset": t.column("charset"),
+            "text": _pa.array(texts, _pa.string()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pages.map_batches(
+        transcode_html, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_surt_keys(sf_dir: str):
     """SURT keys (stages/urlnorm.surt_key — the openwayback/CDX
     sort-friendly URL transform): arithmetic crawl URLs, half carrying a
@@ -3510,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "surt_keys": _q_surt_keys,
         "cdx_index": _q_cdx_index,
+        "charset_transcode": _q_charset_transcode,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3659,6 +3711,16 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "charset_transcode": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                        WHEN 1 THEN 'utf-16-le'
+                        WHEN 2 THEN 'latin-1'
+                        ELSE 'utf-8' END AS charset,
+                   COALESCE(text, '') || ' café ' || CAST(doc_id AS VARCHAR)
+                       AS text
+            FROM documents
         """,
         "cdx_index": """
             SELECT 'example,host' || CAST(doc_id AS VARCHAR) || ')/p'

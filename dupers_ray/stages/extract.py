@@ -54,6 +54,75 @@ def extract_text(batch: pa.Table, *, html_col: str = "html", out_col: str = "tex
     return batch.append_column(out_col, arr)
 
 
+_META_CHARSET_RE = re.compile(
+    rb"(?is)<meta\s+[^>]*charset\s*=\s*[\"']?\s*([a-z0-9_\-]+)"
+)
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8", "ascii": "utf-8",
+    "us-ascii": "utf-8",
+    "latin-1": "latin-1", "latin1": "latin-1", "iso-8859-1": "latin-1",
+    "iso8859-1": "latin-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+}
+
+
+def sniff_charset(html: bytes | None) -> str:
+    """Charset detection the way crawl ingest does it (WHATWG encoding
+    sniff, the deterministic subset): BOM first (utf-8 / utf-16 LE/BE),
+    else ``<meta charset=…>`` / http-equiv charset in the first 1024
+    bytes (ASCII-compatible prelude), else utf-8. Returns the canonical
+    python codec name."""
+    if not html:
+        return "utf-8"
+    if html[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if html[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if html[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    m = _META_CHARSET_RE.search(html[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        return _CHARSET_ALIASES.get(label, "utf-8")
+    return "utf-8"
+
+
+def transcode_html(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    charset_col: str = "charset",
+) -> pa.Table:
+    """Normalize every page to utf-8 bytes: sniff (BOM / meta charset),
+    decode with errors="replace", re-encode utf-8; the detected label
+    lands in ``charset_col``. Downstream digest/extract then see ONE
+    encoding — the transcode-at-ingest step of every real crawl
+    pipeline (CC WET generation does the same). utf-16 BOMs strip; a
+    wrong or missing label degrades to replacement chars, never an
+    exception."""
+    out: list[bytes] = []
+    labels: list[str] = []
+    for b in batch.column(html_col).to_pylist():
+        cs = sniff_charset(b)
+        labels.append(cs)
+        if b is None:
+            out.append(b"")
+            continue
+        if cs in ("utf-8", "utf-8-sig"):
+            s = b.decode("utf-8-sig" if cs == "utf-8-sig" else "utf-8",
+                         "replace")
+        elif cs in ("utf-16-le", "utf-16-be"):
+            # the plain utf-16 codec consumes the BOM (utf-16-le/-be
+            # would keep it as a leading U+FEFF)
+            s = b.decode("utf-16", "replace")
+        else:
+            s = b.decode(cs, "replace")
+        out.append(s.encode("utf-8"))
+    idx = batch.column_names.index(html_col)
+    batch = batch.set_column(idx, html_col, pa.array(out, pa.binary()))
+    return batch.append_column(charset_col, pa.array(labels, pa.string()))
+
+
 _BLOCK_RE = re.compile(
     rb"(?i)</?(?:p|div|nav|header|footer|aside|article|section|li|ul|ol|"
     rb"table|tr|td|h[1-6]|br)\b[^>]*>"

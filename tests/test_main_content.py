@@ -90,3 +90,41 @@ def test_fuzz_total_on_garbage_bytes():
     arr = pa.array(blobs, pa.binary())
     m = pc.match_substring_regex(arr, _NOINDEX_RE)
     assert len(m) == len(blobs)
+
+
+def test_charset_sniff_and_transcode():
+    from dupers_ray.stages.extract import sniff_charset, transcode_html
+
+    text = "héllo wörld — café"
+    cases = [
+        (("<p>" + text + "</p>").encode("utf-8"), "utf-8"),
+        (b"\xef\xbb\xbf" + ("<p>" + text + "</p>").encode("utf-8"),
+         "utf-8-sig"),
+        (("<p>" + text + "</p>").encode("utf-16"), "utf-16-le"),
+        (("<p>" + text + "</p>").encode("utf-16-be"), "utf-8"),  # no BOM
+        (('<meta charset="ISO-8859-1"><p>' + text.replace("—", "-")
+          + "</p>").encode("latin-1"), "latin-1"),
+        (("<meta http-equiv=\"Content-Type\" content=\"text/html; "
+          "charset=windows-1252\"><p>" + text + "</p>")
+         .encode("cp1252"), "windows-1252"),
+        (b"", "utf-8"),
+        (None, "utf-8"),
+    ]
+    for raw, want in cases:
+        assert sniff_charset(raw) == want, (raw[:30], want)
+
+    t = pa.table({"html": pa.array(
+        [c for c, _ in cases], pa.binary()
+    )})
+    out = transcode_html(t)
+    # every decodable page round-trips to the same utf-8 text bytes
+    from dupers_ray.stages.extract import extract_text_one
+
+    got = [extract_text_one(b) for b in out.column("html").to_pylist()]
+    assert got[:3] == [text, text, text]
+    assert got[4] == text.replace("—", "-") and got[5] == text
+    assert got[6] == "" and got[7] == ""
+    # BOM never leaks into the transcoded bytes
+    assert not out.column("html").to_pylist()[2].startswith(
+        b"\xef\xbb\xbf"
+    )
