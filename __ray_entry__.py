@@ -115,6 +115,56 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_robots_check(sf_dir: str):
+    """RFC 9309 robots.txt gate (stages/robots.py — actor-pool stage,
+    rules compiled once per actor from ONE broadcast dict): host
+    h = doc_id % 23 disallows /p{h%5} but allows the more specific
+    /p{h%5}/ok (longest-match precedence), and every host disallows
+    /q* (wildcard). Page paths are planted arithmetically, so the
+    allowed flag is pure doc_id arithmetic the oracle states
+    directly."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.robots import robots_check
+
+    robots = {
+        f"host{h}.example": (
+            "User-agent: *\n"
+            f"Disallow: /p{h % 5}\n"
+            f"Allow: /p{h % 5}/ok\n"
+            "Disallow: /q*\n"
+        )
+        for h in range(23)
+    }
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for i in ids:
+            h = i % 23
+            hosts.append(f"host{h}.example")
+            if i % 11 == 5:
+                paths.append(f"/q{i % 3}/z")
+            else:
+                paths.append(
+                    f"/p{i % 5}" + ("/ok" if i % 7 == 0 else "/x")
+                )
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "host": _pa.array(hosts, _pa.string()),
+            "path": _pa.array(paths, _pa.string()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = robots_check(pages, robots)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "allowed"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_charset_transcode(sf_dir: str):
     """Charset sniff + transcode-at-ingest (stages/extract.sniff_charset
     / transcode_html — WHATWG sniff subset: BOM, then meta charset,
@@ -3562,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_keys": _q_surt_keys,
         "cdx_index": _q_cdx_index,
         "charset_transcode": _q_charset_transcode,
+        "robots_check": _q_robots_check,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3711,6 +3762,16 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "robots_check": """
+            SELECT doc_id,
+                   CASE
+                       WHEN doc_id % 11 = 5 THEN FALSE          -- /q* wildcard
+                       WHEN doc_id % 5 <> (doc_id % 23) % 5 THEN TRUE
+                       WHEN doc_id % 7 = 0 THEN TRUE            -- Allow /p{..}/ok
+                       ELSE FALSE                               -- Disallow /p{..}
+                   END AS allowed
+            FROM documents
         """,
         "charset_transcode": """
             SELECT doc_id,
