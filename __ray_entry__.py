@@ -321,6 +321,43 @@ def _q_cdx_index(sf_dir: str):
     return cdx_index(pages)
 
 
+def _q_wet_roundtrip(sf_dir: str):
+    """WET sidecar (Common Crawl's extracted-text companion to WARC:
+    ``conversion`` records whose payload is the bare utf-8 text, no
+    HTTP headers): build → parse with ``types=('conversion',)`` — the
+    reader must keep conversion records, skip the interleaved
+    ``response`` records, and return the text bytes verbatim."""
+    import pyarrow as _pa
+
+    from dupers_ray.sources.warc import build_warc, parse_warc
+
+    def roundtrip(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        buf = bytearray()
+        for i, tx in zip(ids, texts):
+            url = f"https://host{i}.example/p"
+            ts = 1_700_000_000_000_000 + i * 1_000_000
+            # interleave a response record the conversion parse must skip
+            buf += build_warc([(url, ts, b"<p>ignored</p>")])
+            rec = build_warc(
+                [(url, ts, (tx or "").encode())], http_headers=False
+            )
+            buf += rec.replace(
+                b"WARC-Type: response", b"WARC-Type: conversion", 1
+            )
+        parsed = parse_warc(bytes(buf), types=("conversion",))
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": parsed.column("url"),
+            "text": parsed.column("html").cast(_pa.string()),
+        })
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_web_curated(sf_dir: str):
     """End-to-end WEB curation composition over block pages: noindex
     filter → link-density main-content extraction → host-scoped
@@ -3613,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": _q_cdx_index,
         "charset_transcode": _q_charset_transcode,
         "robots_check": _q_robots_check,
+        "wet_roundtrip": _q_wet_roundtrip,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3762,6 +3800,13 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "wet_roundtrip": """
+            SELECT doc_id,
+                   'https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/p' AS url,
+                   COALESCE(text, '') AS text
+            FROM documents
         """,
         "robots_check": """
             SELECT doc_id,
