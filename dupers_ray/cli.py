@@ -414,6 +414,49 @@ def cmd_select(a) -> int:
     return 0
 
 
+def cmd_warc(a) -> int:
+    """Ingest WARC/WET files (sources/warc.py, ISO 28500): pages come
+    back as (url, warc_ts, html, warc_error) parquet; --cdx instead
+    emits the globally (surt, ts)-sorted capture index."""
+    from dupers_ray.sources.warc import cdx_index, read_warc_files
+
+    pages = read_warc_files(a.files)
+    if a.cdx:
+        _emit(cdx_index(pages.drop_columns(["warc_error"])), a.out, "cdx")
+    else:
+        _emit(pages, a.out, "warc")
+    return 0
+
+
+def cmd_curate(a) -> int:
+    """Web-curation chain over a pages corpus with raw html: meta-robots
+    noindex filter → link-density main content → host-scoped
+    boilerplate removal (the web_curated pipeline)."""
+    import pyarrow as pa
+
+    from dupers_ray.stages.extract import extract_main_content
+    from dupers_ray.stages.filters import drop_noindex
+    from dupers_ray.stages.linededup import remove_host_boilerplate
+
+    corpus = _read(a.corpus).select_columns(
+        [a.id_col, a.host_col, a.html_col]
+    )
+    content = drop_noindex(corpus, html_col=a.html_col).map_batches(
+        extract_main_content, fn_kwargs={"html_col": a.html_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.drop_columns([a.html_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = remove_host_boilerplate(
+        content, id_col=a.id_col, text_col="main_text",
+        key_col=a.host_col, tokens_per_line=a.tokens_per_line,
+        min_docs=a.min_docs,
+    )
+    _emit(out, a.out, "curate")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dupers_ray", description=__doc__.splitlines()[0]
@@ -518,6 +561,26 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--k", type=int, default=0, help="keep only the top-k")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_select)
+
+    s = sub.add_parser("warc", help="ingest WARC/WET files (ISO 28500)")
+    s.add_argument("files", nargs="+")
+    s.add_argument("--cdx", action="store_true",
+                   help="emit the (surt, ts)-sorted capture index instead")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_warc)
+
+    s = sub.add_parser(
+        "curate",
+        help="noindex filter + main content + host boilerplate removal",
+    )
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="url")
+    s.add_argument("--host-col", default="host")
+    s.add_argument("--html-col", default="html")
+    s.add_argument("--tokens-per-line", type=int, default=10)
+    s.add_argument("--min-docs", type=int, default=2)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_curate)
     return p
 
 

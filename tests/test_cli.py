@@ -234,3 +234,54 @@ def test_rank_and_select_verbs(env, tmp_path, capsys):
     sel = pq.read_table(out3)
     assert sel.num_rows == 3
     assert set(sel.column_names) == {"doc_id", "n_tokens", "score"}
+
+
+def test_warc_and_curate_verbs(tmp_path):
+    import numpy as np
+
+    from dupers_ray.sources.warc import build_warc
+    from dupers_ray.synth import synth_doc_html_blocks
+
+    # warc verb: two files (one gzip-membered), pages + cdx outputs
+    recs = [
+        (f"https://h{i}.example/p", 1_700_000_000_000_000 + i * 1_000_000,
+         f"<p>body {i}</p>".encode())
+        for i in range(6)
+    ]
+    w1, w2 = str(tmp_path / "a.warc"), str(tmp_path / "b.warc.gz")
+    open(w1, "wb").write(build_warc(recs[:3]))
+    open(w2, "wb").write(build_warc(recs[3:], gzip_members=True))
+
+    out = str(tmp_path / "pages")
+    assert main(["warc", w1, w2, "--out", out]) == 0
+    t = pq.read_table(out)
+    assert t.num_rows == 6
+    assert set(t.column_names) == {"url", "warc_ts", "html", "warc_error"}
+
+    out2 = str(tmp_path / "cdx")
+    assert main(["warc", w1, w2, "--cdx", "--out", out2]) == 0
+    c = pq.read_table(out2).sort_by("surt")
+    assert c.num_rows == 6
+    assert c.column("surt")[0].as_py() == "example,h0)/p"
+
+    # curate verb over block pages with a host column
+    docs = pa.table({
+        "doc_id": list(range(8)),
+        "text": [f"alpha beta gamma delta {i}" for i in range(8)],
+        "host": ["a"] * 4 + ["b"] * 4,
+    })
+    pages = synth_doc_html_blocks(docs)
+    pages = pages.append_column("host", docs.column("host"))
+    corpus = str(tmp_path / "blocks.parquet")
+    pq.write_table(pages, corpus)
+    out3 = str(tmp_path / "curated")
+    assert main(["curate", corpus, "--id-col", "doc_id", "--out", out3]) == 0
+    cur = pq.read_table(out3)
+    # doc_id % 7 == 3 dropped by noindex -> 7 rows survive
+    assert cur.num_rows == 7
+    assert set(cur.column_names) == {
+        "doc_id", "n_lines", "n_removed", "clean_text"
+    }
+    by_id = {d: s for d, s in zip(cur.column("doc_id").to_pylist(),
+                                  cur.column("clean_text").to_pylist())}
+    assert "alpha beta gamma delta 5" in by_id[5]
