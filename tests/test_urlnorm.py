@@ -214,3 +214,34 @@ def test_surt_key_batch_permutation_is_per_list():
     assert got == [
         "example,d,c,b,a)/1", "example,q)/2", "z,y,x)/3",
     ]
+
+
+def test_surt_reversal_property():
+    """SURT host reversal is an involution: reversing the comma labels
+    of the surt recovers the (www/port-stripped) host — for random
+    label shapes across a mixed batch."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from dupers_ray.stages.urlnorm import surt_key
+
+    label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0-9", min_size=1,
+                    max_size=6)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.lists(label, min_size=1, max_size=5), min_size=1,
+                    max_size=8))
+    def check(hostlists):
+        # a literal leading "www" label is (correctly) stripped by SURT —
+        # exclude it so the involution property is well-defined
+        hostlists = [ls for ls in hostlists if ls[0] != "www"] or [["a"]]
+        hosts = [".".join(ls) for ls in hostlists]
+        t = pa.table({"url_canon": [f"https://{h}/p" for h in hosts]})
+        got = surt_key(t).column("surt").to_pylist()
+        for h, s in zip(hosts, got):
+            rev, _, rest = s.partition(")")
+            assert rest == "/p"
+            assert ".".join(reversed(rev.split(","))) == h
+
+    check()

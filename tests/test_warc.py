@@ -100,3 +100,34 @@ def test_cdx_index_sorted_and_complete():
     import hashlib
 
     assert rows[2]["digest"] == hashlib.sha256(b"bb").hexdigest()
+
+
+def test_warc_framing_property():
+    """Content-Length framing must round-trip ADVERSARIAL bodies —
+    including bodies containing CRLFCRLF, 'WARC/' magic, or an HTTP/
+    prefix — because the parser counts bytes, never scans for
+    delimiters inside payloads."""
+    from hypothesis import given, settings, strategies as st
+
+    body = st.binary(min_size=0, max_size=200)
+    url_part = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._~/", min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(url_part, body), min_size=1, max_size=5))
+    def check(items):
+        recs = [
+            (f"https://x.example/{u}",
+             1_700_000_000_000_000 + k * 1_000_000,
+             b"\r\n\r\nWARC/1.0\r\n" + b + b"HTTP/1.1")
+            for k, (u, b) in enumerate(items)
+        ]
+        for gz in (False, True):
+            t = parse_warc(build_warc(recs, gzip_members=gz))
+            assert t.column("warc_error").to_pylist() == [None] * len(recs)
+            assert t.column("html").to_pylist() == [r[2] for r in recs]
+            assert t.column("url").to_pylist() == [r[0] for r in recs]
+
+    check()
