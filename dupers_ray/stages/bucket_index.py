@@ -108,10 +108,13 @@ def _default_n_shards() -> int:
 
 
 def _emit_star_pairs(
-    bh: np.ndarray, sub: np.ndarray, node: np.ndarray, max_bucket_size: int
+    bh: np.ndarray, sub: np.ndarray | None, node: np.ndarray,
+    max_bucket_size: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(src=min-node anchor, dst=member) star pairs from UNSORTED bucket
-    rows; per-bucket cap optional (0 = uncapped).
+    rows; per-bucket cap optional (0 = uncapped). ``sub=None`` means the
+    bucket key is ``bh`` alone (the LSH-band path) — no 8 B/row zero
+    subkeys are allocated, gathered or sorted.
 
     Uncapped fast path (every index call site): single-key argsort on the
     bucket hash — ~6x cheaper than the old (node, sub, bh) lexsort, which
@@ -122,9 +125,14 @@ def _emit_star_pairs(
     the full lexsort: the cap keeps the ``max_bucket_size`` smallest-node
     members, which needs node-ordered ranks."""
     if max_bucket_size:
-        order = np.lexsort((node, sub, bh))
-        bh, sub, node = bh[order], sub[order], node[order]
-        new = np.r_[True, (bh[1:] != bh[:-1]) | (sub[1:] != sub[:-1])]
+        if sub is None:
+            order = np.lexsort((node, bh))
+            bh, node = bh[order], node[order]
+            new = np.r_[True, bh[1:] != bh[:-1]]
+        else:
+            order = np.lexsort((node, sub, bh))
+            bh, sub, node = bh[order], sub[order], node[order]
+            new = np.r_[True, (bh[1:] != bh[:-1]) | (sub[1:] != sub[:-1])]
         seg = np.cumsum(new) - 1
         starts = np.flatnonzero(new)
         sizes = np.diff(np.r_[starts, len(bh)])
@@ -135,9 +143,11 @@ def _emit_star_pairs(
         return anchors[keep], node[keep]
 
     order = np.argsort(bh)  # quicksort: fastest, stability not needed
-    bh, sub, node = bh[order], sub[order], node[order]
+    bh, node = bh[order], node[order]
+    if sub is not None:
+        sub = sub[order]
     new = np.r_[True, bh[1:] != bh[:-1]]
-    if sub.any():
+    if sub is not None and sub.any():
         # exact-digest index: refine equal-bh runs by the 2nd digest word.
         # Only rows inside multi-row runs need ordering by sub; that set is
         # tiny (the dup rate), so the lexsort is over a short subset.
@@ -188,11 +198,13 @@ class BucketIndexShard:
         self._rows_received = 0
 
     def add(self, bh: np.ndarray, node: np.ndarray, sub: np.ndarray | None = None) -> int:
+        # homogeneous per shard: either every add carries a subkey (the
+        # exact-digest index) or none does (the LSH-band index) — the
+        # band path then never allocates/sorts/spills 8 B/row of zeros
+        if sub is not None:
+            self._sub.append(sub)
         self._bh.append(bh)
         self._node.append(node)
-        self._sub.append(
-            sub if sub is not None else np.zeros(len(bh), np.uint64)
-        )
         self._buffered += len(bh)
         self._rows_received += len(bh)
         if self._spill_rows and self._buffered >= self._spill_rows:
@@ -205,9 +217,9 @@ class BucketIndexShard:
     def stats(self) -> dict:
         return {"buffered": self._buffered, "spilled_runs": self._n_runs}
 
-    def _drain(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def _drain(self) -> tuple[np.ndarray, np.ndarray | None, np.ndarray]:
         bh = np.concatenate(self._bh) if self._bh else np.empty(0, np.uint64)
-        sub = np.concatenate(self._sub) if self._sub else np.empty(0, np.uint64)
+        sub = np.concatenate(self._sub) if self._sub else None
         node = np.concatenate(self._node) if self._node else np.empty(0, np.uint64)
         self._bh, self._sub, self._node = [], [], []
         self._buffered = 0
@@ -224,7 +236,9 @@ class BucketIndexShard:
             self._spill_dir = tempfile.mkdtemp(prefix="bucket_index_shard_")
         sidx = (bh >> self._shift).astype(np.int64)
         order = np.argsort(sidx, kind="stable")
-        bh, sub, node, sidx = bh[order], sub[order], node[order], sidx[order]
+        bh, node, sidx = bh[order], node[order], sidx[order]
+        if sub is not None:
+            sub = sub[order]
         bounds = np.searchsorted(sidx, np.arange(self._n_sub + 1))
         run = self._n_runs
         self._n_runs += 1
@@ -234,9 +248,11 @@ class BucketIndexShard:
                 continue
             d = os.path.join(self._spill_dir, f"sub={s}")
             os.makedirs(d, exist_ok=True)
+            cols = {"bh": pa.array(bh[lo:hi]), "node": pa.array(node[lo:hi])}
+            if sub is not None:
+                cols["sub"] = pa.array(sub[lo:hi])
             pq.write_table(
-                pa.table({"bh": pa.array(bh[lo:hi]), "sub": pa.array(sub[lo:hi]),
-                          "node": pa.array(node[lo:hi])}),
+                pa.table(cols),
                 os.path.join(d, f"run{run}.parquet"),
                 compression="zstd",
             )
@@ -268,7 +284,8 @@ class BucketIndexShard:
             )
             src, dst = _emit_star_pairs(
                 np.asarray(t.column("bh"), dtype=np.uint64),
-                np.asarray(t.column("sub"), dtype=np.uint64),
+                np.asarray(t.column("sub"), dtype=np.uint64)
+                if "sub" in t.column_names else None,
                 np.asarray(t.column("node"), dtype=np.uint64),
                 max_bucket_size,
             )
