@@ -3565,6 +3565,33 @@ def _q_url_canonical_dups(sf_dir: str):
     return url_dup_groups(docs)
 
 
+def _q_surt_dup_groups(sf_dir: str):
+    """SURT-keyed URL dedup (pipelines/urls.surt_dup_groups): docs 2k and
+    2k+1 carry the SAME page as www./bare variants — distinct canonical
+    urls, one SURT group. n_dups 2, min-id survivor; the oracle states
+    the pairing arithmetic."""
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.urls import surt_dup_groups
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls = [
+            f"https://{'www.' if i % 2 == 0 else ''}"
+            f"site{(i // 2) % 50}.example/p{i // 2}"
+            for i in ids
+        ]
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": _pa.array(urls, _pa.string()),
+        })
+
+    docs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return surt_dup_groups(docs)
+
+
 def _q_domain_stats(sf_dir: str):
     """Registrable-domain rollup (Info/counts verb keyed by web domain)."""
     from dupers_ray.pipelines.urls import domain_rollup
@@ -3651,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_transcode": _q_charset_transcode,
         "robots_check": _q_robots_check,
         "wet_roundtrip": _q_wet_roundtrip,
+        "surt_dup_groups": _q_surt_dup_groups,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3800,6 +3828,14 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "surt_dup_groups": """
+            SELECT 'example,site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                       || ')/p' || CAST(doc_id // 2 AS VARCHAR) AS surt,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_doc
+            FROM documents
+            GROUP BY doc_id // 2
         """,
         "wet_roundtrip": """
             SELECT doc_id,

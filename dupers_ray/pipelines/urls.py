@@ -43,6 +43,32 @@ def url_dup_groups(
     )
 
 
+def surt_dup_groups(
+    ds: "ray.data.Dataset", *, url_col: str = "url", id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """→ (surt, n_dups, keep_doc): URL-level dedup keyed on the SURT
+    (stages/urlnorm.surt_key) instead of the canonical url — the
+    www./port variants canonical_url keeps distinct collapse here (the
+    key web archives dedup captures by). Same combiner→groupby shape and
+    min-id survivor rule as :func:`url_dup_groups`."""
+    from ray.data.aggregate import Min, Sum
+
+    from dupers_ray.stages.urlnorm import surt_key
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = surt_key(canonical_url(batch, url_col=url_col))
+        df = t.select(["surt", id_col]).to_pandas()
+        gb = df.groupby("surt", sort=False)[id_col]
+        out = gb.size().rename("n_dups").to_frame()
+        out["keep_doc"] = gb.min()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("surt").aggregate(
+        Sum("n_dups", alias_name="n_dups"), Min("keep_doc", alias_name="keep_doc")
+    )
+
+
 def domain_top_terms(
     ds: "ray.data.Dataset",
     *,

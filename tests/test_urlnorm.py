@@ -245,3 +245,28 @@ def test_surt_reversal_property():
             assert ".".join(reversed(rev.split(","))) == h
 
     check()
+
+
+def test_surt_dup_groups_collapses_www_variants():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import surt_dup_groups, url_dup_groups
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "url": [
+            "https://www.a.example/p",
+            "https://a.example/p",        # same page, bare host
+            "https://a.example:443/p",    # default port -> canonical strips
+            "https://b.example/p",
+        ],
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    s = {r["surt"]: (r["n_dups"], r["keep_doc"])
+         for r in surt_dup_groups(ds).take_all()}
+    assert s == {"example,a)/p": (3, 0), "example,b)/p": (3 - 2, 3)}
+    # canonical-url dedup keeps www distinct (ports already collapse)
+    u = {r["url_canon"]: r["n_dups"] for r in url_dup_groups(ds).take_all()}
+    assert u["https://www.a.example/p"] == 1
+    assert u["https://a.example/p"] == 2
