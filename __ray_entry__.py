@@ -2837,6 +2837,22 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_mix_budget(sf_dir: str):
+    """Training-mix assembly (stages/budget.select_mix_budget): an
+    independent deterministic token budget PER SOURCE — budget for
+    src{k} = 500 + 400*(k%4) tokens, taken in splitmix64(doc_id) order
+    within each source. Same no-full-sort bucket machinery as
+    token_budget with the bucket key fused with a source index; the
+    oracle is the per-source PARTITIONed ordered window."""
+    from dupers_ray.stages.budget import select_mix_budget
+
+    budgets = {f"src{k}": 500 + 400 * (k % 4) for k in range(20)}
+    return select_mix_budget(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]),
+        budgets=budgets,
+    )
+
+
 def _q_host_boilerplate(sf_dir: str):
     """Host-scoped boilerplate removal (stages/linededup.py
     remove_host_boilerplate): a 10-token chunk is dropped only when it
@@ -2898,6 +2914,47 @@ def _token_budget_oracle_sql(budget: int = 10_000) -> str:
         )
         SELECT doc_id, n_tokens, cum_tokens,
                CAST(CASE WHEN cum_tokens <= {budget} THEN 1 ELSE 0 END
+                    AS BIGINT) AS selected
+        FROM w
+    """
+
+
+def _mix_budget_oracle_sql() -> str:
+    """Per-source ordered window: sum(n_tokens) OVER (PARTITION BY source
+    ORDER BY splitmix64(doc_id), doc_id) <= budget(source), with
+    budget(src{k}) = 500 + 400*(k%4) — the query's arithmetic."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH sm AS (
+            SELECT doc_id, text, source,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        ), t AS (
+            SELECT doc_id, source,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                        AS BIGINT) AS n_tokens, h,
+                   500 + 400 * (CAST(substr(source, 4) AS BIGINT) % 4)
+                       AS budget
+            FROM sm
+        ), w AS (
+            SELECT doc_id, source, n_tokens, budget,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens, cum_tokens,
+               CAST(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END
                     AS BIGINT) AS selected
         FROM w
     """
@@ -3679,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_check": _q_robots_check,
         "wet_roundtrip": _q_wet_roundtrip,
         "surt_dup_groups": _q_surt_dup_groups,
+        "mix_budget": _q_mix_budget,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -4692,6 +4750,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
         "token_budget": _token_budget_oracle_sql(),
+        "mix_budget": _mix_budget_oracle_sql(),
         "curated_corpus": _curated_corpus_oracle_sql(),
         "bloom_stats": _bloom_oracle_sql(),
         "cms_registers": _cms_oracle_sql(),

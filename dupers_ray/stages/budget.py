@@ -123,3 +123,110 @@ def select_token_budget(
     return compact.groupby("__bucket").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def select_mix_budget(
+    ds: "ray.data.Dataset",
+    *,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> "ray.data.Dataset":
+    """Training-MIX assembly: an independent deterministic token budget
+    PER SOURCE ("web 60 B, code 25 B, papers 15 B" — the mixture-weight
+    step after curation). Per source, docs are taken in splitmix64(id)
+    order until that source's budget is met; sources absent from
+    ``budgets`` get budget 0 (kept, ``selected=0``).
+
+    Same NO-full-sort shape as :func:`select_token_budget`, with the
+    bucket key extended by a source index: per-(source, bucket) totals
+    (≤ sources x n_buckets rows — driver-safe), one prefix-sum matrix
+    broadcast, one shuffle of compact stats rows grouped by the fused
+    (source, bucket) int key. Output: (id, source, n_tokens, cum_tokens,
+    selected)."""
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    if (1 << int(np.uint64(64) - shift)) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    src_idx = {s: i for i, s in enumerate(sorted(budgets))}
+    budget_vec = np.array(
+        [budgets[s] for s in sorted(budgets)] + [0], np.int64
+    )  # trailing 0 = unknown-source budget
+    unknown = len(src_idx)
+    iref = ray.put(src_idx)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column(text_col).to_pylist()
+        srcs = t.column(source_col).to_pylist()
+        idx_map = ray.get(iref)
+        n_tok = np.fromiter(
+            (len(_TOKEN_RE.findall((s or "").lower())) for s in texts),
+            np.int64, len(texts),
+        )
+        sidx = np.fromiter(
+            (idx_map.get(s, unknown) for s in srcs), np.int64, len(srcs)
+        )
+        key = splitmix64(ids.view(np.uint64))
+        bucket = (key >> shift).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            source_col: t.column(source_col),
+            "n_tokens": pa.array(n_tok),
+            "__key": pa.array(key.view(np.int64)),
+            "__sb": pa.array(sidx * n_buckets + bucket),
+        })
+
+    compact = ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        sb = np.asarray(t.column("__sb"), dtype=np.int64)
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64)
+        u, inv = np.unique(sb, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"__sb": pa.array(u), "t": pa.array(tot)})
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        compact.map_batches(partial, batch_format="pyarrow")
+        .groupby("__sb")
+        .aggregate(Sum("t", alias_name="t"))
+        .take_all()
+    )  # <= (sources+1) x n_buckets rows
+    offsets = np.zeros((unknown + 1) * n_buckets, np.int64)
+    for r in totals:
+        offsets[int(r["__sb"])] = int(r["t"])
+    per_src = offsets.reshape(unknown + 1, n_buckets)
+    per_src = np.concatenate(
+        [np.zeros((unknown + 1, 1), np.int64),
+         np.cumsum(per_src, axis=1)[:, :-1]], axis=1,
+    )
+    oref = ray.put(per_src.reshape(-1))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        n = np.asarray(g.column("n_tokens"), dtype=np.int64)
+        key = np.asarray(g.column("__key"), dtype=np.int64).view(np.uint64)
+        sb = int(g.column("__sb")[0].as_py())
+        budget = int(budget_vec[sb // n_buckets])
+        order = np.lexsort((ids, key))
+        cum = np.cumsum(n[order]) + offs[sb]
+        sel = (cum <= budget).astype(np.int64)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return pa.table({
+            id_col: pa.array(ids),
+            source_col: g.column(source_col),
+            "n_tokens": pa.array(n),
+            "cum_tokens": pa.array(cum[inv]),
+            "selected": pa.array(sel[inv]),
+        })
+
+    return compact.groupby("__sb").map_groups(
+        resolve, batch_format="pyarrow"
+    )

@@ -60,3 +60,56 @@ def test_budget_invariant_to_block_layout(pages_small):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mix_budget_per_source_independence():
+    """Each source's prefix is independent: permuting blocks or raising
+    one source's budget never changes another source's selections;
+    unknown sources get budget 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.budget import select_mix_budget
+
+    rng = np.random.default_rng(3)
+    n = 120
+    t = pa.table({
+        "doc_id": list(range(n)),
+        "text": [" ".join(f"w{j}" for j in range(int(rng.integers(1, 9))))
+                 for _ in range(n)],
+        "source": [f"s{i % 3}" for i in range(n)],
+    })
+    ds = rd.from_arrow(t).repartition(5)
+
+    def run(budgets):
+        out = select_mix_budget(ds, budgets=budgets)
+        return {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"],
+                              r["selected"]) for r in out.take_all()}
+
+    a = run({"s0": 30, "s1": 50})
+    assert len(a) == n  # no row dropped
+    # unknown source s2 -> budget 0, nothing selected
+    assert all(v[3] == 0 for v in a.values() if v[0] == "s2")
+    # brute per-source check
+    from dupers_ray.functions.hashing import splitmix64
+
+    for src, budget in [("s0", 30), ("s1", 50)]:
+        rows = [(d, v[1]) for d, v in a.items() if v[0] == src]
+        keys = splitmix64(np.array([d for d, _ in rows], np.uint64))
+        order = np.lexsort((np.array([d for d, _ in rows]), keys))
+        cum = np.cumsum(np.array([nt for _, nt in rows])[order])
+        want_sel = {rows[i][0]: int(c <= budget)
+                    for i, c in zip(order, cum)}
+        got_sel = {d: v[3] for d, v in a.items() if v[0] == src}
+        assert got_sel == want_sel
+
+    # raising s1's budget leaves s0 selections identical
+    b = run({"s0": 30, "s1": 500})
+    assert {d: v for d, v in a.items() if v[0] == "s0"} == \
+           {d: v for d, v in b.items() if v[0] == "s0"}
+    # parallelism invariance
+    out2 = select_mix_budget(rd.from_arrow(t).repartition(17),
+                             budgets={"s0": 30, "s1": 50})
+    c = {r["doc_id"]: r["selected"] for r in out2.take_all()}
+    assert c == {d: v[3] for d, v in a.items()}
