@@ -2837,6 +2837,55 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_dup_recall_report(sf_dir: str):
+    """The north rule's conformance number, driver-visible: flagship
+    clusters over the seeded synthetic pages corpus (planted exact+near
+    ground truth, synth.py) scored against every planted same-cluster
+    pair. recall_ppm must be >= 990000 (pinned exactly in
+    tests/test_near_dedup.py). rows-only by documented design — MinHash
+    banding is not SQL-expressible; the VALUE machinery is oracle-green
+    via near_dup_clusters / near_incremental on the driver tables."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.synth import synth_pages
+
+    res = synth_pages(n=2000, seed=42)
+    clusters = dupe_clusters(
+        rd.from_arrow(res.pages).repartition(8), DedupConfig()
+    ).to_pandas()
+    cid = dict(zip(clusters["url"], clusters["cluster_id"]))
+
+    from collections import defaultdict
+
+    by_cluster = defaultdict(list)
+    for url, c, kind in zip(
+        res.truth["url"].to_pylist(),
+        res.truth["cluster_id"].to_pylist(),
+        res.truth["kind"].to_pylist(),
+    ):
+        if kind in ("exact", "near"):
+            by_cluster[c].append(url)
+    planted = found = 0
+    for urls in by_cluster.values():
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                planted += 1
+                if cid.get(urls[i]) == cid.get(urls[j]):
+                    found += 1
+    return pd.DataFrame(
+        [{
+            "n_docs": len(res.pages),
+            "planted_pairs": planted,
+            "found_pairs": found,
+            "recall_ppm": found * 1_000_000 // max(planted, 1),
+        }]
+    )
+
+
 def _q_mix_budget(sf_dir: str):
     """Training-mix assembly (stages/budget.select_mix_budget): an
     independent deterministic token budget PER SOURCE — budget for
@@ -3737,6 +3786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "surt_dup_groups": _q_surt_dup_groups,
         "mix_budget": _q_mix_budget,
+        "dup_recall_report": _q_dup_recall_report,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,

@@ -169,3 +169,19 @@ def test_near_edges_find_near_not_just_exact(pages_small):
         if node_kind.get(srcn) == "near" and node_kind.get(dstn) == "near" and j < 0.999
     ]
     assert near_edge, "no strictly-near (non-exact) edges found"
+
+
+def test_dup_recall_report_query_exact_values(ray_session):
+    """The driver-visible conformance artifact (rows-only query) must
+    report the exact deterministic numbers: 479 planted pairs, all
+    found, recall 1.0 at the default config."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    df = e.queries()["dup_recall_report"]("/root/testdata/sf0.001")
+    assert df.to_dict("records") == [{
+        "n_docs": 2000, "planted_pairs": 479, "found_pairs": 479,
+        "recall_ppm": 1_000_000,
+    }]
