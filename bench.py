@@ -256,6 +256,32 @@ def run_bench() -> dict:
         return len(pagerank(links, iters=2))
 
     timed("pagerank_pages", pagerank_pages)
+    # round-3 second wave: WARC/CDX web ingest at bench scale — serialize
+    # every page as a gzip-membered WARC response, parse it back, and
+    # build the (surt, ts)-sorted capture index (one global sort)
+    def warc_cdx_pages():
+        import pyarrow as pa_
+
+        from dupers_ray.sources.warc import build_warc, cdx_index, parse_warc
+
+        def roundtrip(t: "pa_.Table") -> "pa_.Table":
+            urls = t.column("url").to_pylist()
+            tss = t.column("warc_ts").cast(pa_.int64()).to_pylist()
+            texts = t.column("text").to_pylist()
+            recs = [
+                (str(u), int(ts), (tx or "").encode())
+                for u, ts, tx in zip(urls, tss, texts)
+            ]
+            return parse_warc(
+                build_warc(recs, gzip_members=True)
+            ).drop_columns(["warc_error"])
+
+        pages = rd.read_parquet(
+            pages_path, columns=["url", "warc_ts", "text"]
+        ).map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+        return cdx_index(pages).count()
+
+    timed("warc_cdx_pages", warc_cdx_pages)
     timed("funnel_events", lambda: funnel_counts(
         rd.read_parquet(os.path.join(SF_DIR, "events.parquet"))).count())
     timed("semantic_dedup_embeddings", lambda: semantic_dedup(
