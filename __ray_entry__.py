@@ -2837,6 +2837,32 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """BPE first-merge statistics (stages/bpe.pair_counts): top-50
+    adjacent character pairs weighted by word frequency — the
+    vocabulary-groupby + compact pair-groupby plan; the oracle restates
+    the substr windows over the token stream directly."""
+    from dupers_ray.stages.bpe import pair_counts
+
+    return pair_counts(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), k=50
+    )
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (stages/bpe.bpe_merges — Sennrich 2016,
+    deterministic tie-break): one distributed word-count pass, then the
+    vocab-bounded merge loop. rows-only by documented design (iterative
+    merges are not SQL-expressible); round 0 is value-checked by
+    bpe_pair_counts' oracle and the full loop is pinned against a brute
+    reference in tests/test_bpe.py."""
+    from dupers_ray.stages.bpe import bpe_merges
+
+    return bpe_merges(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), n_merges=30
+    )
+
+
 def _q_dup_recall_report(sf_dir: str):
     """The north rule's conformance number, driver-visible: flagship
     clusters over the seeded synthetic pages corpus (planted exact+near
@@ -3787,6 +3813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surt_dup_groups": _q_surt_dup_groups,
         "mix_budget": _q_mix_budget,
         "dup_recall_report": _q_dup_recall_report,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3936,6 +3964,21 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "bpe_pair_counts": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                    AS w
+                FROM documents
+            ), pairs AS (
+                SELECT substr(w, i, 2) AS pair
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(w))) AS i)
+                WHERE len(w) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 50
         """,
         "surt_dup_groups": """
             SELECT 'example,site' || CAST((doc_id // 2) % 50 AS VARCHAR)

@@ -1,0 +1,140 @@
+"""BPE tokenizer training over the corpus (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — the
+public algorithm, reimplemented from the paper).
+
+The step every LLM data pipeline runs once per corpus: learn the merge
+table the tokenizer will use. The classic structure separates cleanly
+into a distributed part and a compact part:
+
+1. :func:`word_counts` — ONE distributed pass: per-batch token-count
+   combiner → one vocabulary groupby (the only all-to-all, over
+   pre-aggregated vocabulary rows, never tokens). The corpus is now a
+   (word, n) table bounded by |vocab| (~10^8 rows at web scale — the
+   same "fits in aggregate memory" regime as the PageRank rank vector),
+   and ALL further training cost is corpus-size-independent.
+2. :func:`pair_counts` — weighted adjacent-symbol pair counts from the
+   compact table: per-batch combiner over (word, n) rows → one
+   pair-keyed groupby → deterministic top-k (count desc, pair asc).
+3. :func:`train_bpe` — the merge loop over the same compact table
+   (driver-side; vocab-bounded by construction), deterministic
+   selection: max count, ties by (left, right) ascending.
+
+Reference analogue: none (dupers has no tokenizer surface) —
+engine-new, like the DSIR/linkgraph stack.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from dupers_ray.stages.textstats import partial_token_counts
+
+
+def word_counts(
+    ds: "ray.data.Dataset", *, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(word, n) corpus word frequencies — combiner → one groupby."""
+    parts = ds.map_batches(
+        partial_token_counts, batch_format="pyarrow",
+        fn_kwargs={"text_col": text_col}, zero_copy_batch=True,
+    )
+    agg = parts.groupby("token").sum("n")
+    return agg.map_batches(
+        lambda t: t.rename_columns(["word", "n"]), batch_format="pyarrow"
+    )
+
+
+def _batch_pair_counts(t: pa.Table) -> pa.Table:
+    """Weighted adjacent CHAR-pair counts for a batch of (word, n)
+    rows. The loop is over vocabulary rows (compact by construction),
+    not corpus tokens."""
+    words = t.column("word").to_pylist()
+    ns = t.column("n").to_pylist()
+    acc: dict[str, int] = {}
+    for w, n in zip(words, ns):
+        if w is None or len(w) < 2:
+            continue
+        for i in range(len(w) - 1):
+            p = w[i: i + 2]
+            acc[p] = acc.get(p, 0) + int(n)
+    return pa.table({
+        "pair": pa.array(list(acc.keys()), pa.string()),
+        "n": pa.array(list(acc.values()), pa.int64()),
+    })
+
+
+def pair_counts(
+    ds: "ray.data.Dataset", *, text_col: str = "text", k: int = 50
+) -> "ray.data.Dataset":
+    """Corpus-wide top-k adjacent character pairs weighted by word
+    frequency — BPE's first-merge statistics, fully SQL-restatable
+    (substr windows over the token stream)."""
+    wc = word_counts(ds, text_col=text_col)
+    parts = wc.map_batches(
+        _batch_pair_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = parts.groupby("pair").sum("n").map_batches(
+        lambda t: t.rename_columns(["pair", "n"]), batch_format="pyarrow"
+    )
+    return agg.repartition(2).sort(
+        ["n", "pair"], descending=[True, False]
+    ).limit(k)
+
+
+def train_bpe(
+    wc: "pd.DataFrame | pa.Table", *, n_merges: int = 30
+) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merges from a (word, n) frequency table —
+    the Sennrich loop with fully deterministic selection (count desc,
+    then (left, right) lexicographic asc). Returns (rank, left, right,
+    n). Naive per-round recount — fine in the vocab-bounded regime;
+    the standard incremental-update optimization applies unchanged if
+    |vocab| grows."""
+    if isinstance(wc, pa.Table):
+        wc = wc.to_pandas()
+    symseqs: list[tuple[str, ...]] = [
+        tuple(w) for w in wc["word"].tolist() if w
+    ]
+    counts = [int(n) for w, n in zip(wc["word"], wc["n"]) if w]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for seq, n in zip(symseqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        merges.append((rank, left, right, n))
+        tgt = left + right
+        out = []
+        for seq in symseqs:
+            i, buf = 0, []
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    buf.append(tgt)
+                    i += 2
+                else:
+                    buf.append(seq[i])
+                    i += 1
+            out.append(tuple(buf))
+        symseqs = out
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "n"]
+    ).astype({"rank": np.int64, "n": np.int64})
+
+
+def bpe_merges(
+    ds: "ray.data.Dataset", *, text_col: str = "text", n_merges: int = 30
+) -> pd.DataFrame:
+    """End to end: distributed word counting, then the compact merge
+    loop."""
+    wc = word_counts(ds, text_col=text_col).to_pandas()
+    wc = wc.sort_values("word").reset_index(drop=True)  # deterministic
+    return train_bpe(wc, n_merges=n_merges)
