@@ -2837,6 +2837,55 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_jsonld_extract(sf_dir: str):
+    """schema.org structured-data mining (stages/jsonx.extract_jsonld +
+    the typed field kernels): pull the ld+json block out of raw html
+    bytes with ONE vectorized RE2 match, then extract @type/name/
+    position fields — all planted arithmetically, stated in SQL."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.jsonx import (
+        extract_json_int,
+        extract_json_str,
+        extract_jsonld,
+    )
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pages = []
+        for i in ids:
+            typ = "Article" if i % 3 else "Product"
+            block = (
+                f'{{"@type": "{typ}", "name": "item {i}", '
+                f'"position": {i % 7}}}'
+            )
+            pages.append(
+                (
+                    '<html><head><script type="application/ld+json">'
+                    f"{block}</script></head><body><p>x</p></body></html>"
+                ).encode()
+            )
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "html": _pa.array(pages, _pa.binary()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fields(t: _pa.Table) -> _pa.Table:
+        t = extract_jsonld(t)
+        t = extract_json_str(t, col="jsonld", key="@type", out_col="type")
+        t = extract_json_str(t, col="jsonld", key="name", out_col="name")
+        t = extract_json_int(t, col="jsonld", key="position")
+        return t.select(["doc_id", "type", "name", "position"])
+
+    return pages.map_batches(
+        fields, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE first-merge statistics (stages/bpe.pair_counts): top-50
     adjacent character pairs weighted by word frequency — the
@@ -3815,6 +3864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_recall_report": _q_dup_recall_report,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
+        "jsonld_extract": _q_jsonld_extract,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -3964,6 +4014,14 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "jsonld_extract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'Product'
+                        ELSE 'Article' END AS type,
+                   'item ' || CAST(doc_id AS VARCHAR) AS name,
+                   CAST(doc_id % 7 AS BIGINT) AS position
+            FROM documents
         """,
         "bpe_pair_counts": """
             WITH toks AS (

@@ -74,3 +74,35 @@ def test_jsonl_roundtrip(tmp_path):
     orig = t.to_pandas().sort_values("id")
     for c in schema.names:
         assert list(back[c].fillna("~")) == list(orig[c].fillna("~")), c
+
+
+def test_extract_json_str_and_jsonld():
+    import pyarrow as pa
+
+    from dupers_ray.stages.jsonx import (
+        extract_json_int,
+        extract_json_str,
+        extract_jsonld,
+    )
+
+    pages = pa.table({"html": pa.array([
+        b'<html><script type="application/ld+json">'
+        b'{"@type": "Article", "name": "A b", "position": 3}</script></html>',
+        b"<html><script>var x=1;</script></html>",          # no ld+json
+        b"<HTML><SCRIPT TYPE='APPLICATION/LD+JSON'>{\"name\": \"up\"}"
+        b"</SCRIPT></HTML>",                                  # case/quotes
+        b"\xff\xfe garbage",                                  # invalid utf-8
+        None,
+    ], pa.binary())})
+    t = extract_jsonld(pages)
+    got = t.column("jsonld").to_pylist()
+    assert got[0] == '{"@type": "Article", "name": "A b", "position": 3}'
+    assert got[1] is None and got[3] is None and got[4] is None
+    assert got[2] == '{"name": "up"}'
+
+    t = extract_json_str(t, col="jsonld", key="@type", out_col="type")
+    t = extract_json_str(t, col="jsonld", key="name", out_col="name")
+    t = extract_json_int(t, col="jsonld", key="position")
+    assert t.column("type").to_pylist()[0] == "Article"
+    assert t.column("name").to_pylist()[:3] == ["A b", None, "up"]
+    assert t.column("position").to_pylist()[0] == 3
