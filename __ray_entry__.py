@@ -2837,6 +2837,52 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_canonical_dup_groups(sf_dir: str):
+    """rel=canonical-aware URL dedup (stages/urlnorm.
+    extract_canonical_href → pipelines/urls.url_dup_groups on the
+    DECLARED identity): docs with doc_id % 5 != 0 declare the group
+    head host{doc_id - doc_id%5} as canonical; heads declare nothing
+    and fall back to their own url — so every 5-doc run collapses to
+    one group with the head as survivor. Planted arithmetic stated in
+    SQL."""
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.urls import url_dup_groups
+    from dupers_ray.stages.urlnorm import extract_canonical_href
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        urls, pages = [], []
+        for i in ids:
+            urls.append(f"https://host{i}.example/p")
+            if i % 5:
+                head = i - i % 5
+                link = (
+                    f'<link rel="canonical" '
+                    f'href="https://host{head}.example/p">'
+                )
+            else:
+                link = ""
+            pages.append(
+                f"<html><head>{link}</head><body>x</body></html>".encode()
+            )
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": _pa.array(urls, _pa.string()),
+            "html": _pa.array(pages, _pa.binary()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        extract_canonical_href, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.select(["doc_id", "canonical"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return url_dup_groups(pages, url_col="canonical")
+
+
 def _q_jsonld_extract(sf_dir: str):
     """schema.org structured-data mining (stages/jsonx.extract_jsonld +
     the typed field kernels): pull the ld+json block out of raw html
@@ -3865,6 +3911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "jsonld_extract": _q_jsonld_extract,
+        "canonical_dup_groups": _q_canonical_dup_groups,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -4014,6 +4061,13 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "canonical_dup_groups": """
+            SELECT 'https://host' || CAST(doc_id - doc_id % 5 AS VARCHAR)
+                       || '.example/p' AS url_canon,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keep_doc
+            FROM documents GROUP BY doc_id - doc_id % 5
         """,
         "jsonld_extract": """
             SELECT doc_id,

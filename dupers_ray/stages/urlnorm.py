@@ -121,6 +121,40 @@ def canonical_url(
     return batch.append_column(out_col, canon)
 
 
+def extract_canonical_href(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "canonical",
+) -> pa.Table:
+    """``<link rel="canonical" href=…>`` honoring — the page's OWN
+    declaration of its canonical identity, which crawl dedup must
+    respect before any content hashing (SEO mirrors/trackers point
+    thousands of variants at one canonical). ONE vectorized RE2 match
+    over raw html bytes (attr order/quote/case tolerant both ways,
+    invalid-UTF-8 safe); pages without a declaration fall back to their
+    own ``url_col``."""
+    pat = (
+        r'(?is)<link\s+[^>]*'
+        r'(?:rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
+        r'href\s*=\s*["\x27](?P<a>[^"\x27]+)'
+        r'|href\s*=\s*["\x27](?P<b>[^"\x27]+)["\x27][^>]*'
+        r'rel\s*=\s*["\x27]?canonical)'
+    )
+    m = pc.extract_regex(batch.column(html_col), pat)
+    a, b = pc.struct_field(m, "a"), pc.struct_field(m, "b")
+    # a non-participating alternation branch extracts as "" (not null) —
+    # the href patterns are [^"']+ so a real match is never empty
+    href = pc.if_else(
+        pc.not_equal(pc.fill_null(a, ""), ""), a, b
+    )
+    if pa.types.is_binary(href.type) or pa.types.is_large_binary(href.type):
+        href = pc.cast(href, pa.string())
+    canon = pc.if_else(pc.is_null(href), batch.column(url_col), href)
+    return batch.append_column(out_col, canon)
+
+
 def surt_key(
     batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "surt",
 ) -> pa.Table:

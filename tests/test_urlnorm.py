@@ -270,3 +270,26 @@ def test_surt_dup_groups_collapses_www_variants():
     u = {r["url_canon"]: r["n_dups"] for r in url_dup_groups(ds).take_all()}
     assert u["https://www.a.example/p"] == 1
     assert u["https://a.example/p"] == 2
+
+
+def test_extract_canonical_href_variants():
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import extract_canonical_href
+
+    t = pa.table({
+        "url": ["https://self1/", "https://self2/", "https://self3/",
+                "https://self4/", "https://self5/"],
+        "html": pa.array([
+            b'<link rel="canonical" href="https://c.example/x">',
+            b"<LINK HREF='https://d.example/y' REL=canonical>",  # reversed
+            b'<link rel="stylesheet" href="https://nope.css">',  # wrong rel
+            b"\xff\xfe garbage",                                 # bad bytes
+            None,
+        ], pa.binary()),
+    })
+    got = extract_canonical_href(t).column("canonical").to_pylist()
+    assert got == [
+        "https://c.example/x", "https://d.example/y",
+        "https://self3/", "https://self4/", "https://self5/",
+    ]
