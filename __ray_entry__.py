@@ -2837,6 +2837,49 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_hreflang_edges(sf_dir: str):
+    """Translation-cluster mining from hreflang alternates
+    (stages/linkgraph.alternate_links — the ParaCrawl-style signal):
+    docs 3k/3k+1/3k+2 are language variants (en/fr/de by doc_id % 3)
+    and each page declares its two siblings, plus a rel=stylesheet
+    decoy the extractor must drop. Output (doc_id, hreflang, href) —
+    two rows per doc, stated arithmetically in SQL."""
+    import pyarrow as _pa
+
+    from dupers_ray.stages.linkgraph import alternate_links
+
+    langs = ["en", "fr", "de"]
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pages = []
+        for i in ids:
+            head = i - i % 3
+            alts = "".join(
+                f'<link rel="alternate" hreflang="{langs[j]}" '
+                f'href="https://host{head + j}.example/p">'
+                for j in range(3) if head + j != i
+            )
+            pages.append(
+                (
+                    f"<html><head>{alts}"
+                    '<link rel="stylesheet" href="https://x.css">'
+                    "</head><body>x</body></html>"
+                ).encode()
+            )
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "html": _pa.array(pages, _pa.binary()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pages.map_batches(
+        alternate_links, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_canonical_dup_groups(sf_dir: str):
     """rel=canonical-aware URL dedup (stages/urlnorm.
     extract_canonical_href → pipelines/urls.url_dup_groups on the
@@ -3912,6 +3955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "jsonld_extract": _q_jsonld_extract,
         "canonical_dup_groups": _q_canonical_dup_groups,
+        "hreflang_edges": _q_hreflang_edges,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bucket_rename": _q_bucket_rename,
@@ -4061,6 +4105,15 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events
             ) WHERE rn = 1
+        """,
+        "hreflang_edges": """
+            WITH j AS (SELECT unnest(range(3)) AS j),
+            langs(j, l) AS (VALUES (0, 'en'), (1, 'fr'), (2, 'de'))
+            SELECT d.doc_id, langs.l AS hreflang,
+                   'https://host' || CAST(d.doc_id - d.doc_id % 3 + j.j
+                       AS VARCHAR) || '.example/p' AS href
+            FROM documents d, j JOIN langs USING (j)
+            WHERE d.doc_id - d.doc_id % 3 + j.j <> d.doc_id
         """,
         "canonical_dup_groups": """
             SELECT 'https://host' || CAST(doc_id - doc_id % 5 AS VARCHAR)

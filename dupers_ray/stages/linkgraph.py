@@ -149,6 +149,64 @@ def extract_links(
     )
 
 
+def alternate_links(
+    t: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> pa.Table:
+    """``<link rel="alternate" hreflang=… href=…>`` triples — the signal
+    parallel-corpus mining pipelines use to find translation clusters
+    (a page lists its language variants; ParaCrawl-style pipelines mine
+    exactly these). One vectorized pass: ``split_pattern`` on ``<link``
+    fans each page to its link tags, one RE2 match per piece keeps
+    rel=alternate tags and extracts (hreflang, href); offsets arithmetic
+    maps matches back to their page — no per-row Python. Output: one
+    row per declared alternate, ``(id, hreflang, href)``."""
+    import pyarrow.compute as pc
+
+    html = t.column(html_col)
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        try:
+            html = pc.cast(html, pa.string())
+        except pa.ArrowInvalid:
+            html = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in html.to_pylist()],
+                pa.string(),
+            )
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    html = pc.fill_null(html, "")
+    # split_pattern is case-sensitive; fold the tag opener first so
+    # <LINK ...> tags participate
+    html = pc.replace_substring_regex(html, r"(?i)<link\b", "<link")
+    pieces = pc.split_pattern(html, "<link")
+    flat = pc.list_flatten(pieces)
+    parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    nlinks = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+    starts = np.repeat(np.cumsum(nlinks) - nlinks, nlinks)
+    pos = np.arange(len(flat), dtype=np.int64) - starts
+    keep = pos > 0  # piece 0 is pre-tag prose
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    m = pc.extract_regex(
+        flat,
+        r'(?is)^\s+rel\s*=\s*["\x27]?alternate["\x27]?[^>]*'
+        r'hreflang\s*=\s*["\x27]?(?P<l>[A-Za-z\-]+)["\x27]?[^>]*'
+        r'href\s*=\s*["\x27](?P<h>[^"\x27]+)',
+    )
+    lang = pc.struct_field(m, "l")
+    href = pc.struct_field(m, "h")
+    ok = pc.is_valid(lang).to_numpy(zero_copy_only=False)
+    idx = pa.array(parent[ok])
+    return pa.table({
+        id_col: t.column(id_col).take(idx),
+        "hreflang": pc.utf8_lower(lang.filter(pa.array(ok))),
+        "href": href.filter(pa.array(ok)),
+    })
+
+
 def anchor_profiles(
     links: "ray.data.Dataset",
     *,

@@ -245,3 +245,27 @@ def test_drop_nofollow_scopes_to_rel_value():
     assert kept == ["keep1.example", "keep2.example", "keep3.example"]
     # default keeps everything
     assert len(links_batch(t)) == 5
+
+
+def test_alternate_links_extraction():
+    from dupers_ray.stages.linkgraph import alternate_links
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "html": pa.array([
+            '<html><head>'
+            '<link rel="alternate" hreflang="fr" href="https://f.example/p">'
+            "<LINK REL=alternate HREFLANG='DE' href='https://d.example/p'>"
+            '<link rel="stylesheet" href="https://x.css">'
+            "</head></html>",
+            "<p>no links at all</p>",
+        ], pa.string()),
+    })
+    out = alternate_links(t)
+    rows = list(zip(out.column("doc_id").to_pylist(),
+                    out.column("hreflang").to_pylist(),
+                    out.column("href").to_pylist()))
+    assert rows == [
+        (0, "fr", "https://f.example/p"),
+        (0, "de", "https://d.example/p"),  # case-folded lang
+    ]
