@@ -2975,6 +2975,100 @@ def _q_jsonld_extract(sf_dir: str):
     )
 
 
+def _mk_template_pages(t):
+    """Synthesize three CMS-style page templates from doc_id (t = id % 3)
+    with per-doc text AND per-doc attribute values, so the skeleton
+    kernel has to strip both. Restated verbatim in the oracle SQL."""
+    import pyarrow as _pa
+
+    ids = t.column("doc_id").to_pylist()
+    pages = []
+    for i in ids:
+        k = i % 3
+        if k == 0:
+            h = (
+                f'<html><head><title>Doc {i}</title></head>'
+                f'<body><div class="main" id="m{i}"><h1>T {i}</h1>'
+                f"<p>p{i} one</p><p>p{i} two</p></div></body></html>"
+            )
+        elif k == 1:
+            h = (
+                f'<html><head><meta charset="utf-8"><title>P {i}</title>'
+                f"</head><body><ul><li>a{i}</li><li>b{i}</li></ul>"
+                f"</body></html>"
+            )
+        else:
+            h = (
+                f'<html><body><table border="1"><tr><td>{i}</td>'
+                f"<td>x</td></tr></table></body></html>"
+            )
+        pages.append(h.encode())
+    return _pa.table({
+        "doc_id": t.column("doc_id"),
+        "html": _pa.array(pages, _pa.binary()),
+    })
+
+
+def _q_template_keys(sf_dir: str):
+    """Per-page DOM template fingerprint (stages/template.template_keys):
+    strip inter-tag text + attributes with two vectorized RE2 rewrites,
+    md5-u64 the interned skeleton. The oracle re-derives the skeleton
+    from the SAME reconstructed html with the SAME regexp_replace chain
+    in DuckDB — full-chain value parity, not a planted-truth restatement."""
+    from dupers_ray.stages.template import template_keys
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _mk_template_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return template_keys(pages)
+
+
+def _q_template_clusters(sf_dir: str):
+    """Template-level rollup (stages/template.template_clusters):
+    (template_u64, n_pages, exemplar, n_tags) via the combiner→groupby
+    shape — one row per distinct template per batch crosses the wire.
+    Reference analogue: content-hash dup groups (pkg/dupe/dupe.go:919-931)
+    lifted to DOM structure."""
+    from dupers_ray.stages.template import template_clusters
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _mk_template_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return template_clusters(pages)
+
+
+def _q_lm_rarity(sf_dir: str):
+    """Bigram-LM rarity score (stages/lmscore.bigram_rarity): per doc the
+    integer surprisal surrogate Σ floor(2^20/(corpus_bigram_count+1)) —
+    CCNet's perplexity ordering with the count-derived fixed-point score
+    (module docstring). Combiner-counted bigrams, broadcast lookup; the
+    oracle restates the md5-u64 → h0*P+h1 → splitmix64 chain in SQL."""
+    from dupers_ray.stages.lmscore import bigram_rarity
+
+    return bigram_rarity(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lm_rarity_join(sf_dir: str):
+    """Same values as lm_rarity via the cogroup-join path (the scale
+    route when the bigram table exceeds broadcast_limit) — value-checks
+    the join machinery against the same oracle."""
+    from dupers_ray.stages.lmscore import bigram_rarity
+
+    return bigram_rarity(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), strategy="join"
+    )
+
+
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail terciles (stages/lmscore.rarity_buckets):
+    exact integer rank cuts over the avg-rarity distribution (combiner-
+    reduced to <= 2^20+1 rows), restated in SQL with the same
+    ceil-rank formulas."""
+    from dupers_ray.stages.lmscore import rarity_buckets
+
+    return rarity_buckets(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE first-merge statistics (stages/bpe.pair_counts): top-50
     adjacent character pairs weighted by word frequency — the
@@ -3954,6 +4048,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "jsonld_extract": _q_jsonld_extract,
+        "template_keys": _q_template_keys,
+        "template_clusters": _q_template_clusters,
+        "lm_rarity": _q_lm_rarity,
+        "lm_rarity_join": _q_lm_rarity_join,
+        "ccnet_buckets": _q_ccnet_buckets,
         "canonical_dup_groups": _q_canonical_dup_groups,
         "hreflang_edges": _q_hreflang_edges,
         "props_k_stats": _q_props_k_stats,
@@ -4060,6 +4159,85 @@ _TOPK_ORACLE = """
 """
 
 
+def _bigram_score_cte(table: str = "documents") -> str:
+    """Shared WITH-clauses restating stages/lmscore's bigram rarity in
+    DuckDB: md5-u64 token hashes → h0*P + h1 (mod 2^64) → splitmix64 →
+    corpus counts → per-doc Σ floor(2^20/(n+1)). Constants pulled live
+    from the engine kernels (same discipline as _sig_sql_prefix)."""
+    from dupers_ray.functions import hashing as _hk
+    from dupers_ray.stages import minhash as _mk
+    from dupers_ray.stages.lmscore import RARITY_SCALE
+
+    P = int(_mk._POLY)
+    GAMMA, M1, M2 = int(_hk._SM_GAMMA), int(_hk._SM_M1), int(_hk._SM_M2)
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        toks AS (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                  t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
+            FROM {table}
+        ), pairs AS (
+            SELECT doc_id,
+                   unnest([{{'h0': th[i], 'h1': th[i+1]}}
+                           FOR i IN range(1, len(th))], recursive := true)
+            FROM toks WHERE len(th) >= 2
+        ), bhx AS (
+            SELECT doc_id,
+                   ((h0::UHUGEINT * {P}::UHUGEINT + h1::UHUGEINT
+                     + {GAMMA}::UHUGEINT) % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', M1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', M2)} AS x4,
+                   xor(x4, x4 >> 31) AS b
+            FROM pairs
+        ), cnt AS (
+            SELECT b, count(*) AS n FROM bhx GROUP BY b
+        ), scored AS (
+            SELECT bhx.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum({RARITY_SCALE} // (cnt.n + 1)) AS BIGINT)
+                       AS rarity
+            FROM bhx JOIN cnt USING (b) GROUP BY bhx.doc_id
+        )
+    """
+
+
+# Rebuilds _mk_template_pages' html byte-for-byte in SQL, then derives the
+# tag skeleton with the SAME three rewrites as stages/template.tag_skeleton
+# (strip inter-tag text, lower, strip attributes) — RE2 on both sides.
+_TEMPLATE_SKEL_CTE = """
+    pages AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN '<html><head><title>Doc ' || i
+                       || '</title></head><body><div class="main" id="m'
+                       || i || '"><h1>T ' || i || '</h1><p>p' || i
+                       || ' one</p><p>p' || i
+                       || ' two</p></div></body></html>'
+                   WHEN 1 THEN
+                       '<html><head><meta charset="utf-8"><title>P ' || i
+                       || '</title></head><body><ul><li>a' || i
+                       || '</li><li>b' || i || '</li></ul></body></html>'
+                   ELSE '<html><body><table border="1"><tr><td>' || i
+                       || '</td><td>x</td></tr></table></body></html>'
+               END AS html
+        FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents)
+    ),
+    sk AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_replace(html, '>[^<]*', '>', 'g')),
+                   '<([a-z][a-z0-9]*)[^>]*>', '<\\1>', 'g') AS skel
+        FROM pages
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_canonical": """
@@ -4129,6 +4307,68 @@ def oracle_sql() -> dict[str, str]:
                    'item ' || CAST(doc_id AS VARCHAR) AS name,
                    CAST(doc_id % 7 AS BIGINT) AS position
             FROM documents
+        """,
+        "lm_rarity": f"""
+            WITH {_bigram_score_cte()}
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(s.rarity, 0) AS BIGINT) AS rarity
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "lm_rarity_join": f"""
+            WITH {_bigram_score_cte()}
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(s.rarity, 0) AS BIGINT) AS rarity
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "ccnet_buckets": f"""
+            WITH {_bigram_score_cte()},
+            avgd AS (
+                SELECT d.doc_id,
+                       COALESCE(s.rarity, 0)
+                           // (CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                               THEN s.n_bigrams ELSE 1 END) AS avg_rarity
+                FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ), tot AS (SELECT count(*) AS n FROM avgd),
+            hist AS (
+                SELECT avg_rarity, count(*) AS c FROM avgd GROUP BY avg_rarity
+            ), cw AS (
+                SELECT avg_rarity,
+                       sum(c) OVER (ORDER BY avg_rarity) AS cum
+                FROM hist
+            ), cuts AS (
+                SELECT min(CASE WHEN cum >= (SELECT (n + 2) // 3 FROM tot)
+                                THEN avg_rarity END) AS q1,
+                       min(CASE WHEN cum >= (SELECT (2 * n + 2) // 3 FROM tot)
+                                THEN avg_rarity END) AS q2
+                FROM cw
+            )
+            SELECT doc_id,
+                   CAST(avg_rarity AS BIGINT) AS avg_rarity,
+                   CASE WHEN avg_rarity <= q1 THEN 'head'
+                        WHEN avg_rarity <= q2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM avgd, cuts
+        """,
+        "template_keys": f"""
+            WITH {_TEMPLATE_SKEL_CTE}
+            SELECT doc_id,
+                   ('0x' || substr(md5(skel), 1, 16))::UBIGINT
+                       AS template_u64,
+                   CAST(length(skel) - length(replace(skel, '<', ''))
+                        AS BIGINT) AS n_tags
+            FROM sk
+        """,
+        "template_clusters": f"""
+            WITH {_TEMPLATE_SKEL_CTE}
+            SELECT ('0x' || substr(md5(skel), 1, 16))::UBIGINT
+                       AS template_u64,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(doc_id) AS exemplar,
+                   CAST(length(skel) - length(replace(skel, '<', ''))
+                        AS BIGINT) AS n_tags
+            FROM sk GROUP BY skel
         """,
         "bpe_pair_counts": """
             WITH toks AS (
