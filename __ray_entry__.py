@@ -3037,6 +3037,19 @@ def _q_template_clusters(sf_dir: str):
     return template_clusters(pages)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence-packing layout (stages/budget.pack_sequences):
+    global token offset of every doc in the concatenated (+EOS) stream
+    and the fixed-length window range it occupies — computed with the
+    bucketed-prefix plan (NO full sort), restated in SQL as one ordered
+    window sum."""
+    from dupers_ray.stages.budget import pack_sequences
+
+    return pack_sequences(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), seq_len=256
+    )
+
+
 def _q_lm_rarity(sf_dir: str):
     """Bigram-LM rarity score (stages/lmscore.bigram_rarity): per doc the
     integer surprisal surrogate Σ floor(2^20/(corpus_bigram_count+1)) —
@@ -4050,6 +4063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_extract": _q_jsonld_extract,
         "template_keys": _q_template_keys,
         "template_clusters": _q_template_clusters,
+        "pack_sequences": _q_pack_sequences,
         "lm_rarity": _q_lm_rarity,
         "lm_rarity_join": _q_lm_rarity_join,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4307,6 +4321,27 @@ def oracle_sql() -> dict[str, str]:
                    'item ' || CAST(doc_id AS VARCHAR) AS name,
                    CAST(doc_id % 7 AS BIGINT) AS position
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH st AS (
+                SELECT doc_id,
+                       CAST(COALESCE(len(regexp_extract_all(
+                           lower(text), '[a-z0-9_]+')), 0) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(sum(n_tokens + 1) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_offset
+                FROM st
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 256 AS first_seq,
+                   (start_offset + n_tokens) // 256 AS last_seq
+            FROM c
         """,
         "lm_rarity": f"""
             WITH {_bigram_score_cte()}

@@ -230,3 +230,124 @@ def select_mix_budget(
     return compact.groupby("__sb").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> "ray.data.Dataset":
+    """Training-sequence PACKING layout: concatenate docs (+1 EOS token
+    each) in ``id`` order and slice the stream into fixed ``seq_len``
+    windows — the step that turns a curated corpus into GPT-style
+    training examples. Per doc:
+
+    (id, n_tokens, start_offset, first_seq, last_seq)
+
+    where ``start_offset`` is the global token offset of the doc's first
+    token in the concatenated stream, ``first_seq = start_offset //
+    seq_len`` and ``last_seq = (start_offset + n_tokens) // seq_len``
+    (the +1 EOS means every doc occupies >= 1 position, so the window
+    indices are total — no empty-doc NULLs). A writer task for sequence
+    range [a, b) needs exactly the docs with ``first_seq < b`` and
+    ``last_seq >= a`` — resumable, partition-parallel shard writing.
+
+    Same NO-full-sort shape as :func:`select_token_budget`, but the
+    total order is the id itself, so the bucket must be a MONOTONE
+    function of id: bucket = (id - min_id) * n_buckets // span, computed
+    after one cheap min/max aggregate over the compact stats rows. Ids
+    need not be dense — only roughly uniform for bucket balance (the
+    synthetic and CC-style id spaces are); a skewed id space calls for
+    quantile bucket bounds, which slot into the same plan.
+
+    Engine-new (the packing step of Brown et al. 2020-style pretraining
+    data prep); SQL oracle: ``sum(n_tokens + 1) OVER (ORDER BY id ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — see __ray_entry__.py."""
+    from dupers_ray.stages.textstats import flat_tokens
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        _, doc_idx, n = flat_tokens(t.column(text_col))
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+        })
+
+    compact = ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed 3x: min/max probe, bucket totals, resolve
+
+    if compact.count() == 0:
+        return compact.map_batches(
+            lambda t: pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "start_offset": pa.array([], pa.int64()),
+                "first_seq": pa.array([], pa.int64()),
+                "last_seq": pa.array([], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    lo = compact.min(id_col)
+    hi = compact.max(id_col)
+    span = int(hi) - int(lo) + 1
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        b = (ids - int(lo)).astype(np.int64) * n_buckets // span
+        return t.append_column("__bucket", pa.array(b))
+
+    keyed = compact.map_batches(
+        with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.asarray(t.column("__bucket"), dtype=np.int64)
+        n = np.asarray(t.column("n_tokens"), dtype=np.int64) + 1  # +EOS
+        tot = np.bincount(b, weights=n, minlength=0).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pa.table({"__bucket": pa.array(nz), "t": pa.array(tot[nz])})
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        keyed.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .aggregate(Sum("t", alias_name="t"))
+        .take_all()
+    )  # <= n_buckets rows by construction
+    offsets = np.zeros(n_buckets, np.int64)
+    for r in totals:
+        offsets[int(r["__bucket"])] = int(r["t"])
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+    oref = ray.put(offsets)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        n = np.asarray(g.column("n_tokens"), dtype=np.int64)
+        bkt = int(g.column("__bucket")[0].as_py())
+        order = np.argsort(ids)  # ids are unique — total order
+        eff = n[order] + 1
+        start = np.cumsum(eff) - eff + offs[bkt]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        start = start[inv]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n),
+            "start_offset": pa.array(start),
+            "first_seq": pa.array(start // seq_len),
+            "last_seq": pa.array((start + n) // seq_len),
+        })
+
+    return keyed.groupby("__bucket").map_groups(
+        resolve, batch_format="pyarrow"
+    )

@@ -113,3 +113,59 @@ def test_mix_budget_per_source_independence():
                              budgets={"s0": 30, "s1": 50})
     c = {r["doc_id"]: r["selected"] for r in out2.take_all()}
     assert c == {d: v[3] for d, v in a.items()}
+
+
+def _pack_reference(tbl: pa.Table, seq_len: int) -> pd.DataFrame:
+    """Single-process packing layout: concat docs (+1 EOS) in id order."""
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    texts = tbl.column("text").to_pylist()
+    n = np.array(
+        [len(_TOKEN_RE.findall((s or "").lower())) for s in texts], np.int64
+    )
+    order = np.argsort(ids)
+    eff = n[order] + 1
+    start = np.zeros(len(ids), np.int64)
+    start[order] = np.cumsum(eff) - eff
+    return pd.DataFrame({
+        "doc_id": ids, "n_tokens": n, "start_offset": start,
+        "first_seq": start // seq_len, "last_seq": (start + n) // seq_len,
+    }).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_pack_sequences_matches_reference(pages_small):
+    from dupers_ray.stages.budget import pack_sequences
+
+    t = pages_small.pages
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "text": t.column("text"),
+    })
+    want = _pack_reference(tbl, 128)
+    got = _got(pack_sequences(rd.from_arrow(tbl), seq_len=128))
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # windows tile the stream: every sequence index up to the last is
+    # covered by exactly the docs whose [first_seq, last_seq] spans it
+    total = int((want.n_tokens + 1).sum())
+    covered = np.zeros(total // 128 + 1, bool)
+    for _, r in want.iterrows():
+        covered[r.first_seq : r.last_seq + 1] = True
+    assert covered.all()
+
+
+def test_pack_sequences_layout_invariance_and_sparse_ids(pages_small):
+    from dupers_ray.stages.budget import pack_sequences
+
+    t = pages_small.pages
+    # sparse, non-dense ids (stride 7 with a big base) exercise the
+    # monotone-bucket mapping away from the dense happy path
+    ids = 10_000 + 7 * np.arange(t.num_rows, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "text": t.column("text")})
+    want = _pack_reference(tbl, 64)
+    a = _got(pack_sequences(rd.from_arrow(tbl), seq_len=64))
+    b = _got(
+        pack_sequences(
+            rd.from_arrow(tbl).repartition(31), seq_len=64, n_buckets=128
+        )
+    )
+    pd.testing.assert_frame_equal(a[want.columns], want)
+    pd.testing.assert_frame_equal(a, b)
