@@ -3969,6 +3969,37 @@ def _q_surt_dup_groups(sf_dir: str):
     return surt_dup_groups(docs)
 
 
+def _q_revisit_collapse(sf_dir: str):
+    """CDX revisit detection (pipelines/urls.revisit_collapse): doc_id d
+    is capture k = d // 37 of url site{d % 37}; the payload (and so its
+    md5-u64 digest) changes every 3 captures, so each triple's 2nd/3rd
+    captures are revisits of its first. Oracle restates the payload
+    arithmetic + md5 and the min-ts window."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.pipelines.urls import revisit_collapse
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = _np.asarray(t.column("doc_id"), dtype=_np.int64)
+        u, k = ids % 37, ids // 37
+        ver = k - k % 3
+        payloads = [f"v{a}:{b}" for a, b in zip(u, ver)]
+        return _pa.table({
+            "url": _pa.array(
+                [f"https://site{a}.example/p" for a in u], _pa.string()
+            ),
+            "ts": _pa.array(1_700_000_000_000_000 + ids * 1_000_000),
+            "digest": _pa.array(hash_str_u64(payloads)),
+        })
+
+    caps = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return revisit_collapse(caps)
+
+
 def _q_domain_stats(sf_dir: str):
     """Registrable-domain rollup (Info/counts verb keyed by web domain)."""
     from dupers_ray.pipelines.urls import domain_rollup
@@ -4056,6 +4087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_check": _q_robots_check,
         "wet_roundtrip": _q_wet_roundtrip,
         "surt_dup_groups": _q_surt_dup_groups,
+        "revisit_collapse": _q_revisit_collapse,
         "mix_budget": _q_mix_budget,
         "dup_recall_report": _q_dup_recall_report,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -4427,6 +4459,25 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc
             FROM documents
             GROUP BY doc_id // 2
+        """,
+        "revisit_collapse": """
+            WITH caps AS (
+                SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR)
+                           || '.example/p' AS url,
+                       CAST(1700000000000000
+                            + doc_id * 1000000 AS BIGINT) AS ts,
+                       ('0x' || substr(md5(
+                           'v' || CAST(doc_id % 37 AS VARCHAR) || ':'
+                           || CAST((doc_id // 37)
+                                   - ((doc_id // 37) % 3) AS VARCHAR)
+                       ), 1, 16))::UBIGINT AS digest
+                FROM documents
+            )
+            SELECT url, ts, digest,
+                   CAST(ts > min(ts) OVER (PARTITION BY url, digest)
+                        AS BIGINT) AS is_revisit,
+                   min(ts) OVER (PARTITION BY url, digest) AS ref_ts
+            FROM caps
         """,
         "wet_roundtrip": """
             SELECT doc_id,

@@ -128,3 +128,68 @@ def domain_rollup(
 
     with_dom = ds.map_batches(add_domain, batch_format="pyarrow", zero_copy_batch=True)
     return counts_by_bucket(with_dom, bucket_col="domain", size_col=size_col)
+
+
+def revisit_collapse(
+    ds: "ray.data.Dataset",
+    *,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Common-Crawl revisit detection (the CDX ``digest-unchanged``
+    dedup): a capture whose payload digest already appeared at an
+    earlier ``ts`` of the SAME url is a *revisit* — web archives store a
+    WARC ``revisit`` record pointing at the original capture instead of
+    re-storing the payload (ISO 28500 revisit semantics; the reference's
+    bucket-overwrite on re-walk, ``pkg/dupe/dupe.go:955-963``, is the
+    filesystem analogue). Output per capture:
+
+    (url, ts, digest, is_revisit, ref_ts)
+
+    where ``ref_ts`` is the url's FIRST capture of that digest (the
+    payload holder) and ``is_revisit = ts > ref_ts``.
+
+    Scale shape: digests are computed upstream, so ONE url-hash shuffle
+    of (url, ts, digest) rows — never payload bytes — co-locates each
+    url's captures; per partition a vectorized pandas
+    groupby-``transform('min')`` over (url, digest). No per-url Python
+    loop; a hot url costs only its own capture rows. SQL oracle:
+    ``min(ts) OVER (PARTITION BY url, digest)``.
+    """
+    import pandas as pd
+
+    from dupers_ray.pipelines.maintenance import hash_str_keys
+
+    cols = [url_col, ts_col, digest_col]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash_str_keys(t.column(url_col).cast(pa.string()))
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                url_col: pd.Series([], dtype=object),
+                ts_col: pd.Series([], dtype="int64"),
+                digest_col: pd.Series([], dtype="uint64"),
+                "is_revisit": pd.Series([], dtype="int64"),
+                "ref_ts": pd.Series([], dtype="int64"),
+            })
+        ref = g.groupby([url_col, digest_col], sort=False)[ts_col].transform("min")
+        out = g[cols].copy()
+        out["is_revisit"] = (g[ts_col] > ref).astype("int64")
+        out["ref_ts"] = ref.astype("int64")
+        return out
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pandas")
+    )

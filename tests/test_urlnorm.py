@@ -293,3 +293,40 @@ def test_extract_canonical_href_variants():
         "https://c.example/x", "https://d.example/y",
         "https://self3/", "https://self4/", "https://self5/",
     ]
+
+
+def test_revisit_collapse_matches_bruteforce():
+    import numpy as np
+    import ray.data as rd
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.pipelines.urls import revisit_collapse
+
+    rng = np.random.default_rng(11)
+    n = 400
+    urls = [f"https://h{int(i)}.example/p" for i in rng.integers(0, 23, n)]
+    ts = np.arange(n, dtype=np.int64) * 1000
+    # payload version changes at random capture indices -> runs of revisits
+    digests = hash_str_u64(
+        [f"{u}:{int(v)}" for u, v in zip(urls, rng.integers(0, 4, n))]
+    )
+    t = pa.table({"url": urls, "ts": ts, "digest": digests})
+
+    # brute force: first ts per (url, digest) is the original
+    first: dict[tuple, int] = {}
+    for u, s, d in sorted(zip(urls, ts, digests), key=lambda r: r[1]):
+        first.setdefault((u, int(d)), int(s))
+    want = {
+        (u, int(s)): (int(int(s) > first[(u, int(d))]), first[(u, int(d))])
+        for u, s, d in zip(urls, ts, digests)
+    }
+
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = {
+            (r["url"], r["ts"]): (r["is_revisit"], r["ref_ts"])
+            for r in revisit_collapse(ds).take_all()
+        }
+        assert got == want
+    # sanity: both classes present
+    assert 0 < sum(v[0] for v in want.values()) < n
