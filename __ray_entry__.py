@@ -49,6 +49,19 @@ def _q_exact_canonical(sf_dir: str):
     )
 
 
+def _q_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup reweighting (pipelines/exact_dedup.soft_dedup_weights):
+    every non-empty doc kept with weight 1/n_dups of its exact-digest
+    group — the keep-everything alternative to DelDupeFiles. Oracle:
+    one window count over sha256(text)."""
+    from dupers_ray.pipelines.exact_dedup import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id", content_col="text",
+    )
+
+
 def _q_main_content(sf_dir: str):
     """Boilerplate-vs-content extraction by link density (stages/extract.
     main_content_one — Kohlschütter et al. 2010 boilerpipe heuristic):
@@ -4088,6 +4101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "surt_dup_groups": _q_surt_dup_groups,
         "revisit_collapse": _q_revisit_collapse,
+        "soft_dedup_weights": _q_soft_dedup_weights,
         "mix_budget": _q_mix_budget,
         "dup_recall_report": _q_dup_recall_report,
         "bpe_pair_counts": _q_bpe_pair_counts,
@@ -4293,6 +4307,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE text IS NOT NULL AND length(text) > 0
             GROUP BY sha256(text)
+        """,
+        "soft_dedup_weights": """
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY sha256(text))
+                        AS BIGINT) AS n_dups,
+                   1.0 / count(*) OVER (PARTITION BY sha256(text))
+                       AS weight
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
         """,
         "main_content": """
             SELECT doc_id,

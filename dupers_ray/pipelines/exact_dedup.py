@@ -130,3 +130,50 @@ def exact_canonical(
         fn_kwargs={"id_col": id_col, "keep_cols": keep_cols},
         batch_format="pandas",
     )
+
+
+def soft_dedup_weights(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "url",
+    content_col: str = "text",
+    has_digests: bool = False,
+) -> "ray.data.Dataset":
+    """Soft deduplication: instead of DROPPING duplicates, keep every doc
+    and emit a sampling weight inversely proportional to its exact-dup
+    group size — ``weight = 1 / n_dups`` — so a training loader that
+    samples by weight sees each distinct content once in expectation
+    (SoftDeDup reweighting, He et al. 2024, ACL — public literature; the
+    reference's hard-delete analogue is DelDupeFiles, pkg/dupe/dupe.go).
+    Output per doc: (id, n_dups, weight).
+
+    Same ONE-shuffle shape as :func:`exact_dupe_pairs`: only (id,
+    digest_u64-part, digest) rows move — never text — and the per-
+    partition transform('size') is fully vectorized."""
+
+    def _group_weights(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_dups": pd.Series([], dtype="int64"),
+                "weight": pd.Series([], dtype="float64"),
+            })
+        sizes = (
+            g.groupby("digest", sort=False)[id_col]
+            .transform("size").astype("int64")
+        )
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "n_dups": sizes,
+            "weight": 1.0 / sizes,
+        })
+
+    if not has_digests:
+        ds = digest_dataset(ds, content_col=content_col)
+    ds = ds.select_columns([id_col, "digest", "digest_u64"]).map_batches(
+        _add_digest_part, fn_kwargs={"p": DEFAULT_PARTITIONS},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _coalesced(ds).groupby("__part").map_groups(
+        _group_weights, batch_format="pandas"
+    )

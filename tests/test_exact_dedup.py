@@ -68,3 +68,31 @@ def test_determinism_across_partitioning(pages_small):
     p1 = exact_dupe_pairs(ds1).to_pandas().sort_values(["url", "match_url"]).reset_index(drop=True)
     p2 = exact_dupe_pairs(ds2).to_pandas().sort_values(["url", "match_url"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_soft_dedup_weights_sum_to_distinct_count():
+    """Σ weight == number of distinct contents (each group contributes
+    n * 1/n = 1), and every member of a group carries the same weight."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.exact_dedup import soft_dedup_weights
+
+    texts = [f"content {i % 7}" for i in range(60)] + ["", None]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(62, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    rows = soft_dedup_weights(
+        rd.from_arrow(t).repartition(5), id_col="doc_id", content_col="text"
+    ).take_all()
+    assert len(rows) == 60  # empty/null text dropped, dups all kept
+    assert abs(sum(r["weight"] for r in rows) - 7) < 1e-9
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r["doc_id"] % 7, set()).add(
+            (r["n_dups"], round(r["weight"], 12))
+        )
+    for grp in by_content.values():
+        assert len(grp) == 1  # uniform within group
