@@ -290,3 +290,44 @@ def explode_bands(
 def signature_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Unbiased Jaccard estimate: fraction of equal signature components."""
     return float(np.mean(sig_a == sig_b))
+
+
+def plan_lsh(
+    threshold: float,
+    num_perm: int = 128,
+    *,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Choose LSH banding (bands, rows) for a target Jaccard ``threshold``
+    and a permutation budget: minimize the weighted error mass of the
+    S-curve P(s) = 1 - (1 - s^r)^b against the ideal step at the
+    threshold — ∫₀ᵗ fp·P(s) ds + ∫ₜ¹ fn·(1 - P(s)) ds — over every exact
+    factorization b·r = num_perm (the standard MMDS ch.3 tuning,
+    Leskovec/Rajaraman/Ullman; public literature). Deterministic
+    midpoint quadrature, no RNG. Use ``fn_weight > fp_weight`` when
+    missed dup pairs cost more than verify work (the north rule's
+    recall ≥ 0.99 regime).
+
+    Returns (bands, rows) ready for :class:`dupers_ray.config`'s
+    MinHash config (bands * rows == num_perm always holds)."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 1:
+        raise ValueError("num_perm must be positive")
+    s = (np.arange(1000, dtype=np.float64) + 0.5) / 1000.0
+    below = s < threshold
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_perm + 1):
+        if num_perm % r:
+            continue
+        b = num_perm // r
+        p = 1.0 - (1.0 - s**r) ** b
+        err = (
+            fp_weight * p[below].sum() + fn_weight * (1.0 - p[~below]).sum()
+        ) / 1000.0
+        # tie-break toward fewer bands (fewer shuffled band rows/doc)
+        if best is None or err < best[0] - 1e-12:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

@@ -156,3 +156,30 @@ def test_binary_matrix_zero_copy_and_fallback():
     with_null = pa.array([m[0].tobytes(), None, m[2].tobytes()], pa.binary())
     out = binary_matrix(with_null.drop_null(), "<u4")
     assert (out == m[[0, 2]]).all()
+
+
+def test_plan_lsh_properties():
+    import numpy as np
+
+    from dupers_ray.stages.minhash import plan_lsh
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        for n in (64, 128, 256):
+            b, r = plan_lsh(t, n)
+            assert b * r == n and b >= 1 and r >= 1
+            # the S-curve's 50% point sits near the threshold: within the
+            # gap to the neighbouring factorizations by construction
+            mid = (1 - (1 - t**r) ** b)
+            assert 0.02 < mid < 0.98
+    # higher threshold -> more rows per band (sharper AND)
+    assert plan_lsh(0.9, 128)[1] >= plan_lsh(0.5, 128)[1]
+    # recall-weighted planning never picks MORE rows (never less recall)
+    b0, r0 = plan_lsh(0.8, 128)
+    b1, r1 = plan_lsh(0.8, 128, fn_weight=10.0)
+    assert r1 <= r0
+    # recall at the threshold is higher under fn weighting
+    p0 = 1 - (1 - 0.8**r0) ** b0
+    p1 = 1 - (1 - 0.8**r1) ** b1
+    assert p1 >= p0
+    # degenerate budgets still valid
+    assert plan_lsh(0.5, 1) == (1, 1)
