@@ -3121,6 +3121,20 @@ def _q_bpe_merges(sf_dir: str):
     )
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Corpus tokenized under its OWN learned BPE (stages/bpe.
+    bpe_encode_counts): merge table trained in one distributed
+    word-count pass, broadcast once, applied per unique word per batch
+    — per-doc (n_words, n_pieces) under the real tokenizer. rows-only
+    by documented design (the merge-apply loop is not SQL-expressible);
+    greedy-apply ≡ rank-replay is pinned in tests/test_bpe.py."""
+    from dupers_ray.stages.bpe import bpe_encode_counts, bpe_merges
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_merges(docs, n_merges=30)
+    return bpe_encode_counts(docs, merges)
+
+
 def _q_dup_recall_report(sf_dir: str):
     """The north rule's conformance number, driver-visible: flagship
     clusters over the seeded synthetic pages corpus (planted exact+near
@@ -4106,6 +4120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_recall_report": _q_dup_recall_report,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_counts": _q_bpe_token_counts,
         "jsonld_extract": _q_jsonld_extract,
         "template_keys": _q_template_keys,
         "template_clusters": _q_template_clusters,

@@ -138,3 +138,76 @@ def bpe_merges(
     wc = word_counts(ds, text_col=text_col).to_pandas()
     wc = wc.sort_values("word").reset_index(drop=True)  # deterministic
     return train_bpe(wc, n_merges=n_merges)
+
+
+def _encode_word(word: str, rank: dict[tuple[str, str], int]) -> int:
+    """Piece count of one word under the merge table: greedy
+    lowest-rank-first merging (the standard BPE apply loop). Only the
+    COUNT is returned — callers need token lengths, not the pieces."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(seq) - 1):
+            r = rank.get((seq[i], seq[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        seq[best_i: best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+def bpe_encode_counts(
+    ds: "ray.data.Dataset",
+    merges: "pd.DataFrame",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Apply a learned merge table corpus-wide and count BPE pieces per
+    doc — the token accounting a budget/packing stage runs under the
+    REAL tokenizer instead of the whitespace surrogate. Output:
+    (id, n_words, n_pieces).
+
+    Scale shape: the merge table is tiny (≤ vocab merges) and shipped
+    ONCE via ``ray.put``; each batch factorizes its words so the apply
+    loop runs per UNIQUE word (Zipf makes unique/batch ≪ tokens/batch),
+    then piece counts scatter back through the factorize indices and
+    sum per doc with one ``np.bincount``. ONE streaming pass, no
+    shuffle. The per-unique-word loop is the vocab-bounded regime the
+    module header carves out for the compact side."""
+    import ray as _ray
+
+    rank = {
+        (l, r): int(k)
+        for k, l, r in zip(merges["rank"], merges["left"], merges["right"])
+    }
+    rref = _ray.put(rank)
+
+    from dupers_ray.stages.textstats import flat_tokens
+
+    def encode(t: pa.Table) -> pa.Table:
+        rk = _ray.get(rref)
+        toks, doc_idx, n = flat_tokens(t.column(text_col))
+        ids = t.column(id_col)
+        if len(toks) == 0:
+            z = np.zeros(n, np.int64)
+            return pa.table({id_col: ids, "n_words": z, "n_pieces": z})
+        codes, uniq = pd.factorize(
+            pd.array(toks.to_numpy(zero_copy_only=False)), sort=False
+        )
+        per_uniq = np.fromiter(
+            (_encode_word(w, rk) for w in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        n_pieces = np.bincount(
+            doc_idx, weights=per_uniq[codes], minlength=n
+        ).astype(np.int64)
+        return pa.table({
+            id_col: ids, "n_words": n_words, "n_pieces": n_pieces,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )

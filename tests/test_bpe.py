@@ -77,3 +77,65 @@ def test_bpe_end_to_end_and_determinism():
             brute_pairs[w[i: i + 2]] += n
     want = sorted(brute_pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert [(r["pair"], r["n"]) for r in top] == want
+
+
+def test_bpe_encode_counts_matches_sequential_apply():
+    """Greedy lowest-rank-first apply == replaying merges in rank order
+    (the two standard statements of BPE inference), and piece counts
+    bincount back to docs correctly across batch layouts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.bpe import bpe_encode_counts, bpe_merges
+    from dupers_ray.stages.textstats import _TOKEN_RE
+
+    rng = np.random.default_rng(5)
+    vocab = ["the", "thereby", "other", "banana", "bandana", "an", "a"]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, len(vocab), 12))
+        for _ in range(80)
+    ] + ["", None]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(82, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+    merges = bpe_merges(ds, n_merges=12)
+
+    def seq_apply(word: str) -> int:
+        seq = list(word)
+        for _, l, r, _n in merges.itertuples(index=False):
+            i, out = 0, []
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    want = {
+        int(i): sum(seq_apply(w) for w in _TOKEN_RE.findall((tx or "").lower()))
+        for i, tx in zip(range(82), texts)
+    }
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_words"])
+        for r in bpe_encode_counts(ds, merges).take_all()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+    # no merges -> every piece is a single char
+    got0 = {
+        r["doc_id"]: r["n_pieces"]
+        for r in bpe_encode_counts(
+            ds, pd.DataFrame(columns=["rank", "left", "right", "n"])
+        ).take_all()
+    }
+    chars = {
+        int(i): sum(len(w) for w in _TOKEN_RE.findall((tx or "").lower()))
+        for i, tx in zip(range(82), texts)
+    }
+    assert got0 == chars
