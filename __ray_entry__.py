@@ -3063,6 +3063,21 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_packed_windows(sf_dir: str):
+    """Materialized packed training windows (stages/budget.
+    packed_windows): md5-u64 token ids (+EOS 0) concatenated in doc_id
+    order, sliced into 256-token windows; per window the count and an
+    order-sensitive mod-2^64 checksum Σ tid·(pos_in_window+1). The
+    oracle rebuilds the stream with generate_subscripts + window sums
+    and HUGEINT mod-2^64 arithmetic — a full value oracle on the
+    materialization itself."""
+    from dupers_ray.stages.budget import packed_windows
+
+    return packed_windows(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), seq_len=256
+    )
+
+
 def _q_lm_rarity(sf_dir: str):
     """Bigram-LM rarity score (stages/lmscore.bigram_rarity): per doc the
     integer surprisal surrogate Σ floor(2^20/(corpus_bigram_count+1)) —
@@ -4125,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_keys": _q_template_keys,
         "template_clusters": _q_template_clusters,
         "pack_sequences": _q_pack_sequences,
+        "packed_windows": _q_packed_windows,
         "lm_rarity": _q_lm_rarity,
         "lm_rarity_join": _q_lm_rarity_join,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4412,6 +4428,41 @@ def oracle_sql() -> dict[str, str]:
                    start_offset // 256 AS first_seq,
                    (start_offset + n_tokens) // 256 AS last_seq
             FROM c
+        """,
+        "packed_windows": """
+            WITH st AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[a-z0-9_]+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CAST(len(toks) AS BIGINT) AS n,
+                       CAST(COALESCE(sum(CAST(len(toks) AS BIGINT) + 1)
+                           OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_offset
+                FROM st
+            ), flat AS (
+                SELECT start_offset + CAST(ord AS BIGINT) - 1 AS pos,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS tid
+                FROM (
+                    SELECT start_offset, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS ord
+                    FROM c
+                )
+                UNION ALL
+                SELECT start_offset + n AS pos, CAST(0 AS UBIGINT) AS tid
+                FROM c
+            )
+            SELECT pos // 256 AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(CAST(tid AS HUGEINT) * (pos % 256 + 1))
+                        % CAST(18446744073709551616 AS HUGEINT)
+                        AS UBIGINT) AS checksum
+            FROM flat
+            GROUP BY pos // 256
         """,
         "lm_rarity": f"""
             WITH {_bigram_score_cte()}

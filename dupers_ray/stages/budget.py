@@ -351,3 +351,106 @@ def pack_sequences(
     return keyed.groupby("__bucket").map_groups(
         resolve, batch_format="pyarrow"
     )
+
+
+def packed_windows(
+    ds: "ray.data.Dataset",
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> "ray.data.Dataset":
+    """MATERIALIZE the packed training stream that :func:`pack_sequences`
+    lays out: token ids (md5-u64 of each token, EOS = 0) concatenated in
+    id order and sliced into ``seq_len`` windows. Per window:
+
+    (seq_id, n_toks, checksum)
+
+    with ``checksum = Σ tid · (pos_in_window + 1)  (mod 2^64)`` — an
+    order-sensitive digest of the window's exact token sequence, so the
+    SQL oracle value-checks full materialization without comparing list
+    columns. ``n_toks == seq_len`` for every window but the last.
+
+    Scale shape: the layout join ships (id, start_offset) — 16 B/doc —
+    through ONE cogroup exchange against (id, text); each joined batch
+    then emits per-(batch, window) combiner rows (window id, count,
+    wrapped partial checksum), so the window groupby moves fragments,
+    never tokens. uint64 wraparound is exact end-to-end: numpy wraps in
+    the combiner, the per-window reduce sums uint64 per group, and the
+    oracle mirrors it with HUGEINT mod-2^64 arithmetic."""
+    import pandas as pd
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.pipelines.joins import hash_join
+    from dupers_ray.stages.textstats import flat_tokens
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    L = seq_len
+
+    layout = pack_sequences(
+        ds, seq_len=L, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    ).select_columns([id_col, "start_offset"])
+    joined = hash_join(
+        ds.select_columns([id_col, text_col]), layout, on=id_col,
+        left_schema=pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("start_offset", pa.int64())]),
+    )
+
+    def fragments(t: pa.Table) -> pa.Table:
+        toks, doc_idx, n = flat_tokens(t.column(text_col))
+        starts = np.asarray(t.column("start_offset"), dtype=np.int64)
+        counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        offs = np.cumsum(counts) - counts
+        j = np.arange(len(toks), dtype=np.int64) - offs[doc_idx]
+        if len(toks):
+            codes, uniq = pd.factorize(
+                pd.array(toks.to_numpy(zero_copy_only=False)), sort=False
+            )
+            tids = hash_str_u64(list(uniq))[codes]
+        else:
+            tids = np.zeros(0, np.uint64)
+        pos = np.concatenate([starts[doc_idx] + j, starts + counts])
+        tid = np.concatenate([tids, np.zeros(n, np.uint64)])
+        w = pos // L
+        chk = tid * (pos % L + 1).astype(np.uint64)  # uint64 wrap
+        df = pd.DataFrame({"seq_id": w, "chk": chk})
+        gb = df.groupby("seq_id", sort=False)["chk"]
+        out = gb.agg(n_toks="size", chk="sum").reset_index()
+        return pa.table({
+            "seq_id": out["seq_id"].to_numpy(np.int64),
+            "n_toks": out["n_toks"].to_numpy(np.int64),
+            "chk": out["chk"].to_numpy(np.uint64).view(np.int64),
+        })
+
+    def add_part(t: pa.Table) -> pa.Table:
+        w = np.asarray(t.column("seq_id"), dtype=np.int64)
+        return t.append_column("__part", pa.array(w % 64))
+
+    frags = joined.map_batches(
+        fragments, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        """Per seq_id-hash partition: vectorized per-window reduce (one
+        pandas groupby, no per-window Python call)."""
+        if not len(g):
+            return pd.DataFrame({
+                "seq_id": pd.Series([], dtype="int64"),
+                "n_toks": pd.Series([], dtype="int64"),
+                "checksum": pd.Series([], dtype="uint64"),
+            })
+        df = pd.DataFrame({
+            "seq_id": g["seq_id"].to_numpy(np.int64),
+            "n_toks": g["n_toks"].to_numpy(np.int64),
+            "chk": g["chk"].to_numpy().view(np.uint64),
+        })
+        out = df.groupby("seq_id", sort=False).agg(
+            n_toks=("n_toks", "sum"), checksum=("chk", "sum")
+        ).reset_index()
+        out["checksum"] = out["checksum"].astype("uint64")  # wraps mod 2^64
+        return out
+
+    return frags.groupby("__part").map_groups(assemble, batch_format="pandas")

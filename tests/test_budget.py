@@ -169,3 +169,44 @@ def test_pack_sequences_layout_invariance_and_sparse_ids(pages_small):
     )
     pd.testing.assert_frame_equal(a[want.columns], want)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_packed_windows_matches_reference(pages_small):
+    """Materialized window checksums equal a single-process build of the
+    concatenated (+EOS) token-id stream, across block layouts."""
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.stages.budget import packed_windows
+
+    t = pages_small.pages
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "text": t.column("text"),
+    })
+    L = 96
+    # single-process reference stream
+    stream: list[int] = []
+    for i in np.argsort(np.asarray(tbl.column("doc_id"))):
+        toks = _TOKEN_RE.findall((tbl.column("text")[int(i)].as_py() or "").lower())
+        stream.extend(int(h) for h in hash_str_u64(toks))
+        stream.append(0)  # EOS
+    arr = np.array(stream, np.uint64)
+    pos = np.arange(len(arr), dtype=np.int64)
+    want = {}
+    for w in range(int(pos[-1]) // L + 1):
+        m = (pos // L) == w
+        want[w] = (
+            int(m.sum()),
+            int((arr[m] * (pos[m] % L + 1).astype(np.uint64)).sum(
+                dtype=np.uint64)),
+        )
+
+    for parts in (4, 23):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = {
+            r["seq_id"]: (r["n_toks"], int(r["checksum"]))
+            for r in packed_windows(ds, seq_len=L).take_all()
+        }
+        assert got == want
+    # every window full except possibly the last
+    last = max(want)
+    assert all(v[0] == L for w, v in want.items() if w != last)
