@@ -3036,6 +3036,35 @@ def _q_template_keys(sf_dir: str):
     return template_keys(pages)
 
 
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror-site detection (pipelines/overlap.mirror_hosts): hosts 0-2
+    serve family-A pages, 3-5 family-B, each with doc_id%11==0 uniques —
+    exact Jaccard over distinct content-digest sets keeps the two
+    within-family triangles. Oracle: the same derivation with a DISTINCT
+    self-join."""
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.overlap import mirror_hosts
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        host = [f"h{i % 6}" for i in ids]
+        text = [
+            (f"{h}-unique-{i}" if i % 11 == 0 else
+             f"{'A' if i % 6 < 3 else 'B'}p{i % 35}")
+            for i, h in zip(ids, host)
+        ]
+        return _pa.table({
+            "host": _pa.array(host, _pa.string()),
+            "text": _pa.array(text, _pa.string()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mirror_hosts(pages, min_jaccard=0.3)
+
+
 def _q_template_clusters(sf_dir: str):
     """Template-level rollup (stages/template.template_clusters):
     (template_u64, n_pages, exemplar, n_tags) via the combiner→groupby
@@ -4139,6 +4168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_extract": _q_jsonld_extract,
         "template_keys": _q_template_keys,
         "template_clusters": _q_template_clusters,
+        "mirror_hosts": _q_mirror_hosts,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "lm_rarity": _q_lm_rarity,
@@ -4407,6 +4437,39 @@ def oracle_sql() -> dict[str, str]:
                    'item ' || CAST(doc_id AS VARCHAR) AS name,
                    CAST(doc_id % 7 AS BIGINT) AS position
             FROM documents
+        """,
+        "mirror_hosts": """
+            WITH pages AS (
+                SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN 'h' || CAST(doc_id % 6 AS VARCHAR)
+                                 || '-unique-' || CAST(doc_id AS VARCHAR)
+                            ELSE (CASE WHEN doc_id % 6 < 3
+                                       THEN 'A' ELSE 'B' END)
+                                 || 'p' || CAST(doc_id % 35 AS VARCHAR)
+                       END AS content
+                FROM documents
+            ), hp AS (
+                SELECT DISTINCT host, content FROM pages
+            ), sz AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n
+                FROM hp GROUP BY host
+            ), inter AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(count(*) AS BIGINT) AS n_inter
+                FROM hp a JOIN hp b
+                    ON a.content = b.content AND a.host < b.host
+                GROUP BY a.host, b.host
+            )
+            SELECT i.host_a, i.host_b, i.n_inter,
+                   sa.n AS n_a, sb.n AS n_b,
+                   i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
+                       AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.host = i.host_a
+            JOIN sz sb ON sb.host = i.host_b
+            WHERE i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)
+                  >= 0.3
         """,
         "pack_sequences": """
             WITH st AS (

@@ -193,3 +193,124 @@ def near_source_overlap(
         lambda t: t.rename_columns(["source_a", "source_b", "n_pairs"]),
         batch_format="pyarrow",
     )
+
+
+def mirror_hosts(
+    ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+    content_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_hosts_per_digest: int = 256,
+) -> "ray.data.Dataset":
+    """Mirror-site detection: host pairs whose DISTINCT content-digest
+    sets overlap with exact Jaccard >= ``min_jaccard`` — the classic
+    web-crawl question (Bharat & Broder 1999, "Mirror, mirror on the
+    web"; public literature) the reference's whole-file dedup can't ask.
+    Output: (host_a, host_b, n_inter, n_a, n_b, jaccard), host_a <
+    host_b, EXACT values (set semantics, not pair counts — that's
+    :func:`source_overlap`).
+
+    Scale shape: per-batch distinct (digest, host) combiner → ONE
+    digest-hash shuffle of those rows; each partition holds every copy
+    of its digests, so the global distinct, the per-host partial set
+    sizes, and the per-digest host-pair expansion are all exact there.
+    Hot digests (one page served by thousands of hosts) are capped at
+    ``max_hosts_per_digest`` with a logged drop count — never silently.
+    Host set sizes are host-cardinality-bounded rows (the PageRank
+    rank-vector regime, like linkgraph.py) collected once and broadcast
+    into the jaccard finisher; intersection counts never leave the
+    shuffle as more than one row per co-hosting pair per partition.
+    """
+    import logging
+
+    import ray
+
+    logger = logging.getLogger(__name__)
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = drop_empty(t, content_col=content_col)
+        t = add_digests(t, content_col=content_col)
+        g = (
+            t.select(["digest", "digest_u64", host_col])
+            .group_by(["digest", "digest_u64", host_col])
+            .aggregate([])
+        )
+        part = np.asarray(g.column("digest_u64"), dtype=np.uint64)
+        return g.drop_columns(["digest_u64"]).append_column(
+            "__part", pa.array((part % np.uint64(_PARTITIONS)).astype(np.int64))
+        )
+
+    parts = ds.select_columns([content_col, host_col]).map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # global distinct for this digest partition (cross-batch copies)
+        g = g.drop_duplicates(["digest", host_col])
+        sizes = g.groupby(host_col, sort=False).size()
+        size_rows = pd.DataFrame({
+            "host_a": sizes.index.to_numpy(dtype=object),
+            "host_b": "",  # sentinel: per-host set-size partial
+            "n": sizes.to_numpy(np.int64),
+        })
+        g = g.sort_values(["digest", host_col], kind="mergesort")
+        dg = g["digest"].to_numpy()
+        new = np.r_[True, dg[1:] != dg[:-1]] if len(dg) else np.array([], bool)
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes_seg = np.diff(np.r_[starts, len(dg)])
+        hot = sizes_seg > max_hosts_per_digest
+        if hot.any():
+            logger.warning(
+                "mirror_hosts: %d hot digests capped at %d hosts (max %d)",
+                int(hot.sum()), max_hosts_per_digest, int(sizes_seg.max()),
+            )
+            rank = np.arange(len(dg)) - starts[seg]
+            keepm = rank < max_hosts_per_digest
+            g = g.iloc[keepm]
+        pairs = _pair_rows(
+            g.assign(n=np.ones(len(g), np.int64)), host_col
+        ).rename(columns={"source_a": "host_a", "source_b": "host_b",
+                          "n_pairs": "n"})
+        return pd.concat([size_rows, pairs], ignore_index=True)
+
+    agg = (
+        parts.groupby("__part").map_groups(per_part, batch_format="pandas")
+        .groupby(["host_a", "host_b"]).sum("n")
+    )
+    agg = agg.map_batches(
+        lambda t: t.rename_columns(["host_a", "host_b", "n"]),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: size extraction + pair finish
+
+    sizes = {
+        r["host_a"]: int(r["n"])
+        for r in agg.filter(lambda r: r["host_b"] == "").take_all()
+    }
+    sref = ray.put(sizes)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column("host_b"), ""))
+        sz = ray.get(sref)
+        a = t.column("host_a").to_pylist()
+        b = t.column("host_b").to_pylist()
+        inter = np.asarray(t.column("n"), dtype=np.int64)
+        na = np.array([sz[h] for h in a], np.int64)
+        nb = np.array([sz[h] for h in b], np.int64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= min_jaccard
+        return pa.table({
+            "host_a": pa.array(np.asarray(a, object)[keep].tolist(),
+                               pa.string()),
+            "host_b": pa.array(np.asarray(b, object)[keep].tolist(),
+                               pa.string()),
+            "n_inter": pa.array(inter[keep]),
+            "n_a": pa.array(na[keep]),
+            "n_b": pa.array(nb[keep]),
+            "jaccard": pa.array(jac[keep]),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -101,3 +101,57 @@ def test_near_source_overlap_matches_bruteforce(ray_session):
             exp[(a, b)] += 1
     assert got == {k: v for k, v in exp.items() if v > 0}
     assert len(got) > 3  # planted near-dups span sources
+
+
+def test_mirror_hosts_exact_jaccard():
+    """Planted two mirror families (hosts 0-2 share family-A pages,
+    3-5 family-B, plus per-host uniques): exact Jaccard, n_inter and
+    set sizes match brute force; cross-family pairs never appear."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.overlap import mirror_hosts
+
+    n = 300
+    ids = np.arange(n)
+    host = [f"h{int(i % 6)}" for i in ids]
+    fam = ["A" if i % 6 < 3 else "B" for i in ids]
+    text = [
+        f"{f}p{int(i % 35)}" if i % 11 else f"{h}-unique-{int(i)}"
+        for i, h, f in zip(ids, host, fam)
+    ]
+    t = pa.table({"host": host, "text": text})
+
+    sets: dict[str, set] = {}
+    for h, tx in zip(host, text):
+        sets.setdefault(h, set()).add(tx)
+    hs = sorted(sets)
+    want = sorted(
+        (a, b, len(sets[a] & sets[b]), len(sets[a]), len(sets[b]),
+         round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 9))
+        for i, a in enumerate(hs) for b in hs[i + 1:]
+        if len(sets[a] & sets[b])
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.3
+    )
+    for parts in (3, 11):
+        got = sorted(
+            (r["host_a"], r["host_b"], r["n_inter"], r["n_a"], r["n_b"],
+             round(r["jaccard"], 9))
+            for r in mirror_hosts(
+                rd.from_arrow(t).repartition(parts), min_jaccard=0.3
+            ).take_all()
+        )
+        assert got == want
+    assert len(want) == 6  # the two within-family triangles
+    # hot-digest cap: shared page on EVERY host, cap below host count ->
+    # capped pairs still exact for the uncapped digests, no crash
+    t2 = pa.table({
+        "host": [f"m{i}" for i in range(8)] * 2,
+        "text": ["same-everywhere"] * 8 + [f"solo{i}" for i in range(8)],
+    })
+    out = mirror_hosts(
+        rd.from_arrow(t2), min_jaccard=0.0, max_hosts_per_digest=4
+    ).take_all()
+    for r in out:
+        assert r["n_inter"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
