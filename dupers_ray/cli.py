@@ -457,6 +457,37 @@ def cmd_curate(a) -> int:
     return 0
 
 
+def cmd_pack(a) -> int:
+    """GPT-style sequence packing (stages/budget.py): --layout emits the
+    per-doc (start_offset, first_seq, last_seq) plan; default emits the
+    materialized per-window (n_toks, checksum) table."""
+    from dupers_ray.stages.budget import pack_sequences, packed_windows
+
+    corpus = _read(a.corpus).select_columns([a.id_col, a.text_col])
+    fn = pack_sequences if a.layout else packed_windows
+    _emit(
+        fn(corpus, seq_len=a.seq_len, id_col=a.id_col, text_col=a.text_col),
+        a.out, "pack",
+    )
+    return 0
+
+
+def cmd_mirrors(a) -> int:
+    """Mirror-site detection (pipelines/overlap.mirror_hosts): host pairs
+    with exact content-set Jaccard >= --min-jaccard."""
+    from dupers_ray.pipelines.overlap import mirror_hosts
+
+    corpus = _read(a.corpus).select_columns([a.host_col, a.text_col])
+    _emit(
+        mirror_hosts(
+            corpus, host_col=a.host_col, content_col=a.text_col,
+            min_jaccard=a.min_jaccard,
+        ),
+        a.out, "mirrors",
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dupers_ray", description=__doc__.splitlines()[0]
@@ -581,6 +612,24 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-docs", type=int, default=2)
     s.add_argument("--out")
     s.set_defaults(fn=cmd_curate)
+
+    s = sub.add_parser("pack", help="sequence-packing layout / windows")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--seq-len", type=int, default=2048)
+    s.add_argument("--layout", action="store_true",
+                   help="emit the per-doc layout instead of windows")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_pack)
+
+    s = sub.add_parser("mirrors", help="mirror-host detection (Jaccard)")
+    s.add_argument("corpus")
+    s.add_argument("--host-col", default="host")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--min-jaccard", type=float, default=0.5)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_mirrors)
     return p
 
 

@@ -285,3 +285,43 @@ def test_warc_and_curate_verbs(tmp_path):
     by_id = {d: s for d, s in zip(cur.column("doc_id").to_pylist(),
                                   cur.column("clean_text").to_pylist())}
     assert "alpha beta gamma delta 5" in by_id[5]
+
+
+def test_pack_and_mirrors_verbs(tmp_path):
+    import numpy as np
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+        "text": [f"tok{j} " * (j % 5 + 1) for j in range(20)],
+    })
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+
+    out = str(tmp_path / "layout")
+    assert main(["pack", corpus, "--seq-len", "16",
+                 "--layout", "--out", out]) == 0
+    lay = pq.read_table(out)
+    assert lay.num_rows == 20
+    assert set(lay.column_names) == {
+        "doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"
+    }
+
+    out2 = str(tmp_path / "windows")
+    assert main(["pack", corpus, "--seq-len", "16", "--out", out2]) == 0
+    win = pq.read_table(out2)
+    total = int(pa.compute.sum(lay.column("n_tokens")).as_py()) + 20
+    assert int(pa.compute.sum(win.column("n_toks")).as_py()) == total
+
+    mirrors = pa.table({
+        "host": ["a"] * 4 + ["b"] * 4,
+        "text": ["x", "y", "z", "a-only", "x", "y", "z", "b-only"],
+    })
+    mcorpus = str(tmp_path / "mirror.parquet")
+    pq.write_table(mirrors, mcorpus)
+    out3 = str(tmp_path / "mirrors")
+    assert main(["mirrors", mcorpus, "--min-jaccard", "0.5",
+                 "--out", out3]) == 0
+    m = pq.read_table(out3)
+    assert m.num_rows == 1
+    assert m.column("n_inter")[0].as_py() == 3
+    assert abs(m.column("jaccard")[0].as_py() - 0.6) < 1e-9
