@@ -210,3 +210,27 @@ def test_packed_windows_matches_reference(pages_small):
     # every window full except possibly the last
     last = max(want)
     assert all(v[0] == L for w, v in want.items() if w != last)
+
+
+def test_pack_sequences_full_range_hash_ids(pages_small):
+    """Hash-derived ids spanning the whole int64 line (negative lo,
+    positive hi): the bucket map must stay monotone without overflow —
+    regression for the round-3 uint64-wraparound fix."""
+    from dupers_ray.functions.hashing import splitmix64
+    from dupers_ray.stages.budget import pack_sequences
+
+    t = pages_small.pages
+    ids = splitmix64(
+        np.arange(t.num_rows, dtype=np.int64).view(np.uint64) + 99
+    ).view(np.int64)
+    assert ids.min() < 0 < ids.max()
+    tbl = pa.table({"doc_id": pa.array(ids), "text": t.column("text")})
+    want = _pack_reference(tbl, 128)
+    a = _got(pack_sequences(rd.from_arrow(tbl), seq_len=128))
+    b = _got(
+        pack_sequences(
+            rd.from_arrow(tbl).repartition(13), seq_len=128, n_buckets=64
+        )
+    )
+    pd.testing.assert_frame_equal(a[want.columns], want)
+    pd.testing.assert_frame_equal(a, b)
