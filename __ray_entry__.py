@@ -3107,6 +3107,19 @@ def _q_packed_windows(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """RAG sliding-window chunking (stages/budget.chunk_docs): 32-token
+    windows every 16 tokens, chunk text joined by one space; token-less
+    docs emit one empty chunk. Full value oracle on the chunk text via
+    unnest(generate_series) + 1-based list slices."""
+    from dupers_ray.stages.budget import chunk_docs
+
+    return chunk_docs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_len=32, stride=16,
+    )
+
+
 def _q_lm_rarity(sf_dir: str):
     """Bigram-LM rarity score (stages/lmscore.bigram_rarity): per doc the
     integer surprisal surrogate Σ floor(2^20/(corpus_bigram_count+1)) —
@@ -4171,6 +4184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": _q_mirror_hosts,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
+        "chunk_docs": _q_chunk_docs,
         "lm_rarity": _q_lm_rarity,
         "lm_rarity_join": _q_lm_rarity_join,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4526,6 +4540,30 @@ def oracle_sql() -> dict[str, str]:
                         AS UBIGINT) AS checksum
             FROM flat
             GROUP BY pos // 256
+        """,
+        "chunk_docs": """
+            WITH st AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[a-z0-9_]+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                FROM st
+            ), g AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(
+                           0, greatest(n - 1, 0), 16)) AS s
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(s // 16 AS BIGINT) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_tok,
+                   CAST(least(s + 32, n) - s AS BIGINT) AS n_chunk_tokens,
+                   COALESCE(array_to_string(
+                       toks[s + 1 : least(s + 32, n)], ' '), '')
+                       AS chunk_text
+            FROM g
         """,
         "lm_rarity": f"""
             WITH {_bigram_score_cte()}

@@ -488,3 +488,73 @@ def packed_windows(
         return out
 
     return frags.groupby("__part").map_groups(assemble, batch_format="pandas")
+
+
+def chunk_docs(
+    ds: "ray.data.Dataset",
+    *,
+    chunk_len: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """RAG-style sliding-window chunking: per doc, token windows of
+    ``chunk_len`` starting every ``stride`` tokens (stride defaults to
+    chunk_len = disjoint chunks). Per chunk:
+
+    (id, chunk_id, start_tok, n_chunk_tokens, chunk_text)
+
+    where ``chunk_text`` is the window's tokens joined by one space —
+    the retrieval-index unit a RAG pipeline embeds. A token-less doc
+    emits ONE empty chunk so no doc silently disappears.
+
+    Scale shape: ONE streaming pass, no shuffle; everything per batch is
+    Arrow/numpy — tokens are gathered per chunk with a single ``take``
+    index vector and joined with ``pc.binary_join`` on a LargeList (no
+    per-chunk Python). Output size is input x chunk_len/stride; pick
+    stride >= chunk_len/2 at corpus scale."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.stages.textstats import flat_tokens
+
+    if chunk_len < 1:
+        raise ValueError("chunk_len must be positive")
+    stride = chunk_len if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be positive")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        toks, doc_idx, n = flat_tokens(t.column(text_col))
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        cnt = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        offs = np.cumsum(cnt) - cnt  # first flat-token index per doc
+        n_chunks = np.maximum((cnt + stride - 1) // stride, 1)
+        doc_of = np.repeat(np.arange(n), n_chunks)
+        first = np.cumsum(n_chunks) - n_chunks
+        cidx = np.arange(int(n_chunks.sum()), dtype=np.int64) - first[doc_of]
+        start = cidx * stride
+        clen = np.maximum(
+            np.minimum(start + chunk_len, cnt[doc_of]) - start, 0
+        )
+        cfirst = np.cumsum(clen) - clen
+        tot = int(clen.sum())
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(cfirst, clen)
+        take = np.repeat(offs[doc_of] + start, clen) + pos
+        flat = toks.take(pa.array(take)) if tot else toks.slice(0, 0)
+        lofs = np.concatenate([[0], np.cumsum(clen)]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(lofs), flat.combine_chunks()
+            if isinstance(flat, pa.ChunkedArray) else flat,
+        )
+        return pa.table({
+            id_col: pa.array(ids[doc_of]),
+            "chunk_id": pa.array(cidx),
+            "start_tok": pa.array(start),
+            "n_chunk_tokens": pa.array(clen),
+            "chunk_text": pc.binary_join(la, " "),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=8192,
+    )

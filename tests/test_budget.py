@@ -234,3 +234,39 @@ def test_pack_sequences_full_range_hash_ids(pages_small):
     )
     pd.testing.assert_frame_equal(a[want.columns], want)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_docs_matches_bruteforce(pages_small):
+    from dupers_ray.stages.budget import chunk_docs
+
+    t = pages_small.pages
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "text": t.column("text"),
+    })
+    L, S = 24, 10
+    want = []
+    for i in range(t.num_rows):
+        toks = _TOKEN_RE.findall((tbl.column("text")[i].as_py() or "").lower())
+        starts = list(range(0, max(len(toks), 1), S)) or [0]
+        for c, s in enumerate(starts):
+            w = toks[s: s + L]
+            want.append((i, c, s, len(w), " ".join(w)))
+    want.sort()
+    for parts in (2, 17):
+        got = sorted(
+            (r["doc_id"], r["chunk_id"], r["start_tok"],
+             r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_docs(
+                rd.from_arrow(tbl).repartition(parts), chunk_len=L, stride=S
+            ).take_all()
+        )
+        assert got == want
+    # disjoint default stride: chunks tile each doc exactly
+    got2 = chunk_docs(rd.from_arrow(tbl), chunk_len=L).take_all()
+    per_doc: dict[int, int] = {}
+    for r in got2:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_chunk_tokens"]
+    for i in range(t.num_rows):
+        toks = _TOKEN_RE.findall((tbl.column("text")[i].as_py() or "").lower())
+        assert per_doc[i] == len(toks)
