@@ -3107,6 +3107,62 @@ def _q_packed_windows(sf_dir: str):
     )
 
 
+def _lsh_threshold_sweep_oracle_sql() -> str:
+    """Histogram restatement of pair_similarity_histogram at default
+    config: the shared OPH signature CTE (_sig_sql_prefix), the SAME
+    distinct star-pair candidate CTEs as the flagship clusters oracle,
+    and a fold16 match count bucketed by matches // 8."""
+    prefix, _thr = _sig_sql_prefix()
+    return f"""
+        WITH {prefix}, nodes AS (
+            SELECT doc_id,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
+            FROM documents
+        ), bandrows AS (
+            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp s JOIN nodes n USING (doc_id)
+            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+        ), stars AS (
+            SELECT band, sub, min(node) AS anchor, list(node) AS members
+            FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
+        ), cand AS (
+            SELECT DISTINCT anchor AS a, unnest(members) AS b FROM stars
+        ), candf AS (
+            SELECT a, b FROM cand WHERE a <> b
+        ), folds AS (
+            SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
+            FROM sigcomp GROUP BY doc_id
+        ), nodefolds AS (
+            SELECT n.node, f.f16 FROM folds f JOIN nodes n USING (doc_id)
+        ), scored AS (
+            SELECT len(list_filter([x FOR x IN range(1, 129)],
+                                   i -> fa.f16[i] = fb.f16[i])) AS m
+            FROM candf c
+            JOIN nodefolds fa ON fa.node = c.a
+            JOIN nodefolds fb ON fb.node = c.b
+        )
+        SELECT CAST(m // 8 AS BIGINT) AS bucket,
+               CAST(m // 8 AS DOUBLE) * 8 / 128 AS min_jaccard,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM scored GROUP BY m // 8
+    """
+
+
+def _q_lsh_threshold_sweep(sf_dir: str):
+    """Measured LSH S-curve (pipelines/near_dedup.
+    pair_similarity_histogram): distinct candidate pairs histogrammed by
+    fold16 match count at default config — the empirical companion to
+    minhash.plan_lsh. Oracle: the shared signature CTE + a list_filter
+    match count, grouped by matches // 8."""
+    from dupers_ray.pipelines.near_dedup import pair_similarity_histogram
+
+    return pair_similarity_histogram(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id", text_col="text",
+    )
+
+
 def _q_chunk_docs(sf_dir: str):
     """RAG sliding-window chunking (stages/budget.chunk_docs): 32-token
     windows every 16 tokens, chunk text joined by one space; token-less
@@ -4185,6 +4241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
+        "lsh_threshold_sweep": _q_lsh_threshold_sweep,
         "lm_rarity": _q_lm_rarity,
         "lm_rarity_join": _q_lm_rarity_join,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4541,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
             FROM flat
             GROUP BY pos // 256
         """,
+        "lsh_threshold_sweep": _lsh_threshold_sweep_oracle_sql(),
         "chunk_docs": """
             WITH st AS (
                 SELECT doc_id,

@@ -667,3 +667,70 @@ def near_dup_edges(
         strategy="broadcast" if use_broadcast else "join",
     )
     return edges, sigs
+
+
+def pair_similarity_histogram(
+    ds: "ray.data.Dataset",
+    *,
+    shingle: "ShingleConfig | None" = None,
+    minhash: MinHashConfig | None = None,
+    id_col: str = "url",
+    text_col: str = "text",
+    bin_comps: int = 8,
+) -> "ray.data.Dataset":
+    """Threshold-sweep report: DISTINCT LSH candidate pairs histogrammed
+    by signature fold-match count — the MEASURED S-curve a user reads
+    next to :func:`dupers_ray.stages.minhash.plan_lsh`'s analytic one to
+    pick ``jaccard_threshold`` / banding for a corpus. Output one row
+    per occupied bucket:
+
+    (bucket, min_jaccard, n_pairs)   bucket = matches // bin_comps,
+                                     min_jaccard = bucket*bin_comps/num_perm
+
+    Scale shape: signatures → banded candidates with the GLOBAL pair
+    dedup shuffle (16 B rows; multiplicity matters for a histogram,
+    unlike for components) → fold16 verify at threshold 0 (keeps every
+    candidate, broadcast or join by size) → per-batch bincount combiner
+    → one ≤(num_perm/bin_comps+1)-row groupby. SQL oracle: the shared
+    signature CTE (_sig_sql_prefix) + a list_filter match count."""
+    from dataclasses import replace
+
+    from ray.data.aggregate import Sum
+
+    cfg = minhash or MinHashConfig()
+    if bin_comps < 1 or cfg.num_perm % bin_comps:
+        raise ValueError("bin_comps must divide num_perm")
+    sigs = minhash_signatures(
+        ds, shingle=shingle, minhash=cfg, id_col=id_col, text_col=text_col
+    ).materialize()
+    pairs = candidate_pairs(sigs, minhash=cfg, id_col=id_col, dedup=True)
+    scored = verify_pairs(
+        pairs, sigs, minhash=replace(cfg, jaccard_threshold=0.0),
+        compare="fold16",
+    )
+    num_perm, width = cfg.num_perm, bin_comps
+    n_bins = num_perm // bin_comps + 1
+
+    def combine(t: pa.Table) -> pa.Table:
+        jac = np.asarray(t.column("jaccard"), dtype=np.float64)
+        m = np.rint(jac * num_perm).astype(np.int64)
+        cnt = np.bincount(m // width, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "n": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    agg = scored.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(Sum("n", alias_name="n_pairs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = np.asarray(t.column("bucket"), dtype=np.int64)
+        return pa.table({
+            "bucket": t.column("bucket"),
+            "min_jaccard": pa.array(b * width / num_perm),
+            "n_pairs": t.column("n_pairs"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -185,3 +185,38 @@ def test_dup_recall_report_query_exact_values(ray_session):
         "n_docs": 2000, "planted_pairs": 479, "found_pairs": 479,
         "recall_ppm": 1_000_000,
     }]
+
+
+def test_pair_similarity_histogram_consistency(pages_small):
+    """Σ n_pairs == distinct candidate pairs, and the mass at buckets
+    >= threshold equals the verified edge count at that threshold."""
+    import numpy as np
+    import ray.data as rd
+
+    from dupers_ray.config import MinHashConfig
+    from dupers_ray.pipelines.near_dedup import (
+        candidate_pairs, minhash_signatures, pair_similarity_histogram,
+        verify_pairs,
+    )
+
+    t = pages_small.pages.select(["url", "text"])
+    ds = rd.from_arrow(t).repartition(6)
+    cfg = MinHashConfig()
+    hist = {r["bucket"]: r["n_pairs"]
+            for r in pair_similarity_histogram(ds).take_all()}
+    assert hist and sum(hist.values()) > 0
+
+    sigs = minhash_signatures(ds, minhash=cfg).materialize()
+    pairs = candidate_pairs(sigs, minhash=cfg, dedup=True)
+    n_cand = len({(r["src"], r["dst"]) for r in pairs.take_all()})
+    assert sum(hist.values()) == n_cand
+
+    # mass at a BUCKET-ALIGNED threshold equals verify's edge count
+    # there: jac >= 0.5 <=> matches >= 64 <=> bucket >= 8 exactly
+    from dataclasses import replace
+
+    edges = verify_pairs(
+        pairs, sigs, minhash=replace(cfg, jaccard_threshold=0.5)
+    ).take_all()
+    n_edges = len({(r["src"], r["dst"]) for r in edges})
+    assert sum(n for b, n in hist.items() if b >= 8) == n_edges
