@@ -266,10 +266,19 @@ def pack_sequences(
     Engine-new (the packing step of Brown et al. 2020-style pretraining
     data prep); SQL oracle: ``sum(n_tokens + 1) OVER (ORDER BY id ROWS
     UNBOUNDED PRECEDING AND 1 PRECEDING)`` — see __ray_entry__.py."""
-    from dupers_ray.stages.textstats import flat_tokens
+    return layout_from_stats(
+        token_stats(ds, id_col=id_col, text_col=text_col),
+        seq_len=seq_len, id_col=id_col, n_buckets=n_buckets,
+    )
 
-    if seq_len <= 0:
-        raise ValueError("seq_len must be positive")
+
+def token_stats(
+    ds: "ray.data.Dataset", *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """ONE stateless pass → compact (id, n_tokens) rows (16 B/doc). The
+    checkpointable stage of the packing plan."""
+    from dupers_ray.stages.textstats import flat_tokens
 
     def stats(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -280,13 +289,28 @@ def pack_sequences(
             "n_tokens": pa.array(n_tok),
         })
 
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def layout_from_stats(
+    stats_ds: "ray.data.Dataset",
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> "ray.data.Dataset":
+    """The packing plan over pre-computed (id, n_tokens) stats rows —
+    split out so a checkpointed run can resume from a persisted stats
+    stage (see packed_windows_checkpointed)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         ncpu = 8
-    compact = ds.select_columns([id_col, text_col]).map_batches(
-        stats, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(
+    compact = stats_ds.repartition(
         # coalesce fine-grained read blocks before the grouped passes:
         # Ray's sort AllToAll pays scheduling per block regardless of
         # data size (same fix as exact_dedup._coalesced; stats rows are
@@ -403,6 +427,26 @@ def packed_windows(
     never tokens. uint64 wraparound is exact end-to-end: numpy wraps in
     the combiner, the per-window reduce sums uint64 per group, and the
     oracle mirrors it with HUGEINT mod-2^64 arithmetic."""
+    layout = pack_sequences(
+        ds, seq_len=seq_len, id_col=id_col, text_col=text_col,
+        n_buckets=n_buckets,
+    ).select_columns([id_col, "start_offset"])
+    return windows_from_layout(
+        ds, layout, seq_len=seq_len, id_col=id_col, text_col=text_col
+    )
+
+
+def windows_from_layout(
+    ds: "ray.data.Dataset",
+    layout: "ray.data.Dataset",
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """The window-materialization half of :func:`packed_windows`, taking
+    a pre-computed (id, start_offset) layout — the resume point of a
+    checkpointed run."""
     import pandas as pd
 
     from dupers_ray.functions.hashing import hash_str_u64
@@ -413,9 +457,6 @@ def packed_windows(
         raise ValueError("seq_len must be positive")
     L = seq_len
 
-    layout = pack_sequences(
-        ds, seq_len=L, id_col=id_col, text_col=text_col, n_buckets=n_buckets
-    ).select_columns([id_col, "start_offset"])
     joined = hash_join(
         ds.select_columns([id_col, text_col]), layout, on=id_col,
         left_schema=pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
@@ -558,3 +599,69 @@ def chunk_docs(
         per_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=8192,
     )
+
+
+def packed_windows_checkpointed(
+    input_files: list[str],
+    workdir: str,
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    files_per_partition: int = 1,
+) -> "ray.data.Dataset":
+    """Resumable :func:`packed_windows` with the same lineage-manifest
+    layout as the flagship (state/manifest.py, pipelines/dupe.py:316):
+
+        workdir/stats/partition=K/   per-input-partition (id, n_tokens)
+        workdir/layout/              packing plan (one grouped pass)
+        workdir/windows/             final (seq_id, n_toks, checksum)
+        workdir/_manifests/*.json    lineage + metrics
+
+    A killed run resumes from the last complete stage: the per-partition
+    stats scans skip finished partitions; the layout and windows phases
+    re-run only if their config or upstream fingerprints changed."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    from dupers_ray.state.manifest import (
+        read_partitioned,
+        run_partitioned,
+        run_phased,
+    )
+
+    cfg_fp = _hl.sha256(
+        f"pack|v1|{seq_len}|{n_buckets}|{id_col}|{text_col}".encode()
+    ).hexdigest()[:16]
+
+    stats_dir = f"{workdir}/stats"
+    stats_res = run_partitioned(
+        input_files, stats_dir,
+        lambda ds: token_stats(ds, id_col=id_col, text_col=text_col),
+        stage="token_stats", config_fingerprint=cfg_fp,
+        files_per_partition=files_per_partition,
+    )
+
+    def layout_phase(_prev: dict) -> "ray.data.Dataset":
+        return layout_from_stats(
+            read_partitioned(stats_dir), seq_len=seq_len,
+            id_col=id_col, n_buckets=n_buckets,
+        )
+
+    def windows_phase(prev: dict) -> "ray.data.Dataset":
+        layout = rd.read_parquet(
+            prev["layout"], columns=[id_col, "start_offset"]
+        )
+        docs = rd.read_parquet(list(input_files), columns=[id_col, text_col])
+        return windows_from_layout(
+            docs, layout, seq_len=seq_len, id_col=id_col, text_col=text_col
+        )
+
+    out = run_phased(
+        [("layout", layout_phase), ("windows", windows_phase)],
+        workdir, config_fingerprint=cfg_fp,
+        upstream_fingerprint=stats_res["fingerprint"],
+    )
+    return rd.read_parquet(out["windows"])

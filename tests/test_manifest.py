@@ -258,3 +258,60 @@ def test_compact_removes_dead_state(shards, tmp_path):
     assert any("00009.tmp" in d for d in stats["removed_dirs"])
     assert "partition=00003.json" in stats["removed_manifests"]
     assert read_partitioned(out).count() == 150
+
+
+def test_checkpointed_packing_matches_direct(tmp_path, pages_small):
+    """packed_windows_checkpointed == packed_windows on the same shards,
+    and a resume (same workdir, same inputs) recomputes nothing."""
+    import numpy as np
+
+    from dupers_ray.stages.budget import (
+        packed_windows, packed_windows_checkpointed,
+    )
+
+    t = pages_small.pages
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+        "text": t.column("text"),
+    })
+    files = []
+    n = tbl.num_rows
+    for i in range(3):
+        p = str(tmp_path / f"docs{i}.parquet")
+        pq.write_table(tbl.slice(i * (n // 3 + 1), n // 3 + 1), p)
+        files.append(p)
+
+    work = str(tmp_path / "packwork")
+    ck = {
+        r["seq_id"]: (r["n_toks"], r["checksum"])
+        for r in packed_windows_checkpointed(
+            files, work, seq_len=96
+        ).take_all()
+    }
+    direct = {
+        r["seq_id"]: (r["n_toks"], r["checksum"])
+        for r in packed_windows(
+            rd.read_parquet(files), seq_len=96
+        ).take_all()
+    }
+    assert ck == direct and len(ck) > 1
+
+    # resume: stats partitions all skipped, phases skipped, same output
+    from dupers_ray.state.manifest import run_partitioned
+    from dupers_ray.stages.budget import token_stats
+
+    r2 = run_partitioned(
+        files, f"{work}/stats",
+        lambda ds: token_stats(ds),
+        stage="token_stats",
+        config_fingerprint=__import__("hashlib").sha256(
+            b"pack|v1|96|4096|doc_id|text").hexdigest()[:16],
+    )
+    assert not r2["completed"] and len(r2["skipped"]) == 3
+    ck2 = {
+        r["seq_id"]: (r["n_toks"], r["checksum"])
+        for r in packed_windows_checkpointed(
+            files, work, seq_len=96
+        ).take_all()
+    }
+    assert ck2 == ck
