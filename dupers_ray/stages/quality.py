@@ -192,3 +192,96 @@ def gopher_rules(
             "keep": pa.array(keep),
         }
     )
+
+
+def train_bow_perceptron(
+    ds: "ray.data.Dataset",
+    *,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = DIM,
+    iters: int = 2,
+) -> "ray.data.Dataset":
+    """Distributed BATCH-perceptron training over hashed bag-of-words —
+    the quality-classifier TRAINING step (the fastText-style filter of
+    CCNet/GPT-3 data prep, reduced to its deterministic integer core).
+    Labels are ±1; features are token counts hashed into ``dim`` buckets
+    (md5-u64 % dim, the same family as :func:`quality_score`). Per
+    iteration, every doc with margin ``y·(w·x) <= 0`` contributes
+    ``y·x`` to the gradient and ``w += Σ gradient`` — the batch (not
+    sequential) perceptron, so partial sums commute: the result is
+    EXACTLY layout-invariant and, being all-integer, bit-reproducible.
+
+    Scale shape, per iteration: weights (8·dim bytes) broadcast once via
+    ``ray.put``; one streaming corpus pass emits per-batch partial
+    gradients (≤ dim rows, int64); one ≤dim-row groupby + a driver add.
+    K passes over the corpus total — the distributed-Lloyd pattern
+    (semdedup.py) applied to a linear model. Output: (dim_id, weight),
+    nonzero rows only. SQL oracle: the K=2 unrolled CTE chain — see
+    __ray_entry__.py (iterative training restated exactly because every
+    step is a grouped integer sum)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    from dupers_ray.stages.textstats import flat_tokens
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = np.zeros(dim, np.int64)
+    src = ds.select_columns([label_col, text_col])
+
+    for _ in range(iters):
+        wref = _ray.put(w)
+
+        def grad(t: pa.Table) -> pa.Table:
+            y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            flat, doc_idx, n = flat_tokens(t.column(text_col))
+            empty = pa.table({
+                "dim_id": pa.array([], pa.int64()),
+                "g": pa.array([], pa.int64()),
+            })
+            if not len(flat):
+                return empty
+            enc = flat.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            bkt = (
+                hash_str_u64(enc.dictionary.to_pylist()) % np.uint64(dim)
+            ).astype(np.int64)[inv]
+            wv = _ray.get(wref)
+            # float64 bincount sums exact for |score| < 2^53
+            score = np.bincount(
+                doc_idx, weights=wv[bkt].astype(np.float64), minlength=n
+            ).astype(np.int64)
+            miss = (y * score) <= 0
+            sel = miss[doc_idx]
+            if not sel.any():
+                return empty
+            g = np.bincount(
+                bkt[sel], weights=y[doc_idx][sel].astype(np.float64),
+                minlength=dim,
+            ).astype(np.int64)
+            nz = np.flatnonzero(g)
+            return pa.table({
+                "dim_id": pa.array(nz.astype(np.int64)),
+                "g": pa.array(g[nz]),
+            })
+
+        parts = (
+            src.map_batches(grad, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dim_id").aggregate(Sum("g", alias_name="g"))
+            .take_all()
+        )  # <= dim rows by construction
+        w = w.copy()
+        for r in parts:
+            w[int(r["dim_id"])] += int(r["g"])
+
+    import ray.data as rd
+
+    nz = np.flatnonzero(w)
+    return rd.from_arrow(pa.table({
+        "dim_id": pa.array(nz.astype(np.int64)),
+        "weight": pa.array(w[nz]),
+    }))
