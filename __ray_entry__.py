@@ -3172,6 +3172,34 @@ def _q_perceptron_weights(sf_dir: str):
     return train_bow_perceptron(docs, label_col="label", iters=2)
 
 
+def _q_perceptron_filter(sf_dir: str):
+    """Train → apply chain (stages/quality.score_with_bow_weights): the
+    2-iteration perceptron's weights broadcast back over the corpus, per
+    doc the integer score and sign prediction. Oracle extends the
+    unrolled-training CTEs with one final score pass."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from dupers_ray.stages.quality import (
+        score_with_bow_weights, train_bow_perceptron,
+    )
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = _np.asarray(t.column("doc_id"), dtype=_np.int64)
+        y = _np.where(ids % 2 == 0, 1, -1).astype(_np.int64)
+        return _pa.table({
+            "doc_id": t.column("doc_id"),
+            "label": _pa.array(y),
+            "text": t.column("text"),
+        })
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    w = train_bow_perceptron(docs, label_col="label", iters=2)
+    return score_with_bow_weights(docs, w)
+
+
 def _q_lsh_threshold_sweep(sf_dir: str):
     """Measured LSH S-curve (pipelines/near_dedup.
     pair_similarity_histogram): distinct candidate pairs histogrammed by
@@ -4266,6 +4294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "lsh_threshold_sweep": _q_lsh_threshold_sweep,
         "perceptron_weights": _q_perceptron_weights,
+        "perceptron_filter": _q_perceptron_filter,
         "lm_rarity": _q_lm_rarity,
         "lm_rarity_join": _q_lm_rarity_join,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -4621,6 +4650,55 @@ def oracle_sql() -> dict[str, str]:
                         AS UBIGINT) AS checksum
             FROM flat
             GROUP BY pos // 256
+        """,
+"perceptron_filter": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           lower(COALESCE(text, '')), '[a-z0-9_]+')) AS tok
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                            % 4096 AS BIGINT) AS dim,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY doc_id, dim
+            ), lab AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
+                FROM documents
+            ), w1 AS (
+                -- iteration 1: w0 = 0 makes every margin 0 <= 0
+                SELECT f.dim, sum(l.y * f.c) AS w
+                FROM feat f JOIN lab l USING (doc_id) GROUP BY f.dim
+            ), m2 AS (
+                SELECT f.doc_id, l.y,
+                       l.y * sum(w1.w * f.c) AS margin
+                FROM feat f
+                JOIN lab l USING (doc_id)
+                JOIN w1 ON w1.dim = f.dim
+                GROUP BY f.doc_id, l.y
+            ), g2 AS (
+                SELECT f.dim, sum(m.y * f.c) AS g
+                FROM m2 m JOIN feat f ON f.doc_id = m.doc_id
+                WHERE m.margin <= 0
+                GROUP BY f.dim
+            )
+            , w2 AS (
+                SELECT COALESCE(w1.dim, g2.dim) AS dim,
+                       COALESCE(w1.w, 0) + COALESCE(g2.g, 0) AS weight
+                FROM w1 FULL JOIN g2 ON w1.dim = g2.dim
+            ), sc AS (
+                SELECT l.doc_id,
+                       COALESCE(sum(w2.weight * f.c), 0) AS score
+                FROM lab l
+                LEFT JOIN feat f ON f.doc_id = l.doc_id
+                LEFT JOIN w2 ON w2.dim = f.dim
+                GROUP BY l.doc_id
+            )
+            SELECT doc_id, CAST(score AS BIGINT) AS score,
+                   CAST(sign(score) AS BIGINT) AS pred
+            FROM sc
         """,
         "perceptron_weights": """
             WITH toks AS (

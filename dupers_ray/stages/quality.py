@@ -285,3 +285,52 @@ def train_bow_perceptron(
         "dim_id": pa.array(nz.astype(np.int64)),
         "weight": pa.array(w[nz]),
     }))
+
+
+def score_with_bow_weights(
+    ds: "ray.data.Dataset",
+    weights: "ray.data.Dataset | pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DIM,
+) -> "ray.data.Dataset":
+    """Apply a trained (dim_id, weight) table (train_bow_perceptron) to
+    the corpus: per doc the integer hashed-BoW score under the LEARNED
+    weights and ``pred`` = sign(score) ∈ {-1, 0, +1} (0 = token-less or
+    exactly-on-boundary). The weight table is dense-ified once on the
+    driver (≤ dim rows) and broadcast; ONE streaming corpus pass."""
+    import ray as _ray
+
+    from dupers_ray.stages.textstats import flat_tokens
+
+    wt = weights.to_pandas() if hasattr(weights, "to_pandas") else weights
+    if isinstance(wt, pa.Table):
+        wt = wt.to_pandas()
+    w = np.zeros(dim, np.int64)
+    w[wt["dim_id"].to_numpy(np.int64)] = wt["weight"].to_numpy(np.int64)
+    wref = _ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, doc_idx, n = flat_tokens(t.column(text_col))
+        if len(flat):
+            enc = flat.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            bkt = (
+                hash_str_u64(enc.dictionary.to_pylist()) % np.uint64(dim)
+            ).astype(np.int64)[inv]
+            wv = _ray.get(wref)
+            s = np.bincount(
+                doc_idx, weights=wv[bkt].astype(np.float64), minlength=n
+            ).astype(np.int64)
+        else:
+            s = np.zeros(n, np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "score": pa.array(s),
+            "pred": pa.array(np.sign(s).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -180,3 +180,40 @@ def test_train_bow_perceptron_matches_reference():
     # rows (margin always 0) remain misclassified, and more iters never
     # regress
     assert misses(reference(3)) <= misses(reference(1)) <= 2
+
+
+def test_score_with_bow_weights_roundtrip():
+    """Scoring the training set under the learned weights reproduces the
+    margins the next training iteration would see (train(k) + score ==
+    the margin pass of train(k+1))."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.functions.hashing import hash_str_u64
+    from dupers_ray.stages.quality import (
+        score_with_bow_weights, train_bow_perceptron,
+    )
+    from dupers_ray.stages.textstats import _TOKEN_RE
+
+    texts = [f"alpha beta w{i % 9} gamma" if i % 3 else f"delta w{i % 9}"
+             for i in range(60)]
+    labels = [1 if i % 2 == 0 else -1 for i in range(60)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "label": pa.array(np.array(labels, np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    wtab = train_bow_perceptron(ds, label_col="label", dim=512, iters=2)
+    got = {r["doc_id"]: (r["score"], r["pred"])
+           for r in score_with_bow_weights(ds, wtab, dim=512).take_all()}
+
+    w = np.zeros(512, np.int64)
+    for r in wtab.take_all():
+        w[r["dim_id"]] = r["weight"]
+    for i, tx in enumerate(texts):
+        b = (hash_str_u64(_TOKEN_RE.findall(tx.lower()))
+             % np.uint64(512)).astype(np.int64)
+        s = int(w[b].sum())
+        assert got[i] == (s, int(np.sign(s)))
