@@ -3065,6 +3065,34 @@ def _q_mirror_hosts(sf_dir: str):
     return mirror_hosts(pages, min_jaccard=0.3)
 
 
+def _q_mirror_clusters(sf_dir: str):
+    """Site clusters (pipelines/overlap.mirror_clusters): components
+    over the mirror graph — the two planted families collapse to their
+    min-node labels (same derivation as mirror_hosts). Oracle: per-host
+    min sha256-u64 node over the family."""
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.overlap import mirror_clusters
+
+    def mk(t: _pa.Table) -> _pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        host = [f"h{i % 6}" for i in ids]
+        text = [
+            (f"{h}-unique-{i}" if i % 11 == 0 else
+             f"{'A' if i % 6 < 3 else 'B'}p{i % 35}")
+            for i, h in zip(ids, host)
+        ]
+        return _pa.table({
+            "host": _pa.array(host, _pa.string()),
+            "text": _pa.array(text, _pa.string()),
+        })
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mirror_clusters(pages, min_jaccard=0.3)
+
+
 def _q_template_clusters(sf_dir: str):
     """Template-level rollup (stages/template.template_clusters):
     (template_u64, n_pages, exemplar, n_tags) via the combiner→groupby
@@ -4289,6 +4317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_keys": _q_template_keys,
         "template_clusters": _q_template_clusters,
         "mirror_hosts": _q_mirror_hosts,
+        "mirror_clusters": _q_mirror_clusters,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -4561,6 +4590,22 @@ def oracle_sql() -> dict[str, str]:
                    'item ' || CAST(doc_id AS VARCHAR) AS name,
                    CAST(doc_id % 7 AS BIGINT) AS position
             FROM documents
+        """,
+        "mirror_clusters": """
+            WITH hosts AS (
+                SELECT DISTINCT 'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+                       CAST(doc_id % 6 < 3 AS INTEGER) AS fam
+                FROM documents
+            ), nodes AS (
+                SELECT host, fam,
+                       ('0x' || substr(sha256(host), 1, 16))::UBIGINT
+                           AS node
+                FROM hosts
+            )
+            SELECT n.host,
+                   min(n2.node) AS cluster_id
+            FROM nodes n JOIN nodes n2 ON n2.fam = n.fam
+            GROUP BY n.host
         """,
         "mirror_hosts": """
             WITH pages AS (

@@ -339,3 +339,86 @@ def mirror_hosts(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def mirror_clusters(
+    ds: "ray.data.Dataset",
+    *,
+    host_col: str = "host",
+    content_col: str = "text",
+    min_jaccard: float = 0.5,
+    max_hosts_per_digest: int = 256,
+) -> "ray.data.Dataset":
+    """Site clusters: connected components over the :func:`mirror_hosts`
+    graph — "these N hosts are one site" (the transitive closure Bharat
+    & Broder run after pairwise detection). Output per host:
+
+    (host, cluster_id)   cluster_id = min sha256-u64 node id of the
+                         host's component; singleton hosts keep their
+                         own node id.
+
+    Scale shape: the pair graph is host-cardinality-bounded (the
+    rank-vector regime mirror_hosts already assumes), so components
+    resolves driver-side below ``max_driver_edges`` and falls back to
+    the Kiveris star-contraction path above it; the final labeling is
+    one broadcast-dict pass over the distinct-host rows."""
+    import ray
+
+    from dupers_ray.functions.hashing import node_ids
+    from dupers_ray.pipelines.components import components
+
+    pairs = mirror_hosts(
+        ds, host_col=host_col, content_col=content_col,
+        min_jaccard=min_jaccard, max_hosts_per_digest=max_hosts_per_digest,
+    ).materialize()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(node_ids(t.column("host_a").to_pylist())),
+            "dst": pa.array(node_ids(t.column("host_b").to_pylist())),
+        })
+
+    assign = components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), strategy="auto"
+    )
+    if isinstance(assign, pa.Table):  # driver strategy
+        label = {int(n): int(c)
+                 for n, c in zip(assign.column("node").to_pylist(),
+                                 assign.column("cluster_id").to_pylist())}
+    else:  # distributed strategy — label map is host-bounded either way
+        label = {int(r["node"]): int(r["cluster_id"])
+                 for r in assign.take_all()}
+    lref = ray.put(label)
+
+    # distinct hosts: per-batch distinct -> host-hash partition -> distinct
+    from dupers_ray.pipelines.maintenance import hash_str_keys
+
+    def host_part(t: pa.Table) -> pa.Table:
+        g = t.select([host_col]).group_by(host_col).aggregate([])
+        h = hash_str_keys(g.column(host_col))
+        return g.append_column(
+            "__part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                host_col: pd.Series([], dtype=object),
+                "cluster_id": pd.Series([], dtype="uint64"),
+            })
+        hosts = g[host_col].drop_duplicates().to_numpy(dtype=object)
+        nodes = node_ids(list(hosts))
+        lbl = ray.get(lref)
+        return pd.DataFrame({
+            host_col: hosts,
+            "cluster_id": np.array(
+                [lbl.get(int(n), int(n)) for n in nodes], np.uint64
+            ),
+        })
+
+    return (
+        ds.select_columns([host_col])
+        .map_batches(host_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -155,3 +155,39 @@ def test_mirror_hosts_exact_jaccard():
     ).take_all()
     for r in out:
         assert r["n_inter"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+
+
+def test_mirror_clusters_families():
+    """The two planted mirror families collapse to two clusters labeled
+    by each family's min node id; a lone host keeps its own node id."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.functions.hashing import node_ids
+    from dupers_ray.pipelines.overlap import mirror_clusters
+
+    n = 300
+    ids = np.arange(n)
+    host = [f"h{int(i % 6)}" for i in ids] + ["solo"]
+    fam = ["A" if i % 6 < 3 else "B" for i in ids]
+    text = [
+        f"{f}p{int(i % 35)}" if i % 11 else f"{h}-unique-{int(i)}"
+        for i, h, f in zip(ids, host, fam)
+    ] + ["solo-only-page"]
+    t = pa.table({"host": host, "text": text})
+    got = {
+        r["host"]: r["cluster_id"]
+        for r in mirror_clusters(
+            rd.from_arrow(t).repartition(4), min_jaccard=0.3
+        ).take_all()
+    }
+    assert len(got) == 7
+    nodes = {h: int(node_ids([h])[0]) for h in set(host)}
+    fam_a = min(nodes[h] for h in ("h0", "h1", "h2"))
+    fam_b = min(nodes[h] for h in ("h3", "h4", "h5"))
+    for h in ("h0", "h1", "h2"):
+        assert got[h] == fam_a
+    for h in ("h3", "h4", "h5"):
+        assert got[h] == fam_b
+    assert got["solo"] == nodes["solo"]
