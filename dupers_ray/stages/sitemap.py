@@ -1,0 +1,197 @@
+"""Sitemap extraction + crawl-coverage audit — engine-new web surface
+(the reference indexes what it walked; a crawl pipeline must also know
+what the SITE says exists, which is the sitemaps.org XML protocol).
+
+Two operators:
+
+- :func:`extract_sitemaps` — one stateless vectorized pass over
+  sitemap.xml documents: ``split_pattern`` on ``<url>`` fans each
+  sitemap to its entries, one RE2 ``extract_regex`` per piece pulls
+  ``<loc>`` (whitespace-tolerant) and the optional ``<lastmod>``;
+  ``list_parent_indices`` offsets map entries back to their sitemap —
+  no per-row Python (same shape as linkgraph.extract_links).
+
+- :func:`sitemap_coverage` — reconciles the sitemap-declared URL set
+  against the crawled URL set per host.  Scale shape: both sides
+  project to (url, listed, crawled) flag rows (URLs are unique within
+  a side, so flags need no per-batch combiner), ONE groupby(url) sums
+  the flags, then a per-batch pandas combiner counts the three
+  coverage classes per host and ONE tiny groupby(host) merges — two
+  shuffles, both of narrow rows, nothing driver-side.
+
+Output classes per host: ``n_both`` (listed ∧ crawled), ``n_listed_only``
+(sitemap promises a page the crawl never fetched — the recrawl queue),
+``n_crawled_only`` (fetched pages the site doesn't declare — orphan /
+hidden pages), plus ``n_listed`` = both + listed_only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _as_string(col) -> pa.Array:
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        col = pc.cast(col, pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
+def sitemap_entries_batch(
+    t: pa.Table,
+    *,
+    id_col: str = "host_id",
+    html_col: str = "html",
+) -> pa.Table:
+    """(host_id, loc, lastmod) — one row per ``<url>`` entry.  ``<loc>``
+    is stripped of surrounding whitespace; ``lastmod`` is NULL when the
+    entry has no ``<lastmod>`` tag.  Entries without a ``<loc>`` (or
+    non-sitemap documents entirely) contribute no rows."""
+    html = _as_string(t.column(html_col))
+    pieces = pc.split_pattern(html, "<url>")
+    flat = pc.list_flatten(pieces)
+    parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    nent = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+    starts = np.repeat(np.cumsum(nent) - nent, nent)
+    pos = np.arange(len(flat), dtype=np.int64) - starts
+    keep = pos > 0  # piece 0 is the pre-entry header/prolog
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    m = pc.extract_regex(flat, r"(?s)<loc>\s*(?P<u>[^<\s]+)\s*</loc>")
+    loc = pc.struct_field(m, "u")
+    lm = pc.struct_field(
+        pc.extract_regex(flat, r"(?s)<lastmod>\s*(?P<m>[^<]+?)\s*</lastmod>"),
+        "m",
+    )
+    ok = pc.is_valid(loc).to_numpy(zero_copy_only=False)
+    idx = pa.array(parent[ok])
+    mask = pa.array(ok)
+    return pa.table({
+        id_col: t.column(id_col).take(idx),
+        "loc": loc.filter(mask),
+        "lastmod": lm.filter(mask),
+    })
+
+
+def extract_sitemaps(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "host_id",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """Vectorized sitemap-entry extraction over a Dataset of sitemap
+    documents (see :func:`sitemap_entries_batch`)."""
+    return ds.map_batches(
+        functools.partial(
+            sitemap_entries_batch, id_col=id_col, html_col=html_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def page_urls(
+    t: pa.Table,
+    *,
+    n_hosts: int = 20,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Deterministic crawl-side URL per doc: doc i lives at
+    ``https://host{i % n_hosts}.example/p/{i}`` (the synthetic corpus'
+    host assignment; arithmetic so the oracle can restate it).  Pure
+    Arrow string build."""
+    ids = t.column(id_col).cast(pa.int64())
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    host = pc.cast(
+        pc.subtract(ids, pc.multiply(
+            pc.divide(ids, n_hosts), pa.scalar(n_hosts, pa.int64()))),
+        pa.string(),
+    )
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://host"), host, pa.scalar(".example/p/"),
+        pc.cast(ids, pa.string()), pa.scalar(""),
+    )
+    return pa.table({id_col: t.column(id_col), "url": url})
+
+
+_HOST_RE = r"^https?://(?P<h>[^/]+)/"
+
+
+def _flag_side(t: pa.Table, *, url_col: str, listed: int) -> pa.Table:
+    url = _as_string(t.column(url_col))
+    n = len(url)
+    one = np.ones(n, np.int64)
+    return pa.table({
+        "url": url,
+        "listed": pa.array(one * listed),
+        "crawled": pa.array(one * (1 - listed)),
+    })
+
+
+def sitemap_coverage(
+    entries: "ray.data.Dataset",
+    pages: "ray.data.Dataset",
+    *,
+    loc_col: str = "loc",
+    url_col: str = "url",
+) -> "ray.data.Dataset":
+    """Per-host reconciliation of sitemap-declared vs crawled URLs.
+    Output: (host, n_listed, n_both, n_listed_only, n_crawled_only),
+    sorted by host.  Both inputs stream; URLs never gather on the
+    driver (union → groupby(url) flag-sum → per-batch host combiner →
+    groupby(host) sum)."""
+    listed = entries.map_batches(
+        functools.partial(_flag_side, url_col=loc_col, listed=1),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    crawled = pages.map_batches(
+        functools.partial(_flag_side, url_col=url_col, listed=0),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_url = listed.union(crawled).groupby("url").aggregate(
+        Sum("listed", alias_name="listed"),
+        Sum("crawled", alias_name="crawled"),
+    )
+
+    def host_counts(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(_as_string(t.column("url")), _HOST_RE), "h")
+        li = t.column("listed").to_numpy(zero_copy_only=False) > 0
+        cr = t.column("crawled").to_numpy(zero_copy_only=False) > 0
+        df = pd.DataFrame({
+            "host": host.to_numpy(zero_copy_only=False),
+            "n_both": (li & cr).astype(np.int64),
+            "n_listed_only": (li & ~cr).astype(np.int64),
+            "n_crawled_only": (cr & ~li).astype(np.int64),
+        })
+        out = df.groupby("host", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rolled = per_url.map_batches(
+        host_counts, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("host").aggregate(
+        Sum("n_both", alias_name="n_both"),
+        Sum("n_listed_only", alias_name="n_listed_only"),
+        Sum("n_crawled_only", alias_name="n_crawled_only"),
+    )
+
+    def add_listed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_listed",
+            pc.add(t.column("n_both"), t.column("n_listed_only")),
+        )
+
+    return rolled.map_batches(
+        add_listed, batch_format="pyarrow", zero_copy_batch=True,
+    ).sort("host")

@@ -453,3 +453,59 @@ def synth_doc_audio(
         id_col: batch.column(id_col),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+def synth_sitemap_pages(
+    batch: "pa.Table",
+    *,
+    n_docs: int,
+    n_hosts: int = 20,
+    id_col: str = "id",
+) -> "pa.Table":
+    """Deterministic sitemap.xml page per host (driven by a
+    ``ray.data.range(n_hosts)`` dataset so generation is itself
+    distributed): host h lists ``https://host{h}.example/p/{k}`` for
+    every crawled doc k ≡ h (mod n_hosts) with k % 3 != 2 (so a third
+    of each host's pages are crawled-but-unlisted), with
+    ``<lastmod>2026-07-{k % 28 + 1}</lastmod>`` OMITTED when k % 7 == 3
+    (extractor must tolerate), plus ``1 + h % 3`` phantom locs
+    ``p/{n_docs + h + j*n_hosts}`` (lastmod ``2026-06-{h % 28 + 1}``)
+    that no crawl row exists for (listed-but-missing).  Entries whose
+    k % 5 == 0 carry whitespace padding inside ``<loc>``; the XML has a
+    namespace attr and comments a correct extractor must skip.  All
+    arithmetic, so a DuckDB oracle restates the extraction exactly.
+    Output: (host_id, url, html binary)."""
+    hosts = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    urls: list[str] = []
+    pages: list[bytes] = []
+    for h in hosts.tolist():
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"<!-- sitemap for host{h} -->"
+        ]
+        for k in range(h, n_docs, n_hosts):
+            if k % 3 == 2:
+                continue
+            loc = f"https://host{h}.example/p/{k}"
+            if k % 5 == 0:
+                loc = f"\n    {loc}\n  "
+            lastmod = (
+                "" if k % 7 == 3
+                else f"<lastmod>2026-07-{k % 28 + 1:02d}</lastmod>"
+            )
+            parts.append(f"\n  <url><loc>{loc}</loc>{lastmod}</url>")
+        for j in range(1 + h % 3):
+            loc = f"https://host{h}.example/p/{n_docs + h + j * n_hosts}"
+            parts.append(
+                f"\n  <url><loc>{loc}</loc>"
+                f"<lastmod>2026-06-{h % 28 + 1:02d}</lastmod></url>"
+            )
+        parts.append("\n</urlset>\n")
+        urls.append(f"https://host{h}.example/sitemap.xml")
+        pages.append("".join(parts).encode())
+    return pa.table({
+        "host_id": batch.column(id_col).cast(pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(pages, pa.binary()),
+    })
