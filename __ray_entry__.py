@@ -4297,6 +4297,51 @@ def _q_sitemap_coverage(sf_dir: str):
     return sitemap_coverage(entries, pages)
 
 
+def _q_cluster_split(sf_dir: str):
+    """Leakage-free train/val/test split (90/5/5): hash-split keyed on
+    the flagship near-dup CLUSTER id (stages/filters.assign_split), so
+    a whole duplicate cluster lands in one split and validation text
+    never has a near-copy in train.  Composes the flagship's full SQL
+    oracle with the splitmix64 chain — every stage value-checked."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.stages.filters import assign_split
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    clus = dupe_clusters(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg)
+    return clus.map_batches(
+        assign_split, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _cluster_split_oracle_sql() -> str:
+    """Flagship cluster oracle + splitmix64(cluster_id) % 100 against
+    the 90/95 bounds (same constants as functions/hashing.py)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
+        sm AS (
+            SELECT doc_id, cluster_id,
+                   ((cluster_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM clusters
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN h % 100 < 90 THEN 'train'
+                    WHEN h % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM sm
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry order matters: the driver's correctness gate verifies the
     # FIRST 50 entries only (CORRECTNESS_r02.json capped at 50).  Round 3
@@ -4389,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_clusters": _q_mirror_clusters,
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_coverage": _q_sitemap_coverage,
+        "cluster_split": _q_cluster_split,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6068,4 +6114,5 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_listed
             FROM j GROUP BY host_id
         """,
+        "cluster_split": _cluster_split_oracle_sql(),
     }

@@ -146,6 +146,28 @@ def sample_hash(
     return batch.filter(pa.array(keep))
 
 
+def assign_split(
+    batch: pa.Table, *, key_col: str = "cluster_id",
+    bounds: tuple[int, int] = (90, 95), salt: int = 0,
+) -> pa.Table:
+    """Leakage-free train/val/test assignment: split on
+    ``splitmix64(key ^ salt) % 100`` against ``bounds`` (default
+    90/5/5).  Keyed on the near-dup CLUSTER id, not the doc id, so a
+    whole duplicate cluster lands in ONE split — hash-splitting raw
+    docs leaks near-copies of validation text into train, the classic
+    eval-contamination bug.  Embarrassingly parallel, restart-stable,
+    and the splitmix chain is restatable in SQL for the oracle."""
+    import numpy as np
+
+    from dupers_ray.functions.hashing import splitmix64
+
+    keys = np.asarray(batch.column(key_col), dtype=np.uint64)
+    h = (splitmix64(keys ^ np.uint64(salt)) % np.uint64(100)).astype(np.int64)
+    lab = np.where(h < bounds[0], "train",
+                   np.where(h < bounds[1], "val", "test"))
+    return batch.append_column("split", pa.array(lab, pa.string()))
+
+
 def weighted_sample(
     batch: pa.Table, *, id_col: str = "doc_id", weight_col: str = "n_chars",
     rate_num: int = 64, denom_bits: int = 20, salt: int = 0,

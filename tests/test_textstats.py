@@ -93,6 +93,31 @@ def test_sample_hash_deterministic_and_salted():
     assert other != set(a.column("doc_id").to_pylist())
 
 
+def test_assign_split_kernel_and_coherence():
+    from dupers_ray.functions.hashing import splitmix64
+    from dupers_ray.stages.filters import assign_split
+
+    # docs share cluster ids (simulating near-dup clusters): every doc
+    # of a cluster must land in the SAME split, and the label must be
+    # exactly the splitmix64 bucket of the cluster id.
+    cids = np.array([i // 3 for i in range(3000)], np.int64)
+    t = pa.table({
+        "doc_id": pa.array(range(3000), pa.int64()),
+        "cluster_id": pa.array(cids),
+    })
+    out = assign_split(t)
+    lab = np.array(out.column("split").to_pylist())
+    h = splitmix64(cids.astype(np.uint64)) % np.uint64(100)
+    exp = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+    assert (lab == exp).all()
+    # per-cluster coherence and roughly 90/5/5 fractions
+    df = out.to_pandas()
+    assert (df.groupby("cluster_id")["split"].nunique() == 1).all()
+    frac = df.split.value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95
+    assert frac.get("val", 0) > 0.01 and frac.get("test", 0) > 0.01
+
+
 # ------------------------------------------------------ property tests
 
 from hypothesis import given, settings
