@@ -4297,6 +4297,24 @@ def _q_sitemap_coverage(sf_dir: str):
     return sitemap_coverage(entries, pages)
 
 
+def _q_sitemap_discovery(sf_dir: str):
+    """``Sitemap:`` directive discovery from robots.txt (RFC 9309 §2.3
+    other-records): synthetic robots bodies plant one directive per
+    host plus a lowercase variant on h%3==0 and an indented+inline-
+    comment variant on h%4==1, with commented-out and look-alike decoy
+    lines (synth.synth_robots_bodies).  One vectorized newline-split /
+    comment-strip / anchored-RE2 pass
+    (stages/sitemap.robots_sitemaps_batch); the oracle restates the
+    planted arithmetic."""
+    from dupers_ray.stages.sitemap import discover_sitemaps
+    from dupers_ray.synth import synth_robots_bodies
+
+    robots = rd.range(20).map_batches(
+        synth_robots_bodies, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return discover_sitemaps(robots)
+
+
 def _q_cluster_split(sf_dir: str):
     """Leakage-free train/val/test split (90/5/5): hash-split keyed on
     the flagship near-dup CLUSTER id (stages/filters.assign_split), so
@@ -4435,6 +4453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_entries": _q_sitemap_entries,
         "sitemap_coverage": _q_sitemap_coverage,
         "cluster_split": _q_cluster_split,
+        "sitemap_discovery": _q_sitemap_discovery,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6115,4 +6134,16 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY host_id
         """,
         "cluster_split": _cluster_split_oracle_sql(),
+        "sitemap_discovery": """
+            WITH h AS (SELECT unnest(range(20)) AS h)
+            SELECT CAST(h AS BIGINT) AS host_id,
+                   'https://host' || CAST(h AS VARCHAR)
+                       || '.example/sitemap.xml' AS sitemap_url
+            FROM h
+            UNION ALL
+            SELECT CAST(h AS BIGINT) AS host_id,
+                   'https://host' || CAST(h AS VARCHAR)
+                       || '.example/news-sitemap.xml' AS sitemap_url
+            FROM h WHERE h % 3 = 0
+        """,
     }

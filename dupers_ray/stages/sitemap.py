@@ -100,6 +100,51 @@ def extract_sitemaps(
     )
 
 
+def robots_sitemaps_batch(
+    t: pa.Table,
+    *,
+    id_col: str = "host_id",
+    body_col: str = "body",
+) -> pa.Table:
+    """``Sitemap:`` directive discovery from robots.txt bodies (RFC
+    9309 §2.3 other-records / sitemaps.org protocol: the directive is
+    case-insensitive, may appear multiple times, anywhere in the file,
+    and ``#`` starts a comment).  Vectorized: split on newlines, strip
+    comments with one RE2 rewrite, one anchored ``extract_regex`` per
+    line, ``list_parent_indices`` maps hits back to their host.
+    Output: (host_id, sitemap_url), one row per directive."""
+    body = _as_string(t.column(body_col))
+    pieces = pc.split_pattern(body, "\n")
+    flat = pc.list_flatten(pieces)
+    parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    flat = pc.replace_substring_regex(flat, r"#.*$", "")
+    m = pc.extract_regex(
+        flat, r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*(?P<u>\S+)")
+    url = pc.struct_field(m, "u")
+    ok = pc.is_valid(url).to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: t.column(id_col).take(pa.array(parent[ok])),
+        "sitemap_url": url.filter(pa.array(ok)),
+    })
+
+
+def discover_sitemaps(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "host_id",
+    body_col: str = "body",
+) -> "ray.data.Dataset":
+    """Vectorized ``Sitemap:`` discovery over a Dataset of robots.txt
+    bodies (see :func:`robots_sitemaps_batch`)."""
+    return ds.map_batches(
+        functools.partial(
+            robots_sitemaps_batch, id_col=id_col, body_col=body_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def page_urls(
     t: pa.Table,
     *,

@@ -509,3 +509,43 @@ def synth_sitemap_pages(
         "url": pa.array(urls, pa.string()),
         "html": pa.array(pages, pa.binary()),
     })
+
+
+def synth_robots_bodies(
+    batch: "pa.Table",
+    *,
+    id_col: str = "id",
+) -> "pa.Table":
+    """Deterministic robots.txt body per host with ARITHMETICALLY
+    planted ``Sitemap:`` directives: every host declares
+    ``https://host{h}.example/sitemap.xml``; hosts h % 3 == 0 add a
+    lowercase ``sitemap:`` pointing at a news feed sitemap (directive
+    is case-insensitive); hosts h % 4 == 1 write theirs indented with
+    a trailing inline comment.  Decoys a correct extractor must drop:
+    a commented-out ``# Sitemap:`` line and a ``NotASitemap:`` field.
+    Output: (host_id, body binary)."""
+    hosts = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    bodies: list[bytes] = []
+    for h in hosts.tolist():
+        lines = [
+            "# robots for host%d  — crawler policy" % h,
+            "User-agent: *",
+            f"Disallow: /private{h % 5}/",
+            "# Sitemap: https://decoy.example/never.xml",
+            f"NotASitemap: https://host{h}.example/fake.xml",
+        ]
+        if h % 4 == 1:
+            lines.append(
+                f"  Sitemap:\thttps://host{h}.example/sitemap.xml"
+                "  # primary map"
+            )
+        else:
+            lines.append(f"Sitemap: https://host{h}.example/sitemap.xml")
+        if h % 3 == 0:
+            lines.append(
+                f"sitemap: https://host{h}.example/news-sitemap.xml")
+        bodies.append("\n".join(lines).encode())
+    return pa.table({
+        "host_id": batch.column(id_col).cast(pa.int64()),
+        "body": pa.array(bodies, pa.binary()),
+    })

@@ -126,3 +126,47 @@ def test_coverage_rollup(ray_session):
     assert len(cov) == n_hosts
     # classes are disjoint and exhaustive per host
     assert (cov.n_both + cov.n_listed_only).equals(cov.n_listed)
+
+
+def test_robots_sitemap_discovery_handcrafted():
+    from dupers_ray.stages.sitemap import robots_sitemaps_batch
+
+    body = (
+        "# Sitemap: https://commented.example/never.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "SITEMAP: https://a.example/s1.xml\n"
+        "  sitemap:\thttps://a.example/s2.xml   # inline comment\n"
+        "NotASitemap: https://a.example/decoy.xml\n"
+        "Sitemap:https://a.example/s3.xml\n"
+    )
+    t = pa.table({
+        "host_id": pa.array([1, 2], pa.int64()),
+        "body": pa.array([body.encode(), b"User-agent: *\nAllow: /"],
+                         pa.binary()),
+    })
+    out = robots_sitemaps_batch(t)
+    assert out.column("host_id").to_pylist() == [1, 1, 1]
+    assert out.column("sitemap_url").to_pylist() == [
+        "https://a.example/s1.xml",
+        "https://a.example/s2.xml",
+        "https://a.example/s3.xml",
+    ]
+
+
+def test_robots_sitemap_synth_parity():
+    from dupers_ray.stages.sitemap import robots_sitemaps_batch
+    from dupers_ray.synth import synth_robots_bodies
+
+    n = 11
+    robots = synth_robots_bodies(
+        pa.table({"id": pa.array(range(n), pa.int64())}))
+    out = robots_sitemaps_batch(robots)
+    exp = []
+    for h in range(n):
+        exp.append((h, f"https://host{h}.example/sitemap.xml"))
+        if h % 3 == 0:
+            exp.append((h, f"https://host{h}.example/news-sitemap.xml"))
+    got = sorted(zip(out.column("host_id").to_pylist(),
+                     out.column("sitemap_url").to_pylist()))
+    assert got == sorted(exp)
