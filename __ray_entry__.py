@@ -4297,6 +4297,85 @@ def _q_sitemap_coverage(sf_dir: str):
     return sitemap_coverage(entries, pages)
 
 
+def _script_stats_oracle_sql() -> str:
+    """translate()-restated transliteration + regexp_replace script
+    counts + the argmax/90% label rule (same constants as
+    synth.synth_multiscript / stages/textstats.script_stats)."""
+    from dupers_ray.synth import (
+        _SCRIPT_CYR, _SCRIPT_GRK, _SCRIPT_HAN, _SCRIPT_LAT,
+    )
+
+    def cnt(cls: str) -> str:
+        return rf"length(regexp_replace(t, '[^\p{{{cls}}}]', '', 'g'))"
+
+    return rf"""
+        WITH ms AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 1 THEN translate(text,
+                           '{_SCRIPT_LAT}', '{_SCRIPT_CYR}')
+                       WHEN 2 THEN translate(text,
+                           '{_SCRIPT_LAT}', '{_SCRIPT_GRK}')
+                       WHEN 3 THEN translate(text,
+                           '{_SCRIPT_LAT}', '{_SCRIPT_HAN}')
+                       WHEN 4 THEN left(text, length(text) // 2)
+                           || translate(substring(text,
+                                  length(text) // 2 + 1),
+                              '{_SCRIPT_LAT}', '{_SCRIPT_CYR}')
+                       ELSE text END AS t
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   {cnt('Latin')} AS n_latin,
+                   {cnt('Cyrillic')} AS n_cyrillic,
+                   {cnt('Greek')} AS n_greek,
+                   {cnt('Han')} AS n_han,
+                   length(regexp_replace(t, '[^\p{{L}}]', '', 'g'))
+                       AS n_letters
+            FROM ms
+        ),
+        lab AS (
+            SELECT *,
+                   n_letters - n_latin - n_cyrillic - n_greek - n_han
+                       AS n_other,
+                   greatest(n_latin, n_cyrillic, n_greek, n_han,
+                            n_letters - n_latin - n_cyrillic - n_greek
+                            - n_han) AS mx
+            FROM c
+        )
+        SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_letters,
+               CASE WHEN n_letters = 0 THEN 'none'
+                    WHEN mx * 10 < n_letters * 9 THEN 'mixed'
+                    WHEN n_latin = mx THEN 'latin'
+                    WHEN n_cyrillic = mx THEN 'cyrillic'
+                    WHEN n_greek = mx THEN 'greek'
+                    WHEN n_han = mx THEN 'han'
+                    ELSE 'other' END AS script
+        FROM lab
+    """
+
+
+def _q_script_stats(sf_dir: str):
+    """Unicode-script histogram + dominant-script label per doc over a
+    planted multi-script corpus (synth.synth_multiscript: doc_id%5
+    selects latin/cyrillic/greek/han/half-and-half transliteration).
+    One RE2 count_substring_regex per script class
+    (stages/textstats.script_stats); the oracle restates the
+    transliteration with translate() and the counts with
+    regexp_replace — integer-exact, argmax + 90% rule included."""
+    from dupers_ray.stages.textstats import script_stats
+    from dupers_ray.synth import synth_multiscript
+
+    ms = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_multiscript, batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ms.map_batches(
+        script_stats, fn_kwargs={"text_col": "text_ms"},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def _q_sitemap_discovery(sf_dir: str):
     """``Sitemap:`` directive discovery from robots.txt (RFC 9309 §2.3
     other-records): synthetic robots bodies plant one directive per
@@ -4454,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_coverage": _q_sitemap_coverage,
         "cluster_split": _q_cluster_split,
         "sitemap_discovery": _q_sitemap_discovery,
+        "script_stats": _q_script_stats,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6134,6 +6214,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY host_id
         """,
         "cluster_split": _cluster_split_oracle_sql(),
+        "script_stats": _script_stats_oracle_sql(),
         "sitemap_discovery": """
             WITH h AS (SELECT unnest(range(20)) AS h)
             SELECT CAST(h AS BIGINT) AS host_id,

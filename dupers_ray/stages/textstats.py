@@ -242,3 +242,58 @@ def top_tokens(ds, *, k: int = 100, text_col: str = "text"):
         lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
     )
     return agg.repartition(2).sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------- scripts
+
+# Unicode-script letter classes (RE2 property classes — identical
+# semantics in Arrow and DuckDB, probed at build time). 'other' is any
+# \p{L} letter outside the four tracked scripts.
+SCRIPT_CLASSES = (
+    ("latin", r"\p{Latin}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("greek", r"\p{Greek}"),
+    ("han", r"\p{Han}"),
+)
+
+
+def script_stats(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text",
+) -> pa.Table:
+    """Per-doc Unicode-script histogram + dominant-script label — the
+    curation axis orthogonal to language ID (a doc can claim lang=en
+    while its LETTERS are Cyrillic homoglyph spam, the classic
+    search-spam trick). Counts letters per script with one RE2
+    ``count_substring_regex`` per class (vectorized, no Python rows);
+    ``script`` is the argmax class when it holds >= 90% of all letters
+    (integer rule: max*10 >= total*9), else 'mixed'; letterless docs
+    are 'none'. Ties break by the fixed class order above, 'other'
+    last — all restatable in SQL."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    counts = {
+        name: pc.count_substring_regex(text, pat)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+        for name, pat in SCRIPT_CLASSES
+    }
+    total = (pc.count_substring_regex(text, r"\p{L}")
+             .to_numpy(zero_copy_only=False).astype(np.int64))
+    counts["other"] = total - sum(counts.values())
+    names = list(counts)
+    mat = np.stack([counts[n] for n in names])          # (5, n_rows)
+    best = mat.argmax(axis=0)                           # first max wins
+    bestc = mat.max(axis=0)
+    lab = np.array(names, dtype=object)[best]
+    lab = np.where(bestc * 10 >= total * 9, lab, "mixed")
+    lab = np.where(total == 0, "none", lab)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_latin": pa.array(counts["latin"]),
+        "n_cyrillic": pa.array(counts["cyrillic"]),
+        "n_greek": pa.array(counts["greek"]),
+        "n_han": pa.array(counts["han"]),
+        "n_letters": pa.array(total),
+        "script": pa.array(list(lab), pa.string()),
+    })

@@ -549,3 +549,45 @@ def synth_robots_bodies(
         "host_id": batch.column(id_col).cast(pa.int64()),
         "body": pa.array(bodies, pa.binary()),
     })
+
+
+_SCRIPT_LAT = "abcdefghijklmnopqrstuvwxyz"
+_SCRIPT_CYR = "абвгдежзийклмнопрстуфхцчшщ"
+_SCRIPT_GRK = "αβγδεζηθικλμνξοπρστυφχψωϊϋ"
+_SCRIPT_HAN = "".join(chr(0x4E00 + i) for i in range(26))
+
+
+def synth_multiscript(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Deterministic multi-script corpus variant: transliterate each
+    doc's lowercase a-z by doc_id % 5 — 0 unchanged (latin), 1 →
+    Cyrillic, 2 → Greek, 3 → Han, 4 → first half unchanged + second
+    half Cyrillic (a planted mixed-script doc, the homoglyph-spam
+    shape).  Pure character translation, so DuckDB ``translate()``
+    restates it exactly.  Output: (doc_id, text_ms)."""
+    maps = {
+        1: str.maketrans(_SCRIPT_LAT, _SCRIPT_CYR),
+        2: str.maketrans(_SCRIPT_LAT, _SCRIPT_GRK),
+        3: str.maketrans(_SCRIPT_LAT, _SCRIPT_HAN),
+    }
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    out: list[str] = []
+    for i, t in zip(ids.tolist(), texts):
+        t = t or ""
+        k = i % 5
+        if k in maps:
+            out.append(t.translate(maps[k]))
+        elif k == 4:
+            half = len(t) // 2
+            out.append(t[:half] + t[half:].translate(maps[1]))
+        else:
+            out.append(t)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "text_ms": pa.array(out, pa.string()),
+    })

@@ -169,3 +169,42 @@ def test_fingerprint_equals_per_doc_horner(texts):
             ref[i] = acc
         ref = splitmix64(ref)
     assert (got == ref).all()
+
+
+def test_script_stats_rules():
+    from dupers_ray.stages.textstats import script_stats
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [
+            "abcdefghi м",      # 9 latin + 1 cyr = exactly 90% → latin
+            "abcdefgh мм",      # 8 + 2 → mixed
+            "שלום",             # Hebrew: 'other' letters dominate
+            "123 !?",           # no letters → none
+            None,               # null → none
+            "漢字漢字漢字漢字漢字 ab",  # 10 han + 2 latin → mixed (10/12 < 90%)
+        ],
+    })
+    out = script_stats(t)
+    assert out.column("script").to_pylist() == [
+        "latin", "mixed", "other", "none", "none", "mixed"]
+    assert out.column("n_letters").to_pylist() == [10, 10, 4, 0, 0, 12]
+    assert out.column("n_han").to_pylist() == [0, 0, 0, 0, 0, 10]
+
+
+def test_script_stats_synth_roundtrip():
+    from dupers_ray.stages.textstats import script_stats
+    from dupers_ray.synth import synth_multiscript
+
+    txt = "the quick brown fox jumps over the lazy dog"
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": [txt] * 10,
+    })
+    ms = synth_multiscript(t)
+    out = script_stats(ms, text_col="text_ms")
+    lab = out.column("script").to_pylist()
+    # doc_id%5: 0 latin, 1 cyrillic, 2 greek, 3 han, 4 half/half=mixed
+    assert lab == ["latin", "cyrillic", "greek", "han", "mixed"] * 2
+    n_letters = len(txt.replace(" ", ""))
+    assert out.column("n_letters").to_pylist() == [n_letters] * 10
