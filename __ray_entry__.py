@@ -4356,6 +4356,28 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_sitemap_resolve(sf_dir: str):
+    """Two-level sitemap-index resolution: per-host <sitemapindex>
+    documents reference child <urlset> sitemaps on CDN hosts (child
+    URL does NOT identify the site), children round-robin the host's
+    pages (synth.synth_sitemap_forest).  The resolver classifies both
+    levels in one streaming pass and joins child entries to their
+    referencing index with the count-gated broadcast-or-cogroup switch
+    (stages/sitemap.resolve_sitemap_index).  The round-robin union
+    covers every crawled doc, so the oracle is plain doc_id
+    arithmetic."""
+    from dupers_ray.stages.sitemap import resolve_sitemap_index
+    from dupers_ray.synth import synth_sitemap_forest
+
+    docs = _tbl(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    forest = rd.range(20).map_batches(
+        synth_sitemap_forest, fn_kwargs={"n_docs": n, "n_hosts": 20},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return resolve_sitemap_index(forest)
+
+
 def _q_script_stats(sf_dir: str):
     """Unicode-script histogram + dominant-script label per doc over a
     planted multi-script corpus (synth.synth_multiscript: doc_id%5
@@ -4534,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_split": _q_cluster_split,
         "sitemap_discovery": _q_sitemap_discovery,
         "script_stats": _q_script_stats,
+        "sitemap_resolve": _q_sitemap_resolve,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6215,6 +6238,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_split": _cluster_split_oracle_sql(),
         "script_stats": _script_stats_oracle_sql(),
+        "sitemap_resolve": """
+            SELECT CAST(doc_id % 20 AS BIGINT) AS host_id,
+                   'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS loc
+            FROM documents
+        """,
         "sitemap_discovery": """
             WITH h AS (SELECT unnest(range(20)) AS h)
             SELECT CAST(h AS BIGINT) AS host_id,

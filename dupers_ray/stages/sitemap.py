@@ -52,13 +52,16 @@ def sitemap_entries_batch(
     *,
     id_col: str = "host_id",
     html_col: str = "html",
+    entry_tag: str = "<url>",
 ) -> pa.Table:
-    """(host_id, loc, lastmod) — one row per ``<url>`` entry.  ``<loc>``
-    is stripped of surrounding whitespace; ``lastmod`` is NULL when the
-    entry has no ``<lastmod>`` tag.  Entries without a ``<loc>`` (or
-    non-sitemap documents entirely) contribute no rows."""
+    """(host_id, loc, lastmod) — one row per ``<url>`` entry (pass
+    ``entry_tag="<sitemap>"`` to read the ``<sitemapindex>`` level of
+    the protocol instead).  ``<loc>`` is stripped of surrounding
+    whitespace; ``lastmod`` is NULL when the entry has no ``<lastmod>``
+    tag.  Entries without a ``<loc>`` (or non-sitemap documents
+    entirely) contribute no rows."""
     html = _as_string(t.column(html_col))
-    pieces = pc.split_pattern(html, "<url>")
+    pieces = pc.split_pattern(html, entry_tag)
     flat = pc.list_flatten(pieces)
     parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
     nent = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
@@ -98,6 +101,103 @@ def extract_sitemaps(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def resolve_sitemap_index(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "host_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Two-level sitemap protocol: ``<sitemapindex>`` documents list
+    child sitemap locs (often on a CDN host, so the child's own URL
+    does NOT identify the site); child ``<urlset>`` documents carry the
+    page entries.  Resolution attributes every page loc to the host
+    whose INDEX referenced the child — a join of child entries (keyed
+    by the child doc's own url) against index entries (child_url →
+    host).  Scale shape: both levels extract in the same streaming
+    pass over the sitemap corpus; the index side is one row per child
+    sitemap, so it broadcasts (sorted-hash searchsorted lookup) under
+    ``broadcast_limit`` and falls back to the cogroup join above it —
+    the count-gated switch the library uses everywhere
+    (maintenance.anti_join_auto).  Output: (host_id, loc), one row per
+    resolved page; children no index references are dropped."""
+    import functools as _ft
+
+    from dupers_ray.pipelines.maintenance import hash_str_keys
+
+    def index_entries(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(
+            _as_string(t.column(html_col)), "<sitemapindex")
+        ent = sitemap_entries_batch(
+            t.filter(mask), id_col=id_col, html_col=html_col,
+            entry_tag="<sitemap>",
+        )
+        return ent.select([id_col, "loc"]).rename_columns(
+            [id_col, "child_url"])
+
+    def child_entries(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(
+            _as_string(t.column(html_col)), "<urlset")
+        ent = sitemap_entries_batch(
+            t.filter(mask), id_col=url_col, html_col=html_col,
+        )
+        return ent.select([url_col, "loc"])
+
+    idx = ds.map_batches(
+        index_entries, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    chd = ds.map_batches(
+        child_entries, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    if idx.count() <= broadcast_limit:
+        import ray as _ray
+
+        df = idx.to_pandas()
+        keys = hash_str_keys(pa.array(df["child_url"], pa.string()))
+        order = np.argsort(keys)
+        ref = _ray.put((keys[order], df[id_col].to_numpy()[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            skeys, shosts = _ray.get(ref)
+            if len(skeys) == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "loc": pa.array([], pa.string()),
+                })
+            h = hash_str_keys(t.column(url_col))
+            pos = np.searchsorted(skeys, h)
+            pos_c = np.minimum(pos, len(skeys) - 1)
+            hit = skeys[pos_c] == h
+            return pa.table({
+                id_col: pa.array(shosts[pos_c[hit]]),
+                "loc": t.column("loc").filter(pa.array(hit)),
+            })
+
+        return chd.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    from dupers_ray.pipelines.joins import cogroup_join
+
+    def add_key(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "join_u64",
+                pa.array(hash_str_keys(t.column(col)).view(np.int64)),
+            )
+        return f
+
+    joined = cogroup_join(
+        chd.map_batches(add_key(url_col), batch_format="pyarrow"),
+        idx.map_batches(add_key("child_url"), batch_format="pyarrow")
+           .select_columns(["join_u64", id_col]),
+        on="join_u64",
+    )
+    return joined.select_columns([id_col, "loc"])
 
 
 def robots_sitemaps_batch(

@@ -591,3 +591,67 @@ def synth_multiscript(
         id_col: batch.column(id_col),
         "text_ms": pa.array(out, pa.string()),
     })
+
+
+def synth_sitemap_forest(
+    batch: "pa.Table",
+    *,
+    n_docs: int,
+    n_hosts: int = 20,
+    id_col: str = "id",
+) -> "pa.Table":
+    """Two-level sitemap fixture per host h (driven by
+    ``ray.data.range(n_hosts)``): one ``<sitemapindex>`` document at
+    ``https://host{h}.example/sitemap.xml`` listing ``1 + h % 3`` child
+    locs on CDN hosts (``https://cdn{(h + j) % 2}.example/maps/
+    h{h}-part{j}.xml`` — the child's own URL does NOT identify the
+    site, forcing a real index join), plus the child ``<urlset>``
+    documents: doc k ≡ h (mod n_hosts) goes to child
+    ``j = (k // n_hosts) % n_children`` (round-robin).  The union of
+    children therefore lists EVERY crawled doc of the host — the
+    resolver's oracle is plain doc_id arithmetic.  Output one row per
+    document: (host_id, url, html binary); host_id is -1 on child rows
+    (their identity is their CDN url, as in a real crawl)."""
+    hosts = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    out_host: list[int] = []
+    out_url: list[str] = []
+    out_html: list[bytes] = []
+    for h in hosts.tolist():
+        n_children = 1 + h % 3
+        child_urls = [
+            f"https://cdn{(h + j) % 2}.example/maps/h{h}-part{j}.xml"
+            for j in range(n_children)
+        ]
+        idx = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<sitemapindex xmlns='
+            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(
+                f"\n  <sitemap><loc>{u}</loc></sitemap>"
+                for u in child_urls
+            )
+            + "\n</sitemapindex>\n"
+        )
+        out_host.append(h)
+        out_url.append(f"https://host{h}.example/sitemap.xml")
+        out_html.append(idx.encode())
+        members: list[list[str]] = [[] for _ in range(n_children)]
+        for k in range(h, n_docs, n_hosts):
+            j = (k // n_hosts) % n_children
+            members[j].append(f"https://host{h}.example/p/{k}")
+        for j, locs in enumerate(members):
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns='
+                '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + "".join(f"\n  <url><loc>{u}</loc></url>" for u in locs)
+                + "\n</urlset>\n"
+            )
+            out_host.append(-1)
+            out_url.append(child_urls[j])
+            out_html.append(body.encode())
+    return pa.table({
+        "host_id": pa.array(out_host, pa.int64()),
+        "url": pa.array(out_url, pa.string()),
+        "html": pa.array(out_html, pa.binary()),
+    })

@@ -170,3 +170,51 @@ def test_robots_sitemap_synth_parity():
     got = sorted(zip(out.column("host_id").to_pylist(),
                      out.column("sitemap_url").to_pylist()))
     assert got == sorted(exp)
+
+
+def _forest_expected(n_docs: int, n_hosts: int):
+    return sorted(
+        (k % n_hosts, f"https://host{k % n_hosts}.example/p/{k}")
+        for k in range(n_docs)
+    )
+
+
+def test_resolve_index_both_join_paths(ray_session):
+    from dupers_ray.stages.sitemap import resolve_sitemap_index
+    from dupers_ray.synth import synth_sitemap_forest
+
+    n_docs, n_hosts = 41, 5
+    exp = _forest_expected(n_docs, n_hosts)
+    for bl in (5_000_000, 0):  # broadcast path, then forced cogroup path
+        ds = rd.range(n_hosts).map_batches(
+            synth_sitemap_forest,
+            fn_kwargs={"n_docs": n_docs, "n_hosts": n_hosts},
+            batch_format="pyarrow",
+        )
+        res = resolve_sitemap_index(ds, broadcast_limit=bl).to_pandas()
+        assert sorted(zip(res["host_id"], res["loc"])) == exp
+
+
+def test_resolve_index_drops_unreferenced_children(ray_session):
+    from dupers_ray.stages.sitemap import resolve_sitemap_index
+
+    idx = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://cdn.example/a.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child_a = "<urlset><url><loc>https://h.example/p/1</loc></url></urlset>"
+    orphan = "<urlset><url><loc>https://h.example/p/9</loc></url></urlset>"
+    ds = rd.from_arrow(pa.table({
+        "host_id": pa.array([3, -1, -1], pa.int64()),
+        "url": pa.array([
+            "https://h.example/sitemap.xml",
+            "https://cdn.example/a.xml",
+            "https://cdn.example/orphan.xml",
+        ]),
+        "html": pa.array(
+            [idx.encode(), child_a.encode(), orphan.encode()], pa.binary()),
+    }))
+    res = resolve_sitemap_index(ds).to_pandas()
+    assert sorted(zip(res["host_id"], res["loc"])) == [
+        (3, "https://h.example/p/1")]
