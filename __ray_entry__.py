@@ -4356,6 +4356,19 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_source_dup_stats(sf_dir: str):
+    """Per-source duplication pressure (curation.source_dup_stats):
+    flagship clusters → dup-cluster semi-join flags → per-batch
+    (source, count) combiners merged in one small groupby; dup_ppm is
+    integer so the composed flagship-oracle SQL matches exactly."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import source_dup_stats
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    return source_dup_stats(
+        docs, DedupConfig(id_col="doc_id", text_col="text"))
+
+
 def _q_sitemap_resolve(sf_dir: str):
     """Two-level sitemap-index resolution: per-host <sitemapindex>
     documents reference child <urlset> sitemaps on CDN hosts (child
@@ -4557,6 +4570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_discovery": _q_sitemap_discovery,
         "script_stats": _q_script_stats,
         "sitemap_resolve": _q_sitemap_resolve,
+        "source_dup_stats": _q_source_dup_stats,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6238,6 +6252,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_split": _cluster_split_oracle_sql(),
         "script_stats": _script_stats_oracle_sql(),
+        "source_dup_stats": f"""
+            WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
+            sizes AS (
+                SELECT cluster_id, count(*) AS n
+                FROM clusters GROUP BY cluster_id
+            ),
+            flags AS (
+                SELECT c.doc_id, (s.n > 1) AS is_dup
+                FROM clusters c JOIN sizes s
+                  ON c.cluster_id = s.cluster_id
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (WHERE f.is_dup) AS BIGINT)
+                       AS n_dup_docs,
+                   CAST(count(*) FILTER (WHERE f.is_dup) * 1000000
+                       // count(*) AS BIGINT) AS dup_ppm
+            FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+            GROUP BY d.source
+        """,
         "sitemap_resolve": """
             SELECT CAST(doc_id % 20 AS BIGINT) AS host_id,
                    'https://host' || CAST(doc_id % 20 AS VARCHAR)

@@ -237,3 +237,81 @@ def curate_corpus(
 
     return budgeted.map_batches(keep_selected, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def source_dup_stats(
+    docs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Per-source duplication pressure → (source, n_docs, n_dup_docs,
+    dup_ppm): which sources are mostly duplicates — the curation signal
+    for down-weighting scraper/mirror feeds before training (the
+    host-level view of the reference's Status counters).  Scale shape:
+    flagship clusters → tiny cluster-size table → dup-cluster key set
+    through the count-gated broadcast-or-shuffle semi-join
+    (maintenance.anti_join_auto) to flag dup docs, then BOTH count
+    passes are per-batch combiners over (source, count) rows merged in
+    ONE small groupby — the corpus never shuffles by source.  dup_ppm
+    is integer (n_dup*1e6 // n_docs) so the SQL oracle matches
+    exactly."""
+    from ray.data.aggregate import Sum
+
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.maintenance import anti_join_auto
+
+    clusters = dupe_clusters(docs, cfg or DedupConfig())
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        return t.append_column("ck", _i64_view(t.column("cluster_id")))
+
+    sizes = _cluster_sizes(clusters)
+    def only_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t.column("n_docs"), 1))
+
+    dup_cks = sizes.map_batches(
+        only_dups, batch_format="pyarrow", zero_copy_batch=True)
+    dup_docs = anti_join_auto(
+        clusters.map_batches(
+            add_ck, batch_format="pyarrow", zero_copy_batch=True),
+        dup_cks, key_col="ck", right_key_col="ck", semi=True,
+    ).select_columns([id_col])
+
+    base = docs.select_columns([id_col, source_col])
+    dup_rows = anti_join_auto(
+        base, dup_docs, key_col=id_col, right_key_col=id_col, semi=True,
+    )
+
+    def count_side(dup: int):
+        def f(t: pa.Table) -> pa.Table:
+            src = t.column(source_col).to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(src, return_counts=True)
+            z = np.zeros(len(uniq), np.int64)
+            n = cnt.astype(np.int64)
+            return pa.table({
+                source_col: pa.array(uniq, pa.string()),
+                "n_docs": pa.array(z if dup else n),
+                "n_dup_docs": pa.array(n if dup else z),
+            })
+        return f
+
+    merged = base.map_batches(
+        count_side(0), batch_format="pyarrow", zero_copy_batch=True,
+    ).union(dup_rows.map_batches(
+        count_side(1), batch_format="pyarrow", zero_copy_batch=True,
+    )).groupby(source_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_dup_docs", alias_name="n_dup_docs"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        d = t.column("n_dup_docs").to_numpy(zero_copy_only=False)
+        ppm = np.where(n > 0, d * 1_000_000 // np.maximum(n, 1), 0)
+        return t.append_column("dup_ppm", pa.array(ppm.astype(np.int64)))
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -113,3 +113,29 @@ def test_curate_corpus_partitioning_invariant():
     # budget respected and cumulative sums consistent
     assert (outs[0]["cum_tokens"] <= 3_000).all()
     assert outs[0]["n_tokens"].sum() == outs[0]["cum_tokens"].max()
+
+
+def test_source_dup_stats_invariants(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import source_dup_stats
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    t = _docs_table()
+    t = t.append_column(
+        "source",
+        pa.array([f"src{i % 7}" for i in range(t.num_rows)], pa.string()))
+    docs = rd.from_arrow(t)
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    out = source_dup_stats(docs, cfg).to_pandas()
+    # totals reconcile with the corpus and the flagship assignment
+    assert out.n_docs.sum() == t.num_rows
+    clus = dupe_clusters(rd.from_arrow(t), cfg).to_pandas()
+    sz = clus.groupby("cluster_id")["doc_id"].transform("size")
+    assert out.n_dup_docs.sum() == int((sz > 1).sum())
+    # ppm is the exact integer ratio per source
+    exp = out.n_dup_docs.to_numpy() * 1_000_000 // np.maximum(
+        out.n_docs.to_numpy(), 1)
+    assert (out.dup_ppm.to_numpy() == exp).all()
+    assert (out.n_dup_docs <= out.n_docs).all()
