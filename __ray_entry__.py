@@ -4356,6 +4356,28 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_cluster_agreement(sf_dir: str):
+    """Pair-counting agreement (Rand-index family) between the flagship
+    near-dup clustering and C4-normalized exact groups, computed without
+    enumerating pairs: joint partition counts n_ij → C(n,2) arithmetic
+    (pipelines/diff.cluster_agreement).  Answers 'how much of the
+    near-dup pair mass is just normalization?' — the config-comparison
+    tool a dedup operator reaches for before changing thresholds.
+    Composes the flagship SQL oracle with a window-min normalized
+    assignment; integer ppm throughout."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.diff import cluster_agreement, exact_assign
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.stages.normalize import normalize_text
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    a = dupe_clusters(docs, DedupConfig(id_col="doc_id", text_col="text"))
+    norm = docs.map_batches(
+        normalize_text, batch_format="pyarrow", zero_copy_batch=True)
+    b = exact_assign(norm, id_col="doc_id", content_col="text_norm")
+    return cluster_agreement(a, b)
+
+
 def _q_source_dup_stats(sf_dir: str):
     """Per-source duplication pressure (curation.source_dup_stats):
     flagship clusters → dup-cluster semi-join flags → per-batch
@@ -4571,6 +4593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_stats": _q_script_stats,
         "sitemap_resolve": _q_sitemap_resolve,
         "source_dup_stats": _q_source_dup_stats,
+        "cluster_agreement": _q_cluster_agreement,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6252,6 +6275,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_split": _cluster_split_oracle_sql(),
         "script_stats": _script_stats_oracle_sql(),
+        "cluster_agreement": rf"""
+            WITH a AS ({_near_dup_clusters_oracle_sql()}),
+            nn AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\s]+', '', 'g'),
+                           '\s+', ' ', 'g'), ' ') AS tn
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       CASE WHEN tn IS NULL OR length(tn) = 0
+                            THEN doc_id
+                            ELSE min(doc_id) OVER (PARTITION BY tn)
+                       END AS cb
+                FROM nn
+            ),
+            j AS (
+                SELECT a.cluster_id AS ca, b.cb, count(*) AS n
+                FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY 1, 2
+            ),
+            pb AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM j),
+            ma AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v
+                   FROM (SELECT sum(n) AS n FROM j GROUP BY ca)),
+            mb AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v
+                   FROM (SELECT sum(n) AS n FROM j GROUP BY cb))
+            SELECT CAST(ma.v AS BIGINT) AS pairs_a,
+                   CAST(mb.v AS BIGINT) AS pairs_b,
+                   CAST(pb.v AS BIGINT) AS pairs_both,
+                   CAST(CASE WHEN ma.v > 0
+                        THEN pb.v * 1000000 // ma.v ELSE 0 END AS BIGINT)
+                       AS containment_a_ppm,
+                   CAST(CASE WHEN mb.v > 0
+                        THEN pb.v * 1000000 // mb.v ELSE 0 END AS BIGINT)
+                       AS containment_b_ppm,
+                   CAST(CASE WHEN ma.v + mb.v - pb.v > 0
+                        THEN pb.v * 1000000 // (ma.v + mb.v - pb.v)
+                        ELSE 0 END AS BIGINT) AS jaccard_ppm
+            FROM pb, ma, mb
+        """,
         "source_dup_stats": f"""
             WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
             sizes AS (
