@@ -4356,6 +4356,35 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_page_identity(sf_dir: str):
+    """Unified page-identity resolution (pipelines/urls.page_identity):
+    redirect chains (pointer doubling) → the LANDING page's
+    rel=canonical (redirecting pages plant DECOY declarations a correct
+    resolver ignores) → canonical+SURT key (www/port decoration must
+    strip for groups to merge) → min-doc identity clusters.  Planted
+    arithmetic resolves to cluster = doc_id - doc_id % 12, which the
+    oracle states directly."""
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.urls import page_identity
+    from dupers_ray.synth import synth_redirect_pages
+
+    fix = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_redirect_pages, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    pages = fix.select_columns(["doc_id", "url", "html"])
+
+    def edges(t: "_pa.Table") -> "_pa.Table":
+        return _pa.table({
+            "id": t.column("doc_id").cast(_pa.int64()),
+            "ptr": t.column("ptr"),
+        })
+
+    redirects = fix.map_batches(
+        edges, batch_format="pyarrow", zero_copy_batch=True)
+    return page_identity(pages, redirects, rounds=2)
+
+
 def _q_cluster_agreement(sf_dir: str):
     """Pair-counting agreement (Rand-index family) between the flagship
     near-dup clustering and C4-normalized exact groups, computed without
@@ -4594,6 +4623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_resolve": _q_sitemap_resolve,
         "source_dup_stats": _q_source_dup_stats,
         "cluster_agreement": _q_cluster_agreement,
+        "page_identity": _q_page_identity,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6275,6 +6305,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster_split": _cluster_split_oracle_sql(),
         "script_stats": _script_stats_oracle_sql(),
+        "page_identity": """
+            SELECT doc_id,
+                   CAST(doc_id - doc_id % 12 AS BIGINT) AS cluster
+            FROM documents
+        """,
         "cluster_agreement": rf"""
             WITH a AS ({_near_dup_clusters_oracle_sql()}),
             nn AS (

@@ -193,3 +193,73 @@ def revisit_collapse(
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
     )
+
+
+def page_identity(
+    pages: "ray.data.Dataset",
+    redirects: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    rounds: int = 8,
+) -> "ray.data.Dataset":
+    """Unified page-identity resolution — the full crawl-dedup identity
+    chain in one operator: follow HTTP redirect chains to the landing
+    page (stages/chains.resolve_pointers, pointer doubling), honor the
+    LANDING page's rel=canonical declaration (not the redirecting
+    page's — its declaration is void once it redirects), canonicalize +
+    SURT the resulting URL, and group docs by the identity key
+    (min-doc cluster via the exact-assign partition machinery).
+    Output: (doc_id, cluster) — every capture of the same logical page
+    maps to one cluster regardless of redirect hops, canonical
+    declarations, www/port decoration or query-param order.
+    Scale shape: log-rounds 24-byte pointer self-joins, one int-keyed
+    cogroup join to fetch landing declarations, one digest-partition
+    shuffle for the grouping; no driver materialization."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.diff import exact_assign
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.stages.chains import resolve_pointers
+    from dupers_ray.stages.urlnorm import (
+        canonical_url, extract_canonical_href, surt_key,
+    )
+
+    landing = resolve_pointers(redirects, rounds=rounds)
+
+    def decl(t: pa.Table) -> pa.Table:
+        out = extract_canonical_href(
+            t, html_col=html_col, url_col=url_col, out_col="canonical")
+        return pa.table({
+            "land_id": t.column(id_col).cast(pa.int64()),
+            "canonical": out.column("canonical"),
+        })
+
+    decls = pages.map_batches(
+        decl, batch_format="pyarrow", zero_copy_batch=True)
+
+    def root_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column("id").cast(pa.int64()),
+            "root": t.column("root").cast(pa.int64()),
+        })
+
+    joined = cogroup_join(
+        landing.map_batches(
+            root_rows, batch_format="pyarrow", zero_copy_batch=True),
+        decls, on="root", right_on="land_id",
+    )
+
+    def to_key(t: pa.Table) -> pa.Table:
+        c = canonical_url(
+            pa.table({"url": t.column("canonical")}), url_col="url")
+        s = surt_key(c, url_col="url_canon")
+        return pa.table({
+            id_col: t.column(id_col),
+            "identity": pc.fill_null(s.column("surt"), ""),
+        })
+
+    keyed = joined.map_batches(
+        to_key, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_assign(keyed, id_col=id_col, content_col="identity")

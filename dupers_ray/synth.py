@@ -655,3 +655,49 @@ def synth_sitemap_forest(
         "url": pa.array(out_url, pa.string()),
         "html": pa.array(out_html, pa.binary()),
     })
+
+
+def synth_redirect_pages(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+) -> "pa.Table":
+    """Planted identity-resolution fixture: doc i lives at
+    ``https://host{i}.example/p`` and redirects to doc i-1 unless
+    i % 4 == 0 (the landing page, ≤3 hops).  Landing pages with
+    i % 12 != 0 declare ``rel=canonical`` to the DECORATED url of the
+    group head (``https://www.host{i - i%12}.example:443/p`` — SURT
+    must strip www/port for groups to merge); redirecting (non-landing)
+    pages declare a DECOY canonical to ``trap{i}.example`` that a
+    correct resolver ignores (a page's declaration is void once it
+    redirects).  Resolved identity: cluster = doc_id - doc_id % 12.
+    Output: (doc_id, url, html binary, ptr)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    urls: list[str] = []
+    pages: list[bytes] = []
+    ptrs: list[int] = []
+    for i in ids.tolist():
+        urls.append(f"https://host{i}.example/p")
+        if i % 4 == 0:
+            head = i - i % 12
+            link = (
+                ""
+                if i % 12 == 0  # the head itself declares nothing
+                else f'<link rel="canonical" '
+                     f'href="https://www.host{head}.example:443/p">'
+            )
+            ptrs.append(i)
+        else:
+            link = (
+                f'<link rel="canonical" '
+                f'href="https://trap{i}.example/x">'
+            )
+            ptrs.append(i - 1)
+        pages.append(
+            f"<html><head>{link}</head><body>p{i}</body></html>".encode())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(pages, pa.binary()),
+        "ptr": pa.array(ptrs, pa.int64()),
+    })

@@ -330,3 +330,49 @@ def test_revisit_collapse_matches_bruteforce():
         assert got == want
     # sanity: both classes present
     assert 0 < sum(v[0] for v in want.values()) < n
+
+
+def test_page_identity_resolution(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import page_identity
+    from dupers_ray.synth import synth_redirect_pages
+
+    n = 60
+    fix = synth_redirect_pages(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    pages = rd.from_arrow(fix.select(["doc_id", "url", "html"]))
+    redirects = rd.from_arrow(pa.table({
+        "id": fix.column("doc_id"), "ptr": fix.column("ptr")}))
+    out = page_identity(pages, redirects, rounds=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # redirect → landing canonical → SURT merges decorated heads:
+    # identity cluster is the 12-group head
+    assert out.cluster.tolist() == [i - i % 12 for i in range(n)]
+
+
+def test_page_identity_ignores_decoy_declarations(ray_session):
+    """A redirecting page's own rel=canonical must be void: if the
+    resolver read it, doc 1 (decoy to trap1.example) would split from
+    its group."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import page_identity
+
+    pages = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "url": pa.array(["https://a.example/p", "https://b.example/p"]),
+        "html": pa.array([
+            b"<html><head></head></html>",
+            b'<html><head><link rel="canonical" '
+            b'href="https://trap.example/x"></head></html>',
+        ], pa.binary()),
+    }))
+    redirects = rd.from_arrow(pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "ptr": pa.array([0, 0], pa.int64()),  # doc 1 redirects to doc 0
+    }))
+    out = page_identity(pages, redirects, rounds=2).to_pandas()
+    assert sorted(out.cluster.tolist()) == [0, 0]
