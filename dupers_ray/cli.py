@@ -488,6 +488,41 @@ def cmd_mirrors(a) -> int:
     return 0
 
 
+def cmd_split(a) -> int:
+    """Leakage-free train/val/test assignment keyed on the near-dup
+    cluster id (stages/filters.assign_split over dupe_clusters)."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.stages.filters import assign_split
+
+    corpus = _read(a.corpus).select_columns([a.id_col, a.text_col])
+    clus = dupe_clusters(
+        corpus, DedupConfig(id_col=a.id_col, text_col=a.text_col))
+    bounds = tuple(int(x) for x in a.bounds.split(","))
+    out = clus.map_batches(
+        assign_split, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"bounds": bounds, "salt": a.salt},
+    )
+    _emit(out, a.out, "split")
+    return 0
+
+
+def cmd_identity(a) -> int:
+    """Unified page-identity clusters: redirect chains → landing-page
+    rel=canonical → SURT key (pipelines/urls.page_identity).  The
+    redirects table needs (id, ptr) columns; pages need
+    (id, url, html)."""
+    from dupers_ray.pipelines.urls import page_identity
+
+    pages = _read(a.corpus).select_columns([a.id_col, "url", "html"])
+    redirects = _read(a.redirects).select_columns(["id", "ptr"])
+    _emit(
+        page_identity(pages, redirects, id_col=a.id_col),
+        a.out, "identity",
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dupers_ray", description=__doc__.splitlines()[0]
@@ -630,6 +665,26 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-jaccard", type=float, default=0.5)
     s.add_argument("--out")
     s.set_defaults(fn=cmd_mirrors)
+
+    s = sub.add_parser(
+        "split", help="cluster-keyed train/val/test split (leakage-free)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--bounds", default="90,95",
+                   help="percent bounds train/val (rest = test)")
+    s.add_argument("--salt", type=int, default=0)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_split)
+
+    s = sub.add_parser(
+        "identity",
+        help="page-identity clusters (redirects + canonical + SURT)")
+    s.add_argument("corpus", help="pages dataset dir (id, url, html)")
+    s.add_argument("redirects", help="redirect edge dataset dir (id, ptr)")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_identity)
     return p
 
 

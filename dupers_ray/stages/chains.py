@@ -67,6 +67,17 @@ def resolve_pointers(
         [("rid", pa.int64()), ("rptr", pa.int64()), ("rdist", pa.int64())]
     )
 
+    # Each round consumes `state` TWICE (probe + build side of the
+    # self-join), so it MUST be materialized per round: left lazy, the
+    # plan doubles per round (2**rounds copies of the whole upstream
+    # DAG — rounds=16 would fuse 65k ReadParquet branches into one
+    # executor graph).  The state table is 24 B/row and bounded by the
+    # node count, the canonical iterative-algorithm checkpoint.  A
+    # fixed point (no ptr/dist movement — only possible when every
+    # chain is resolved; cycle members keep doubling dist) ends the
+    # loop early, so the 16-round bound costs nothing on real <10-hop
+    # redirect data.
+    prev_sig: tuple[int, int] | None = None
     for _ in range(rounds):
         right = state.map_batches(
             lambda t: t.rename_columns(["rid", "rptr", "rdist"]),
@@ -87,7 +98,11 @@ def resolve_pointers(
 
         state = joined.map_batches(
             jump, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
+        sig = (int(state.sum("ptr") or 0), int(state.sum("dist") or 0))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table({

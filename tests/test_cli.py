@@ -325,3 +325,36 @@ def test_pack_and_mirrors_verbs(tmp_path):
     assert m.num_rows == 1
     assert m.column("n_inter")[0].as_py() == 3
     assert abs(m.column("jaccard")[0].as_py() - 0.6) < 1e-9
+
+
+def test_split_and_identity_verbs(tmp_path):
+    import numpy as np
+
+    from dupers_ray.synth import synth_redirect_pages
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+        "text": [f"group{j // 3} words here repeated enough " * 3
+                 for j in range(30)],
+    })
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    out = str(tmp_path / "split")
+    assert main(["split", corpus, "--out", out]) == 0
+    sp = pq.read_table(out)
+    assert sp.num_rows == 30
+    assert set(sp.column("split").to_pylist()) <= {"train", "val", "test"}
+    df = sp.to_pandas()
+    assert (df.groupby("cluster_id")["split"].nunique() == 1).all()
+
+    fix = synth_redirect_pages(
+        pa.table({"doc_id": pa.array(np.arange(24, dtype=np.int64))}))
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(fix.select(["doc_id", "url", "html"]), pages)
+    red = str(tmp_path / "redirects.parquet")
+    pq.write_table(pa.table({
+        "id": fix.column("doc_id"), "ptr": fix.column("ptr")}), red)
+    out2 = str(tmp_path / "identity")
+    assert main(["identity", pages, red, "--out", out2]) == 0
+    ident = pq.read_table(out2).to_pandas().sort_values("doc_id")
+    assert ident.cluster.tolist() == [i - i % 12 for i in range(24)]
