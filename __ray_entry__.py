@@ -705,9 +705,9 @@ def _near_contam_report_oracle_sql() -> str:
     prefix, thr = _sig_sql_prefix()
     return f"""
         WITH RECURSIVE {prefix}, bandrows AS (
-            SELECT doc_id, CAST(bin / 4 AS INTEGER) AS band,
+            SELECT doc_id, CAST(bin // 4 AS INTEGER) AS band,
                    list(comp ORDER BY bin) AS sub
-            FROM sigcomp GROUP BY doc_id, CAST(bin / 4 AS INTEGER)
+            FROM sigcomp GROUP BY doc_id, CAST(bin // 4 AS INTEGER)
         ), folds AS (
             SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
             FROM sigcomp GROUP BY doc_id
@@ -739,9 +739,9 @@ def _near_decontam_oracle_sql() -> str:
     prefix, thr = _sig_sql_prefix()
     return f"""
         WITH RECURSIVE {prefix}, bandrows AS (
-            SELECT doc_id, CAST(bin / 4 AS INTEGER) AS band,
+            SELECT doc_id, CAST(bin // 4 AS INTEGER) AS band,
                    list(comp ORDER BY bin) AS sub
-            FROM sigcomp GROUP BY doc_id, CAST(bin / 4 AS INTEGER)
+            FROM sigcomp GROUP BY doc_id, CAST(bin // 4 AS INTEGER)
         ), folds AS (
             SELECT doc_id, list(comp & 65535::UBIGINT ORDER BY bin) AS f16
             FROM sigcomp GROUP BY doc_id
@@ -955,10 +955,10 @@ def _tiers_oracle_sql(semantic: bool = False, tau: float = 0.4) -> str:
                    ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
             FROM s2
         ), bandrows AS (
-            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+            SELECT s.doc_id, n.node, CAST(bin // 4 AS INTEGER) AS band,
                    list(comp ORDER BY bin) AS sub
             FROM sigcomp s JOIN nodes n USING (doc_id)
-            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+            GROUP BY s.doc_id, n.node, CAST(bin // 4 AS INTEGER)
         ), stars AS (
             SELECT band, sub, min(node) AS anchor, list(node) AS members
             FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
@@ -1256,10 +1256,10 @@ def _near_dup_clusters_oracle_sql() -> str:
                    ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
             FROM documents
         ), bandrows AS (
-            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+            SELECT s.doc_id, n.node, CAST(bin // 4 AS INTEGER) AS band,
                    list(comp ORDER BY bin) AS sub
             FROM sigcomp s JOIN nodes n USING (doc_id)
-            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+            GROUP BY s.doc_id, n.node, CAST(bin // 4 AS INTEGER)
         ), stars AS (
             SELECT band, sub, min(node) AS anchor, list(node) AS members
             FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
@@ -3173,10 +3173,10 @@ def _lsh_threshold_sweep_oracle_sql() -> str:
                    ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
             FROM documents
         ), bandrows AS (
-            SELECT s.doc_id, n.node, CAST(bin / 4 AS INTEGER) AS band,
+            SELECT s.doc_id, n.node, CAST(bin // 4 AS INTEGER) AS band,
                    list(comp ORDER BY bin) AS sub
             FROM sigcomp s JOIN nodes n USING (doc_id)
-            GROUP BY s.doc_id, n.node, CAST(bin / 4 AS INTEGER)
+            GROUP BY s.doc_id, n.node, CAST(bin // 4 AS INTEGER)
         ), stars AS (
             SELECT band, sub, min(node) AS anchor, list(node) AS members
             FROM bandrows GROUP BY band, sub HAVING count(*) >= 2
@@ -4356,6 +4356,47 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _bucket_histogram_oracle_sql() -> str:
+    """Bucket sizes from the shared OPH signature CTE: buckets are
+    (band, 4-component sub-signature tuple) groups — equal tuples ⇔
+    equal band hashes (the flagship oracle's standing equivalence)."""
+    prefix, _thr = _sig_sql_prefix()
+    return f"""
+        WITH {prefix}, bandrows AS (
+            SELECT s.doc_id, CAST(bin // 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp s GROUP BY s.doc_id, CAST(bin // 4 AS INTEGER)
+        ), buckets AS (
+            SELECT band, sub, count(*) AS sz
+            FROM bandrows GROUP BY band, sub
+        )
+        SELECT CAST(sz AS BIGINT) AS bucket_size,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM buckets GROUP BY sz
+    """
+
+
+def _q_bucket_histogram(sf_dir: str):
+    """LSH bucket-size histogram (near_dedup.bucket_size_histogram) —
+    the driver-visible skew measurement behind hot-bucket salting: at
+    default config the corpus must show a long size-1 tail plus the
+    planted duplicate buckets.  The oracle rebuilds buckets as
+    (band, sub-signature-tuple) groups from the shared OPH signature
+    CTE — the same tuples-for-hashes equivalence the flagship oracle
+    uses."""
+    from dupers_ray.config import MinHashConfig
+    from dupers_ray.pipelines.near_dedup import (
+        bucket_size_histogram, minhash_signatures,
+    )
+
+    cfg = MinHashConfig()
+    sigs = minhash_signatures(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        shingle=None, minhash=cfg, id_col="doc_id", text_col="text",
+    )
+    return bucket_size_histogram(sigs, minhash=cfg, id_col="doc_id")
+
+
 def _q_page_identity(sf_dir: str):
     """Unified page-identity resolution (pipelines/urls.page_identity):
     redirect chains (pointer doubling) → the LANDING page's
@@ -4624,6 +4665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_stats": _q_source_dup_stats,
         "cluster_agreement": _q_cluster_agreement,
         "page_identity": _q_page_identity,
+        "bucket_histogram": _q_bucket_histogram,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6310,6 +6352,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id - doc_id % 12 AS BIGINT) AS cluster
             FROM documents
         """,
+        "bucket_histogram": _bucket_histogram_oracle_sql(),
         "cluster_agreement": rf"""
             WITH a AS ({_near_dup_clusters_oracle_sql()}),
             nn AS (

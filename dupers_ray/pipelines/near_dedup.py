@@ -734,3 +734,53 @@ def pair_similarity_histogram(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bucket_size_histogram(
+    signatures: "ray.data.Dataset",
+    *,
+    minhash: MinHashConfig | None = None,
+    id_col: str = "url",
+) -> "ray.data.Dataset":
+    """LSH bucket-size histogram → (bucket_size, n_buckets): the skew
+    diagnostic behind detect_hot_buckets/salting, driver-visible.  The
+    long tail of size-1 buckets is the healthy mass; a handful of
+    10^4-member buckets is boilerplate skew that would serialize the
+    candidate shuffle without salting (north rule: skew handled
+    explicitly — this is the measurement that proves which regime the
+    corpus is in).  Scale shape: explode to 16-byte (band_hash) rows,
+    per-batch count combiner → ONE groupby of count rows → per-batch
+    size histogram → ONE tiny groupby; the corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    cfg = minhash or MinHashConfig()
+    bands = signatures.map_batches(
+        explode_bands,
+        fn_kwargs={"bands": cfg.bands, "rows": cfg.rows, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["band_hash"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        bh = np.asarray(t.column("band_hash"), dtype=np.uint64)
+        uniq, cnt = np.unique(bh, return_counts=True)
+        return pa.table({
+            "bh": pa.array(uniq.view(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    sizes = bands.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("bh").aggregate(Sum("n", alias_name="n"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(n, return_counts=True)
+        return pa.table({
+            "bucket_size": pa.array(uniq.astype(np.int64)),
+            "n_buckets": pa.array(cnt.astype(np.int64)),
+        })
+
+    return sizes.map_batches(
+        hist_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("bucket_size").aggregate(Sum("n_buckets", alias_name="n_buckets"))

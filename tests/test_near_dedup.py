@@ -220,3 +220,40 @@ def test_pair_similarity_histogram_consistency(pages_small):
     ).take_all()
     n_edges = len({(r["src"], r["dst"]) for r in edges})
     assert sum(n for b, n in hist.items() if b >= 8) == n_edges
+
+
+def test_bucket_size_histogram(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.config import MinHashConfig
+    from dupers_ray.pipelines.near_dedup import (
+        bucket_size_histogram, explode_bands, minhash_signatures,
+    )
+
+    texts = (["identical words all the way down " * 4] * 3
+             + [f"unique document number {i} with its own words {i*7}"
+                for i in range(20)])
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    cfg = MinHashConfig()
+    sigs = minhash_signatures(
+        rd.from_arrow(docs), minhash=cfg, id_col="doc_id").materialize()
+    hist = bucket_size_histogram(
+        sigs, minhash=cfg, id_col="doc_id").to_pandas()
+    # independent reference: pandas over the exploded band rows
+    bands = sigs.map_batches(
+        explode_bands,
+        fn_kwargs={"bands": cfg.bands, "rows": cfg.rows, "id_col": "doc_id"},
+        batch_format="pyarrow",
+    ).to_pandas()
+    exp = (bands.groupby("band_hash").size().value_counts()
+           .rename_axis("bucket_size").reset_index(name="n_buckets")
+           .sort_values("bucket_size").reset_index(drop=True))
+    got = hist.sort_values("bucket_size").reset_index(drop=True)
+    assert got.bucket_size.tolist() == exp.bucket_size.tolist()
+    assert got.n_buckets.tolist() == exp.n_buckets.tolist()
+    # the 3 identical docs share every band: a size-3 bucket per band
+    assert got[got.bucket_size == 3].n_buckets.sum() >= cfg.bands
