@@ -4356,6 +4356,24 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_meta_refresh_chains(sf_dir: str):
+    """HTML-level redirect resolution: meta http-equiv=refresh targets
+    planted in rotating attr-order/quote/case shapes (synth
+    synth_redirect_pages(meta_refresh=True)), extracted in one RE2 pass
+    (urlnorm.extract_meta_refresh), url→id resolved with one int-hash
+    cogroup join against the corpus' own url table, pointer-doubled
+    (pipelines/urls.meta_refresh_chains).  Chains are doc i → i-1 with
+    roots at multiples of 4, so (root, hops) is direct arithmetic."""
+    from dupers_ray.pipelines.urls import meta_refresh_chains
+    from dupers_ray.synth import synth_redirect_pages
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_redirect_pages, fn_kwargs={"meta_refresh": True},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).select_columns(["doc_id", "url", "html"])
+    return meta_refresh_chains(pages, rounds=2)
+
+
 def _bucket_histogram_oracle_sql() -> str:
     """Bucket sizes from the shared OPH signature CTE: buckets are
     (band, 4-component sub-signature tuple) groups — equal tuples ⇔
@@ -4666,6 +4684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_agreement": _q_cluster_agreement,
         "page_identity": _q_page_identity,
         "bucket_histogram": _q_bucket_histogram,
+        "meta_refresh_chains": _q_meta_refresh_chains,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6353,6 +6372,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bucket_histogram": _bucket_histogram_oracle_sql(),
+        "meta_refresh_chains": """
+            SELECT doc_id AS id,
+                   CAST(doc_id - doc_id % 4 AS BIGINT) AS root,
+                   CAST(doc_id % 4 AS BIGINT) AS hops
+            FROM documents
+        """,
         "cluster_agreement": rf"""
             WITH a AS ({_near_dup_clusters_oracle_sql()}),
             nn AS (

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pyarrow as pa
 
 from dupers_ray.stages.urlnorm import canonical_url, registrable_domain
@@ -263,3 +264,60 @@ def page_identity(
     keyed = joined.map_batches(
         to_key, batch_format="pyarrow", zero_copy_batch=True)
     return exact_assign(keyed, id_col=id_col, content_col="identity")
+
+
+def meta_refresh_chains(
+    pages: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    rounds: int = 8,
+) -> "ray.data.Dataset":
+    """Redirect-chain resolution when the redirect lives in the HTML —
+    ``<meta http-equiv=refresh>`` doorway/moved pages with no HTTP
+    Location header.  Extract the refresh target per page (one RE2
+    pass, stages/urlnorm.extract_meta_refresh), resolve target url →
+    target doc id with ONE int-hash cogroup join against the corpus'
+    own (url, id) table (pages without a refresh, or pointing outside
+    the corpus, become self-pointing roots), then pointer-double
+    (stages/chains.resolve_pointers).  Output: (id, root, hops)."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.pipelines.maintenance import hash_str_keys
+    from dupers_ray.stages.chains import resolve_pointers
+    from dupers_ray.stages.urlnorm import extract_meta_refresh
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        ext = extract_meta_refresh(t, html_col=html_col, url_col=url_col)
+        tgt = pc.fill_null(ext.column("refresh_url"), "")
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "key": pa.array(hash_str_keys(tgt).view(np.int64)),
+        })
+
+    def idmap_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pa.array(
+                hash_str_keys(t.column(url_col)).view(np.int64)),
+            "tgt": t.column(id_col).cast(pa.int64()),
+        })
+
+    left = pages.map_batches(
+        left_rows, batch_format="pyarrow", zero_copy_batch=True)
+    idmap = pages.map_batches(
+        idmap_rows, batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_join(left, idmap, on="key", how="left")
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        tgt = pc.fill_null(t.column("tgt"), pa.scalar(-1, pa.int64()))
+        ptr = pc.if_else(pc.equal(tgt, -1), ids, tgt)
+        return pa.table({"id": ids, "ptr": ptr})
+
+    return resolve_pointers(
+        joined.map_batches(edges, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        rounds=rounds,
+    )

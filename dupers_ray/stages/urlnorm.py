@@ -155,6 +155,45 @@ def extract_canonical_href(
     return batch.append_column(out_col, canon)
 
 
+def extract_meta_refresh(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "refresh_url",
+) -> pa.Table:
+    """``<meta http-equiv="refresh" content="N;url=…">`` extraction —
+    the HTML-level redirect crawlers must honor when no HTTP Location
+    header exists (doorway pages, parked domains, legacy moved-pages).
+    ONE vectorized RE2 match over raw html bytes (attr order tolerant:
+    content may precede http-equiv; quote/case/whitespace tolerant;
+    bare ``content="0"`` without a url is NOT a redirect).  Pages
+    without a refresh get NULL — callers build (id, ptr) pointer edges
+    for :func:`dupers_ray.stages.chains.resolve_pointers` with
+    ptr = self where null."""
+    pat = (
+        r'(?is)<meta\s+[^>]*'
+        r'(?:http-equiv\s*=\s*["\x27]?refresh["\x27]?[^>]*'
+        r'content\s*=\s*["\x27]?\s*\d+\s*;\s*url\s*=\s*'
+        r"(?P<a>[^\"\x27>;\s]+)"
+        r'|content\s*=\s*["\x27]?\s*\d+\s*;\s*url\s*=\s*'
+        r"(?P<b>[^\"\x27>;\s]+)"
+        r'[^>]*http-equiv\s*=\s*["\x27]?refresh["\x27]?)'
+    )
+    m = pc.extract_regex(batch.column(html_col), pat)
+    a = pc.struct_field(m, "a")
+    b = pc.struct_field(m, "b")
+    # alternation: the NON-participating group extracts "" (not null) —
+    # pick the non-empty branch (see extract_canonical_href)
+    url = pc.if_else(
+        pc.equal(pc.fill_null(a, ""), ""), b, a)
+    if pa.types.is_binary(url.type) or pa.types.is_large_binary(url.type):
+        url = pc.cast(url, pa.string())
+    url = pc.if_else(pc.equal(pc.fill_null(url, ""), ""),
+                     pa.scalar(None, pa.string()), url)
+    return batch.append_column(out_col, url)
+
+
 def surt_key(
     batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "surt",
 ) -> pa.Table:

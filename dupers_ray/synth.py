@@ -661,6 +661,7 @@ def synth_redirect_pages(
     batch: "pa.Table",
     *,
     id_col: str = "doc_id",
+    meta_refresh: bool = False,
 ) -> "pa.Table":
     """Planted identity-resolution fixture: doc i lives at
     ``https://host{i}.example/p`` and redirects to doc i-1 unless
@@ -692,6 +693,25 @@ def synth_redirect_pages(
                 f'<link rel="canonical" '
                 f'href="https://trap{i}.example/x">'
             )
+            if meta_refresh:
+                # the redirect lives in the HTML itself, in rotating
+                # attr-order/quote/case shapes the extractor must read
+                tgt = f"https://host{i - 1}.example/p"
+                if i % 3 == 0:
+                    link += (
+                        f'<meta content="0; url = {tgt}" '
+                        f"HTTP-EQUIV='Refresh'>"
+                    )
+                elif i % 3 == 1:
+                    link += (
+                        f'<meta http-equiv=refresh '
+                        f"content='{i % 7}6;url={tgt}'>"
+                    )
+                else:
+                    link += (
+                        f'<META HTTP-EQUIV="REFRESH" '
+                        f'CONTENT="0;URL={tgt}">'
+                    )
             ptrs.append(i - 1)
         pages.append(
             f"<html><head>{link}</head><body>p{i}</body></html>".encode())

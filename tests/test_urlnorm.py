@@ -376,3 +376,44 @@ def test_page_identity_ignores_decoy_declarations(ray_session):
     }))
     out = page_identity(pages, redirects, rounds=2).to_pandas()
     assert sorted(out.cluster.tolist()) == [0, 0]
+
+
+def test_extract_meta_refresh_variants():
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import extract_meta_refresh
+
+    t = pa.table({
+        "url": [f"u{i}" for i in range(7)],
+        "html": [
+            b'<meta http-equiv="refresh" content="0;url=https://a.example/x">',
+            b'<META CONTENT="5; URL = https://b.example/y" HTTP-EQUIV=refresh>',
+            b"<meta http-equiv='Refresh' content='0;url=/relative/p'>",
+            b'<meta http-equiv="refresh" content="30">',  # no url
+            b'<meta name="viewport" content="0;url=https://decoy.example">',
+            b"\xff\xfeinvalid utf8 soup",
+            b"<body>no meta at all</body>",
+        ],
+    })
+    out = extract_meta_refresh(t).column("refresh_url").to_pylist()
+    assert out == [
+        "https://a.example/x", "https://b.example/y", "/relative/p",
+        None, None, None, None,
+    ]
+
+
+def test_meta_refresh_chains_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import meta_refresh_chains
+    from dupers_ray.synth import synth_redirect_pages
+
+    n = 36
+    fix = synth_redirect_pages(
+        pa.table({"doc_id": pa.array(range(n), pa.int64())}),
+        meta_refresh=True)
+    pages = rd.from_arrow(fix.select(["doc_id", "url", "html"]))
+    out = meta_refresh_chains(pages, rounds=2).to_pandas().sort_values("id")
+    assert out.root.tolist() == [i - i % 4 for i in range(n)]
+    assert out.hops.tolist() == [i % 4 for i in range(n)]
