@@ -41,7 +41,17 @@ from ray.data.aggregate import Sum
 
 def _as_string(col) -> pa.Array:
     if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-        col = pc.cast(col, pa.string())
+        try:
+            col = pc.cast(col, pa.string())
+        except pa.ArrowInvalid:
+            # invalid UTF-8 in raw crawl bytes: lossy-decode (U+FFFD)
+            # rather than abort the batch (same totality contract as
+            # linkgraph.alternate_links)
+            col = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in col.to_pylist()],
+                pa.string(),
+            )
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return pc.fill_null(col, "")
