@@ -4356,6 +4356,39 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_recrawl_queue(sf_dir: str):
+    """Crawl-scheduler work list from sitemap freshness claims
+    (stages/sitemap.recrawl_queue): listed-but-never-captured locs are
+    'missing' (the planted phantoms), locs whose <lastmod> postdates
+    the capture are 'stale'.  Captures carry planted dates
+    2026-07-{doc%14+1}; sitemap lastmods are 2026-07-{doc%28+1} (absent
+    when doc%7==3), so staleness is pure doc_id arithmetic for the
+    oracle.  One int-hash cogroup join, narrow rows."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from dupers_ray.stages.sitemap import recrawl_queue
+
+    entries, pages = _sitemap_inputs(sf_dir)
+
+    def add_cap(t: "_pa.Table") -> "_pa.Table":
+        d = t.column("doc_id").cast(_pa.int64())
+        day = _pc.add(_pc.subtract(
+            d, _pc.multiply(_pc.divide(d, 14),
+                            _pa.scalar(14, _pa.int64()))),
+            _pa.scalar(1, _pa.int64()))
+        pad = _pc.utf8_lpad(_pc.cast(day, _pa.string()), 2, "0")
+        return t.append_column(
+            "cap_date",
+            _pc.binary_join_element_wise(
+                _pa.scalar("2026-07-"), pad, _pa.scalar("")),
+        )
+
+    captures = pages.map_batches(
+        add_cap, batch_format="pyarrow", zero_copy_batch=True)
+    return recrawl_queue(entries, captures)
+
+
 def _q_meta_refresh_chains(sf_dir: str):
     """HTML-level redirect resolution: meta http-equiv=refresh targets
     planted in rotating attr-order/quote/case shapes (synth
@@ -4685,6 +4718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_identity": _q_page_identity,
         "bucket_histogram": _q_bucket_histogram,
         "meta_refresh_chains": _q_meta_refresh_chains,
+        "recrawl_queue": _q_recrawl_queue,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6377,6 +6411,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id - doc_id % 4 AS BIGINT) AS root,
                    CAST(doc_id % 4 AS BIGINT) AS hops
             FROM documents
+        """,
+        "recrawl_queue": "WITH " + _SITEMAP_LISTED_SQL + """
+            , caps AS (
+                SELECT 'https://host' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       '2026-07-' || lpad(CAST(doc_id % 14 + 1
+                           AS VARCHAR), 2, '0') AS cap
+                FROM documents
+            ),
+            l AS (
+                SELECT loc, lastmod FROM listed
+                UNION ALL SELECT loc, lastmod FROM phantoms
+            ),
+            j AS (
+                SELECT l.loc, l.lastmod, c.cap
+                FROM l LEFT JOIN caps c ON l.loc = c.url
+            )
+            SELECT loc,
+                   CASE WHEN cap IS NULL THEN 'missing'
+                        ELSE 'stale' END AS reason
+            FROM j
+            WHERE cap IS NULL
+               OR (lastmod IS NOT NULL AND lastmod > cap)
         """,
         "cluster_agreement": rf"""
             WITH a AS ({_near_dup_clusters_oracle_sql()}),

@@ -350,3 +350,61 @@ def sitemap_coverage(
     return rolled.map_batches(
         add_listed, batch_format="pyarrow", zero_copy_batch=True,
     ).sort("host")
+
+
+def recrawl_queue(
+    entries: "ray.data.Dataset",
+    captures: "ray.data.Dataset",
+    *,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    url_col: str = "url",
+    cap_col: str = "cap_date",
+) -> "ray.data.Dataset":
+    """The crawl scheduler's work list from sitemap freshness claims:
+    a listed loc is 'missing' when no capture exists, 'stale' when its
+    ``<lastmod>`` postdates the last capture (ISO dates compare
+    lexicographically); fresh locs drop.  ONE int-hash cogroup join of
+    (loc, lastmod) against (url, cap_date) — both sides stream, narrow
+    rows only.  Output: (loc, reason)."""
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.pipelines.maintenance import hash_str_keys
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "loc": _as_string(t.column(loc_col)),
+            "lastmod": t.column(lastmod_col),
+            "join_u64": pa.array(
+                hash_str_keys(t.column(loc_col)).view(np.int64)),
+        })
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "join_u64": pa.array(
+                hash_str_keys(t.column(url_col)).view(np.int64)),
+            "cap_date": t.column(cap_col),
+        })
+
+    joined = cogroup_join(
+        entries.map_batches(
+            left_rows, batch_format="pyarrow", zero_copy_batch=True),
+        captures.map_batches(
+            right_rows, batch_format="pyarrow", zero_copy_batch=True),
+        on="join_u64", how="left",
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        cap = t.column("cap_date")
+        lm = t.column("lastmod")
+        missing = pc.is_null(cap)
+        stale = pc.fill_null(
+            pc.and_(pc.is_valid(lm), pc.greater(lm, cap)), False)
+        reason = pc.if_else(
+            missing, pa.scalar("missing", pa.string()),
+            pc.if_else(stale, pa.scalar("stale", pa.string()),
+                       pa.scalar(None, pa.string())))
+        out = pa.table({"loc": t.column("loc"), "reason": reason})
+        return out.filter(pc.is_valid(reason))
+
+    return joined.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True)

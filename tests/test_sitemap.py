@@ -218,3 +218,33 @@ def test_resolve_index_drops_unreferenced_children(ray_session):
     res = resolve_sitemap_index(ds).to_pandas()
     assert sorted(zip(res["host_id"], res["loc"])) == [
         (3, "https://h.example/p/1")]
+
+
+def test_recrawl_queue_classification(ray_session):
+    from dupers_ray.stages.sitemap import recrawl_queue
+
+    entries = rd.from_arrow(pa.table({
+        "host_id": pa.array([0] * 4, pa.int64()),
+        "loc": pa.array([
+            "https://h.example/fresh",    # captured after lastmod
+            "https://h.example/stale",    # lastmod after capture
+            "https://h.example/phantom",  # never captured
+            "https://h.example/nolm",     # no lastmod, captured -> drop
+        ]),
+        "lastmod": pa.array(
+            ["2026-07-01", "2026-07-20", "2026-06-05", None]),
+    }))
+    captures = rd.from_arrow(pa.table({
+        "url": pa.array([
+            "https://h.example/fresh", "https://h.example/stale",
+            "https://h.example/nolm", "https://h.example/unlisted",
+        ]),
+        "cap_date": pa.array(
+            ["2026-07-10", "2026-07-10", "2026-07-10", "2026-07-10"]),
+    }))
+    out = recrawl_queue(entries, captures).to_pandas()
+    got = sorted(zip(out["loc"], out["reason"]))
+    assert got == [
+        ("https://h.example/phantom", "missing"),
+        ("https://h.example/stale", "stale"),
+    ]
