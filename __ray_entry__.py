@@ -4356,6 +4356,26 @@ def _script_stats_oracle_sql() -> str:
     """
 
 
+def _q_feed_links(sf_dir: str):
+    """RSS/Atom feed autodiscovery (stages/linkgraph.feed_links): pages
+    plant an rss link (plain shape) on doc%3==0, an atom link (messy
+    attr order/case) on ==1, and an hreflang-alternate DECOY (rel=
+    alternate but no feed type — must NOT match) on ==2.  One
+    split-on-<link / RE2-per-piece pass; oracle states the
+    arithmetic."""
+    from dupers_ray.stages.linkgraph import feed_links
+    from dupers_ray.synth import synth_doc_html
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    n = docs.count()
+    pages = docs.map_batches(
+        synth_doc_html, fn_kwargs={"n_docs": n, "feeds": True},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return pages.map_batches(
+        feed_links, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_recrawl_queue(sf_dir: str):
     """Crawl-scheduler work list from sitemap freshness claims
     (stages/sitemap.recrawl_queue): listed-but-never-captured locs are
@@ -4719,6 +4739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_histogram": _q_bucket_histogram,
         "meta_refresh_chains": _q_meta_refresh_chains,
         "recrawl_queue": _q_recrawl_queue,
+        "feed_links": _q_feed_links,
         "pack_sequences": _q_pack_sequences,
         "packed_windows": _q_packed_windows,
         "chunk_docs": _q_chunk_docs,
@@ -6411,6 +6432,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id - doc_id % 4 AS BIGINT) AS root,
                    CAST(doc_id % 4 AS BIGINT) AS hops
             FROM documents
+        """,
+        "feed_links": """
+            SELECT doc_id, 'rss' AS feed_type,
+                   'https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/feed.xml' AS href
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, 'atom' AS feed_type,
+                   'https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/atom' AS href
+            FROM documents WHERE doc_id % 3 = 1
         """,
         "recrawl_queue": "WITH " + _SITEMAP_LISTED_SQL + """
             , caps AS (

@@ -467,3 +467,63 @@ def hits(
         "auth_ppm": pa.array(auth),
         "hub_ppm": pa.array(hub),
     })
+
+
+def feed_links(
+    t: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> pa.Table:
+    """``<link rel="alternate" type="application/rss+xml|atom+xml"
+    href=…>`` — feed autodiscovery (the public RSS/Atom autodiscovery
+    convention): the per-page pointer to its syndication feed, which a
+    crawl pipeline follows for fresh-content discovery.  Same
+    split-on-``<link`` / one-RE2-per-piece shape as
+    :func:`alternate_links`; hreflang alternates (no feed type) must
+    NOT match.  Attribute order is free — type may precede rel.
+    Output: (id, feed_type in {'rss','atom'}, href)."""
+    import pyarrow.compute as pc
+
+    html = t.column(html_col)
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        try:
+            html = pc.cast(html, pa.string())
+        except pa.ArrowInvalid:
+            html = pa.array(
+                [None if v is None else v.decode("utf-8", "replace")
+                 for v in html.to_pylist()],
+                pa.string(),
+            )
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    html = pc.fill_null(html, "")
+    html = pc.replace_substring_regex(html, r"(?i)<link\b", "<link")
+    pieces = pc.split_pattern(html, "<link")
+    flat = pc.list_flatten(pieces)
+    parent = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    nlinks = pc.list_value_length(pieces).to_numpy(zero_copy_only=False)
+    starts = np.repeat(np.cumsum(nlinks) - nlinks, nlinks)
+    pos = np.arange(len(flat), dtype=np.int64) - starts
+    keep = pos > 0
+    flat = flat.filter(pa.array(keep))
+    parent = parent[keep]
+    # one guard match (must be a rel=alternate piece with a feed type),
+    # then independent captures for type and href so attr order is free
+    is_alt = pc.match_substring_regex(
+        flat, r'(?is)^\s+[^>]*rel\s*=\s*["\x27]?alternate\b')
+    ftype = pc.struct_field(pc.extract_regex(
+        flat,
+        r'(?is)type\s*=\s*["\x27]?application/(?P<t>rss|atom)\+xml',
+    ), "t")
+    href = pc.struct_field(pc.extract_regex(
+        flat, r'(?is)href\s*=\s*["\x27](?P<h>[^"\x27]+)'), "h")
+    ok_arr = pc.and_(pc.and_(
+        pc.fill_null(is_alt, False), pc.is_valid(ftype)), pc.is_valid(href))
+    ok = ok_arr.to_numpy(zero_copy_only=False)
+    mask = pa.array(ok)
+    return pa.table({
+        id_col: t.column(id_col).take(pa.array(parent[ok])),
+        "feed_type": pc.utf8_lower(ftype.filter(mask)),
+        "href": href.filter(mask),
+    })

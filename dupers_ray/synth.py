@@ -263,6 +263,7 @@ def synth_doc_html(
     text_col: str = "text",
     n_docs: int = 500,
     nofollow: bool = False,
+    feeds: bool = False,
 ) -> "pa.Table":
     """Deterministic synthetic html page per document, with
     ARITHMETICALLY planted outlinks so a DuckDB oracle can restate the
@@ -291,9 +292,29 @@ def synth_doc_html(
             tracker = (
                 f'<a href="https://tracker{i % 13}.example/t"{rel}>sp</a>'
             )
+        feed = ""
+        if feeds:
+            # i%3==0 rss (plain), ==1 atom (messy attr order/case),
+            # ==2 no feed but an hreflang-alternate DECOY that a feed
+            # extractor must not match (rel=alternate, no feed type)
+            if i % 3 == 0:
+                feed = (
+                    f'<link rel="alternate" type="application/rss+xml" '
+                    f'href="https://host{i}.example/feed.xml">'
+                )
+            elif i % 3 == 1:
+                feed = (
+                    f"<LINK TYPE='application/ATOM+xml' "
+                    f"HREF='https://host{i}.example/atom' REL=alternate>"
+                )
+            else:
+                feed = (
+                    f'<link rel="alternate" hreflang="de" '
+                    f'href="https://host{i}.example/de">'
+                )
         body = (
-            f'<html><head><a href="/relative/nav">skip</a></head><body>'
-            f'<p>{(text or "")[:80]}</p>{links}{tracker}'
+            f'<html><head><a href="/relative/nav">skip</a>{feed}</head>'
+            f'<body><p>{(text or "")[:80]}</p>{links}{tracker}'
             f'<a href="ftp://legacy.example/f">old</a></body></html>'
         )
         hosts.append(f"host{i}.example")

@@ -269,3 +269,28 @@ def test_alternate_links_extraction():
         (0, "fr", "https://f.example/p"),
         (0, "de", "https://d.example/p"),  # case-folded lang
     ]
+
+
+def test_feed_links_discovery():
+    import pyarrow as pa
+
+    from dupers_ray.stages.linkgraph import feed_links
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "html": [
+            b'<link rel="alternate" type="application/rss+xml" '
+            b'href="https://a.example/feed.xml">',
+            b"<LINK TYPE='application/ATOM+xml' "
+            b"HREF='https://b.example/atom' REL=alternate>",
+            b'<link rel="alternate" hreflang="de" '
+            b'href="https://c.example/de">',       # decoy: no feed type
+            b'<link rel="stylesheet" type="text/css" href="/s.css">',
+            b"\xff\xfe not even html",
+        ],
+    })
+    out = feed_links(t)
+    assert out.column("doc_id").to_pylist() == [1, 2]
+    assert out.column("feed_type").to_pylist() == ["rss", "atom"]
+    assert out.column("href").to_pylist() == [
+        "https://a.example/feed.xml", "https://b.example/atom"]
