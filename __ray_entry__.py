@@ -2862,6 +2862,38 @@ def _q_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_c4_clean(sf_dir: str):
+    """C4 line-level page cleaning (stages/c4.c4_clean — Raffel et al.
+    2020 §2.2): pages are deterministic multi-line rewrites of the doc
+    text (synth.C4_PAGE_REWRITES, restated verbatim by the oracle as
+    nested regexp_replace); the cleaner keeps terminal-punctuated ≥5-word
+    non-javascript lines and drops pages with '{' / 'lorem ipsum' / <3
+    kept lines. FULL value oracle on the cleaned text itself via DuckDB
+    list_filter + array_to_string (both engines run RE2). ONE stateless
+    streaming pass — no shuffle at any scale."""
+    from dupers_ray.stages.c4 import c4_clean
+    from dupers_ray.synth import synth_c4_pages
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    pages = docs.map_batches(
+        synth_c4_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return c4_clean(pages, id_col="doc_id", text_col="page_text")
+
+
+def _q_blocklist_filter(sf_dir: str):
+    """Word-boundary blocklist scoring (stages/c4.blocklist_stats — the
+    C4 "bad words" stage shape): ONE RE2 alternation count per doc plus
+    an integer-exact keep flag (n_hits*100 <= n_words*max_hit_pct), so
+    the oracle is float-free. Stateless streaming pass."""
+    from dupers_ray.stages.c4 import blocklist_stats
+
+    return blocklist_stats(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        terms=("spark", "vector", "window"), max_hit_pct=5,
+    )
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style cross-document line dedup (stages/linededup.py): lines
     are deterministic 10-token chunks of the space-split token stream;
@@ -4753,6 +4785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hreflang_edges": _q_hreflang_edges,
         "props_k_stats": _q_props_k_stats,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "c4_clean": _q_c4_clean,
+        "blocklist_filter": _q_blocklist_filter,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6186,6 +6220,45 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS min_ts,
                    max(ts) AS max_ts
             FROM events GROUP BY event_type
+        """,
+        "c4_clean": """
+            WITH pages AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(
+                  text,
+                  ' big slow ', ' lorem ipsum ', 'g'),
+                  ' small hash ', ' a { b ', 'g'),
+                  ' vector ', ' javascript ', 'g'),
+                  ' merge ', '.' || chr(10) || 'merge ', 'g'),
+                  ' window ', '?' || chr(10) || 'window ', 'g'),
+                  ' sort ', chr(10) || 'sort ', 'g') AS page_text
+              FROM documents
+            ), f AS (
+              SELECT doc_id, page_text,
+                CAST(len(string_split(page_text, chr(10))) AS BIGINT)
+                  AS n_lines,
+                list_filter(string_split(page_text, chr(10)), x ->
+                  regexp_matches(x, '[.!?"]$')
+                  AND len(string_split(x, ' ')) >= 5
+                  AND NOT regexp_matches(x, '(?i)javascript')) AS kept
+              FROM pages
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS cleaned_text,
+                   n_lines, CAST(len(kept) AS BIGINT) AS n_kept
+            FROM f
+            WHERE len(kept) >= 3 AND NOT contains(page_text, '{')
+              AND NOT regexp_matches(page_text, '(?i)lorem ipsum')
+        """,
+        "blocklist_filter": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\b(spark|vector|window)\b'))
+                   AS BIGINT) AS n_hits,
+              CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+              len(regexp_extract_all(text, '\b(spark|vector|window)\b')) * 100
+                <= len(regexp_extract_all(text, '\S+')) * 5 AS keep
+            FROM documents
         """,
         "quality_score": _quality_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),

@@ -742,3 +742,37 @@ def synth_redirect_pages(
         "html": pa.array(pages, pa.binary()),
         "ptr": pa.array(ptrs, pa.int64()),
     })
+
+
+# C4-cleaner input pages: the (pattern, replacement) chain applied IN
+# ORDER to documents.text, restated verbatim by the SQL oracle as nested
+# regexp_replace(..., 'g'). Both sides run RE2, so global non-overlapping
+# replacement semantics agree by construction. The injected markers plant
+# every C4 rule: '.'/'?'-terminated line breaks, an unterminated break
+# (' sort '), a poisoned-line word ('javascript'), and the two page-level
+# kill phrases ('lorem ipsum', '{').
+C4_PAGE_REWRITES: tuple[tuple[str, str], ...] = (
+    (" big slow ", " lorem ipsum "),
+    (" small hash ", " a { b "),
+    (" vector ", " javascript "),
+    (" merge ", ".\nmerge "),
+    (" window ", "?\nwindow "),
+    (" sort ", "\nsort "),
+)
+
+
+def synth_c4_pages(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Deterministic multi-line page text per document for the C4
+    line-cleaner: chained Arrow RE2 global replaces (C4_PAGE_REWRITES).
+    Output: (id, page_text)."""
+    import pyarrow.compute as pc
+
+    col = pc.fill_null(batch.column(text_col), "")
+    for pat, repl in C4_PAGE_REWRITES:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return pa.table({id_col: batch.column(id_col), "page_text": col})
