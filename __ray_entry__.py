@@ -1124,6 +1124,83 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
+def _winnow_oracle_sql(w: int = 4) -> str:
+    """SQL restatement of stages/winnow.winnow_fingerprints: the gram
+    hashes reuse the near-dup oracle's construction (md5-u64 token
+    hashes, 5-gram _POLY polynomial, splitmix64 — all UHUGEINT mod-2^64)
+    but KEEP the gram's 1-based token position; the winnowing selection
+    is a ROWS BETWEEN w-1 PRECEDING sliding min per doc (full windows,
+    plus the last row when the doc has < w grams = the whole-segment
+    window), with the rightmost minimum recovered by a positional
+    join + max(pos), then DISTINCT."""
+    from dupers_ray.functions import hashing as _hk
+    from dupers_ray.stages import minhash as _mk
+
+    P = int(_mk._POLY)
+    GAMMA, M1, M2 = int(_hk._SM_GAMMA), int(_hk._SM_M1), int(_hk._SM_M2)
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    def maddmod(a: str, m: int, b: str) -> str:
+        return (
+            f"((({a})::UHUGEINT * {m}::UHUGEINT + ({b})::UHUGEINT)"
+            f" % {_MOD64})::UBIGINT"
+        )
+
+    poly5 = maddmod(
+        maddmod(maddmod(maddmod("h0", P, "h1"), P, "h2"), P, "h3"), P, "h4"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                  t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
+            FROM documents
+        ), tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'h': th[i]}} FOR i IN range(1, len(th)+1)],
+                          recursive := true)
+            FROM toks WHERE len(th) >= 5
+        ), win AS (
+            SELECT doc_id, pos, h AS h0,
+                   lead(h,1) OVER w AS h1, lead(h,2) OVER w AS h2,
+                   lead(h,3) OVER w AS h3, lead(h,4) OVER w AS h4,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), folded AS (
+            SELECT doc_id, pos, {poly5} AS acc FROM win WHERE pos <= n - 4
+        ), grams AS (
+            SELECT doc_id, pos,
+                   ((acc::UHUGEINT + {GAMMA}::UHUGEINT) % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', M1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', M2)} AS x4,
+                   xor(x4, x4 >> 31) AS sh
+            FROM folded
+        ), gstat AS (
+            SELECT doc_id, pos, sh,
+                   row_number() OVER pw AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS m,
+                   min(sh) OVER (pw ROWS BETWEEN {w - 1} PRECEDING
+                                 AND CURRENT ROW) AS mn
+            FROM grams
+            WINDOW pw AS (PARTITION BY doc_id ORDER BY pos)
+        ), wins AS (
+            SELECT doc_id, pos AS e, mn FROM gstat WHERE rn >= {w} OR rn = m
+        ), sel AS (
+            SELECT w.doc_id, max(g.pos) AS pos, w.mn AS gram
+            FROM wins w JOIN gstat g
+              ON g.doc_id = w.doc_id
+             AND g.pos BETWEEN w.e - {w - 1} AND w.e
+             AND g.sh = w.mn
+            GROUP BY w.doc_id, w.e, w.mn
+        )
+        SELECT DISTINCT doc_id, pos, gram FROM sel
+    """
+
+
 def _sig_sql_prefix(table: str = "documents") -> tuple[str, float]:
     """Shared WITH-clauses restating the OPH signature pipeline
     (stages/minhash) in DuckDB — tokens → md5-u64 hashes → 5-gram
@@ -2891,6 +2968,21 @@ def _q_blocklist_filter(sf_dir: str):
     return blocklist_stats(
         _tbl(sf_dir, "documents", ["doc_id", "text"]),
         terms=("spark", "vector", "window"), max_hit_pct=5,
+    )
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003, MOSS) — rightmost
+    minimum of every w=4 window over the SAME 5-gram hash stream the
+    MinHash stack uses (md5-u64 tokens, _POLY rolling fold, splitmix64),
+    deduplicated per doc, keeping positions. FULL value oracle: the gram
+    construction reuses the near-dup oracle's UHUGEINT restatement and
+    the window selection is a ROWS BETWEEN sliding min + rightmost-pos
+    join. ONE stateless streaming pass — no shuffle at any scale."""
+    from dupers_ray.stages.winnow import winnow_fingerprints
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_fingerprints, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -4787,6 +4879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "c4_clean": _q_c4_clean,
         "blocklist_filter": _q_blocklist_filter,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5529,6 +5622,7 @@ def oracle_sql() -> dict[str, str]:
         "near_incremental": _near_dup_clusters_oracle_sql(),
         "near_dup_clusters_checkpointed": _near_dup_clusters_oracle_sql(),
         "fingerprints": _fingerprint_oracle_sql(),
+        "winnow_fingerprints": _winnow_oracle_sql(),
         # word-5-gram sets as unit-separator-joined strings; CASE arms
         # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
         # <k tokens→single whole-text shingle; both-empty→1.0, one→0.0)

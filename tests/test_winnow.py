@@ -1,0 +1,120 @@
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+from dupers_ray.stages.minhash import _POLY
+from dupers_ray.stages.winnow import (
+    DEFAULT_K,
+    DEFAULT_W,
+    winnow_fingerprints,
+)
+
+
+def _ref_grams(text: str, k: int) -> list[int]:
+    """Per-doc reference gram hashes: md5-u64 tokens, rolling _POLY fold,
+    splitmix64 — the slow per-doc restatement of _gram_hashes."""
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    if len(toks) < k:
+        return []
+    th = hash_str_u64(toks)
+    out = []
+    with np.errstate(over="ignore"):
+        for i in range(len(toks) - k + 1):
+            acc = th[i]
+            for j in range(1, k):
+                acc = acc * _POLY + th[i + j]
+            out.append(int(splitmix64(np.array([acc], np.uint64))[0]))
+    return out
+
+
+def _ref_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Reference winnowing: rightmost min per window, distinct (pos, gram);
+    whole-segment window when the doc has fewer than w grams."""
+    gh = _ref_grams(text, k)
+    m = len(gh)
+    sel: set[tuple[int, int]] = set()
+    if m == 0:
+        return sel
+    if m < w:
+        windows = [(0, m)]
+    else:
+        windows = [(s, s + w) for s in range(m - w + 1)]
+    for lo, hi in windows:
+        win = gh[lo:hi]
+        mn = min(win)
+        p = hi - 1 - win[::-1].index(mn)  # rightmost occurrence
+        sel.add((p + 1, gh[p]))  # 1-based pos
+    return sel
+
+
+def _run(texts: list[str], **kw) -> dict[int, set[tuple[int, int]]]:
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = winnow_fingerprints(t, **kw)
+    got: dict[int, set[tuple[int, int]]] = {i: set() for i in range(len(texts))}
+    for d, p, g in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("pos").to_pylist(),
+        out.column("gram").to_pylist(),
+    ):
+        got[d].add((p, g))
+    return got
+
+
+def test_matches_reference_implementation():
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        # small vocab forces repeated grams and min-ties
+        texts.append(" ".join(f"w{int(x)}" for x in rng.integers(0, 8, n)))
+    texts += ["", "one two three", "a b c d e", "x " * 200]
+    got = _run(texts)
+    for i, text in enumerate(texts):
+        assert got[i] == _ref_winnow(text, DEFAULT_K, DEFAULT_W), f"doc {i}"
+
+
+def test_short_doc_edges():
+    # < k tokens: no grams, no fingerprints
+    got = _run(["one two three four"])
+    assert got[0] == set()
+    # exactly k tokens: one gram -> exactly one fingerprint at pos 1
+    got = _run(["one two three four five"])
+    assert len(got[0]) == 1 and next(iter(got[0]))[0] == 1
+    # k..k+w-2 tokens (< w grams): exactly one fingerprint
+    got = _run(["one two three four five six seven"])
+    assert len(got[0]) == 1
+
+
+def test_guarantee_shared_run_shares_fingerprint():
+    """Schleimer et al. §3: a common token run of length >= w + k - 1
+    yields at least one common selected gram VALUE."""
+    rng = np.random.default_rng(11)
+    shared = " ".join(f"s{int(x)}" for x in rng.integers(0, 1000, DEFAULT_W + DEFAULT_K - 1))
+    a = " ".join(f"a{int(x)}" for x in rng.integers(0, 1000, 50))
+    b = " ".join(f"b{int(x)}" for x in rng.integers(0, 1000, 50))
+    got = _run([a + " " + shared + " " + b, b + " " + shared + " " + a])
+    grams0 = {g for _, g in got[0]}
+    grams1 = {g for _, g in got[1]}
+    assert grams0 & grams1
+
+
+def test_density_and_batching_invariance():
+    rng = np.random.default_rng(3)
+    text = " ".join(f"t{int(x)}" for x in rng.integers(0, 5000, 400))
+    got = _run([text])[0]
+    n_grams = 400 - DEFAULT_K + 1
+    # expected density ~ 2/(w+1); allow generous slack either side
+    assert 0.2 * n_grams / DEFAULT_W <= len(got) <= 0.9 * n_grams
+    # splitting the batch must not change per-doc output
+    one = _run([text, "other words entirely here now and then some"])
+    t1 = pa.table({"doc_id": [0], "text": [text]})
+    solo = winnow_fingerprints(t1)
+    solo_set = {
+        (p, g)
+        for p, g in zip(solo.column("pos").to_pylist(), solo.column("gram").to_pylist())
+    }
+    assert one[0] == solo_set
