@@ -1124,15 +1124,15 @@ def _fingerprint_oracle_sql() -> str:
     """
 
 
-def _winnow_oracle_sql(w: int = 4) -> str:
-    """SQL restatement of stages/winnow.winnow_fingerprints: the gram
-    hashes reuse the near-dup oracle's construction (md5-u64 token
-    hashes, 5-gram _POLY polynomial, splitmix64 — all UHUGEINT mod-2^64)
-    but KEEP the gram's 1-based token position; the winnowing selection
-    is a ROWS BETWEEN w-1 PRECEDING sliding min per doc (full windows,
-    plus the last row when the doc has < w grams = the whole-segment
-    window), with the rightmost minimum recovered by a positional
-    join + max(pos), then DISTINCT."""
+def _winnow_sql_core(w: int = 4) -> str:
+    """Shared WITH-clauses restating stages/winnow: gram hashes reuse the
+    near-dup oracle's construction (md5-u64 token hashes, 5-gram _POLY
+    polynomial, splitmix64 — all UHUGEINT mod-2^64) but KEEP the gram's
+    1-based token position; the winnowing selection is a ROWS BETWEEN
+    w-1 PRECEDING sliding min per doc (full windows, plus the last row
+    when the doc has < w grams = the whole-segment window), with the
+    rightmost minimum recovered by a positional join + max(pos). Ends
+    with CTE ``sel(doc_id, pos, gram)`` (not yet DISTINCT)."""
     from dupers_ray.functions import hashing as _hk
     from dupers_ray.stages import minhash as _mk
 
@@ -1151,8 +1151,7 @@ def _winnow_oracle_sql(w: int = 4) -> str:
     poly5 = maddmod(
         maddmod(maddmod(maddmod("h0", P, "h1"), P, "h2"), P, "h3"), P, "h4"
     )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id,
                    list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                                   t -> ('0x'||substr(md5(t),1,16))::UBIGINT) AS th
@@ -1196,8 +1195,29 @@ def _winnow_oracle_sql(w: int = 4) -> str:
              AND g.pos BETWEEN w.e - {w - 1} AND w.e
              AND g.sh = w.mn
             GROUP BY w.doc_id, w.e, w.mn
-        )
+        )"""
+
+
+def _winnow_oracle_sql(w: int = 4) -> str:
+    return f"""
+        WITH {_winnow_sql_core(w)}
         SELECT DISTINCT doc_id, pos, gram FROM sel
+    """
+
+
+def _winnow_matches_oracle_sql(w: int = 4, min_shared: int = 2) -> str:
+    """stages/winnow.winnow_matches restated: distinct (doc, gram)
+    fingerprint sets self-joined on gram value, shared-gram counts per
+    unordered pair, thresholded."""
+    return f"""
+        WITH {_winnow_sql_core(w)}, fps AS (
+            SELECT DISTINCT doc_id, gram FROM sel
+        )
+        SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fps a JOIN fps b ON a.gram = b.gram AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
     """
 
 
@@ -2983,6 +3003,19 @@ def _q_winnow_fingerprints(sf_dir: str):
 
     return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         winnow_fingerprints, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_winnow_matches(sf_dir: str):
+    """MOSS match ranking over the winnowed fingerprint sets: unordered
+    doc pairs sharing >= 2 distinct selected gram values, with the exact
+    shared count. Two bounded shuffles (gram buckets, then 16-byte pair
+    rows) — the candidate step never touches text. Full value oracle
+    (fingerprint self-join + HAVING in SQL)."""
+    from dupers_ray.stages.winnow import winnow_matches
+
+    return winnow_matches(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), min_shared=2
     )
 
 
@@ -4880,6 +4913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": _q_c4_clean,
         "blocklist_filter": _q_blocklist_filter,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5623,6 +5657,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters_checkpointed": _near_dup_clusters_oracle_sql(),
         "fingerprints": _fingerprint_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
+        "winnow_matches": _winnow_matches_oracle_sql(),
         # word-5-gram sets as unit-separator-joined strings; CASE arms
         # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
         # <k tokens→single whole-text shingle; both-empty→1.0, one→0.0)

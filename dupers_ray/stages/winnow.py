@@ -30,8 +30,12 @@ boundaries are masked out, never computed per doc.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 from dupers_ray.functions.hashing import hash_str_u64, splitmix64
 from dupers_ray.stages.minhash import _POLY
@@ -105,6 +109,161 @@ def _select_winnow(gh: np.ndarray, gram_doc: np.ndarray, w: int) -> np.ndarray:
     if not sel:
         return np.empty(0, np.int64)
     return np.unique(np.concatenate(sel))
+
+
+def winnow_matches(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+    max_bucket: int = 4096,
+    n_parts: int = 256,
+):
+    """MOSS match ranking: (src_id, dst_id, n_shared) for unordered doc
+    pairs sharing >= ``min_shared`` DISTINCT selected gram values.
+
+    Scale shape — text never leaves the first pass:
+    1. one streaming winnowing pass -> distinct (gram, doc) rows
+       (~2/(w+1) of the gram count, 16 B/row),
+    2. ONE groupby on gram % n_parts; within a gram's holder set emit all
+       unordered doc pairs, hot grams capped at ``max_bucket`` holders
+       (drops logged, never silent — boilerplate grams that survive
+       winnowing are exactly the hot-key skew the cap bounds),
+    3. ONE groupby on a pair-hash partition; count duplicate pair rows
+       (= shared distinct grams) and threshold.
+    Mirrors containment.py's anchor-gram design; unlike MinHash the score
+    is an exact set-intersection count over the winnowed subset."""
+    import ray.data  # noqa: F401  (Dataset ops on ds)
+
+    fp_kwargs = {"id_col": id_col, "text_col": text_col, "k": k, "w": w}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = winnow_fingerprints(batch, **fp_kwargs)
+        doc = np.asarray(t.column(id_col), dtype=np.int64)
+        gram = np.asarray(t.column("gram"), dtype=np.uint64)
+        # a gram value selected at several positions of one doc counts once;
+        # each doc lives in exactly one batch, so per-batch dedup is global
+        key = np.stack([gram.view(np.int64), doc], axis=1)
+        key = np.unique(key, axis=0)
+        return pa.table(
+            {
+                "gram": pa.array(key[:, 0]),
+                "doc": pa.array(key[:, 1]),
+                "__part": pa.array(
+                    (key[:, 0].view(np.uint64) % np.uint64(n_parts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "__ppart": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        gram = np.asarray(g.column("gram"), dtype=np.int64)
+        doc = np.asarray(g.column("doc"), dtype=np.int64)
+        order = np.lexsort((doc, gram))
+        gram, doc = gram[order], doc[order]
+        new = np.r_[True, gram[1:] != gram[:-1]]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(gram)])
+        over = counts > max_bucket
+        if over.any():
+            logger.warning(
+                "winnow_matches: %d hot gram buckets capped at %d holders "
+                "(max %d held)",
+                int(over.sum()), max_bucket, int(counts.max()),
+            )
+        c = np.minimum(counts, max_bucket)
+        per_seg = c * (c - 1) // 2
+        total = int(per_seg.sum())
+        if total == 0:
+            return empty
+        live = per_seg > 0
+        seg_ids = np.flatnonzero(live)
+        rep = per_seg[live]
+        seg_rep = np.repeat(seg_ids, rep)
+        base = np.repeat(np.cumsum(rep) - rep, rep)
+        intra = np.arange(total, dtype=np.int64) - base
+        # enumerate unordered (i, j), i < j < c: i = row of the triangular
+        # index, j = i + 1 + offset
+        cc = c[seg_rep]
+        # row i such that i*(2c-i-1)/2 <= intra: solve via floats then fix up
+        i = np.floor(
+            (2 * cc - 1 - np.sqrt((2 * cc - 1) ** 2 - 8 * intra)) / 2
+        ).astype(np.int64)
+        first_of_i = i * (2 * cc - i - 1) // 2
+        # one-step fix-up in each direction for float-sqrt edge error
+        bad = first_of_i > intra
+        i[bad] -= 1
+        first_of_i[bad] = i[bad] * (2 * cc[bad] - i[bad] - 1) // 2
+        nxt = (i + 1) * (2 * cc - i - 2) // 2
+        bad = nxt <= intra
+        i[bad] += 1
+        first_of_i[bad] = nxt[bad]
+        j = intra - first_of_i + i + 1
+        s0 = starts[seg_rep]
+        a = doc[s0 + i]
+        b = doc[s0 + j]
+        src = np.minimum(a, b)
+        dst = np.maximum(a, b)
+        with np.errstate(over="ignore"):
+            mix = splitmix64(
+                src.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + dst.view(np.uint64)
+            )
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "__ppart": pa.array(
+                    (mix % np.uint64(n_parts)).astype(np.int64)
+                ),
+            }
+        )
+
+    def count_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], pa.int64()),
+                "dst_id": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+        if not g.num_rows:
+            return empty
+        src = np.asarray(g.column("src"), dtype=np.int64)
+        dst = np.asarray(g.column("dst"), dtype=np.int64)
+        key = np.stack([src, dst], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        keep = cnt >= min_shared
+        return pa.table(
+            {
+                "src_id": pa.array(uniq[keep, 0]),
+                "dst_id": pa.array(uniq[keep, 1]),
+                "n_shared": pa.array(cnt[keep].astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby("__ppart")
+        .map_groups(count_pairs, batch_format="pyarrow")
+    )
 
 
 def winnow_fingerprints(

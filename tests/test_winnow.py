@@ -102,6 +102,39 @@ def test_guarantee_shared_run_shares_fingerprint():
     assert grams0 & grams1
 
 
+def test_winnow_matches_brute_force():
+    import ray.data as rd
+
+    from dupers_ray.stages.winnow import winnow_matches
+
+    rng = np.random.default_rng(5)
+    texts = []
+    base = " ".join(f"c{int(x)}" for x in rng.integers(0, 1000, 60))
+    for i in range(12):
+        noise = " ".join(f"n{i}_{int(x)}" for x in rng.integers(0, 1000, 30))
+        # half the docs embed the shared passage -> guaranteed shared grams
+        texts.append((base + " " + noise) if i % 2 == 0 else noise)
+    # brute-force expectation from the per-doc reference winnowing
+    fps = [
+        {g for _, g in _ref_winnow(t, DEFAULT_K, DEFAULT_W)} for t in texts
+    ]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            n = len(fps[i] & fps[j])
+            if n >= 2:
+                want[(i, j)] = n
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+    got = {
+        (r["src_id"], r["dst_id"]): r["n_shared"]
+        for r in winnow_matches(ds, min_shared=2).take_all()
+    }
+    assert got == want
+    assert want  # the planted shared passage must actually pair up
+
+
 def test_density_and_batching_invariance():
     rng = np.random.default_rng(3)
     text = " ".join(f"t{int(x)}" for x in rng.integers(0, 5000, 400))
