@@ -4411,6 +4411,18 @@ def _q_domain_stats(sf_dir: str):
     return domain_rollup(docs, size_col="n_chars")
 
 
+def _q_url_templates(sf_dir: str):
+    """URL-pattern mining (stages/urlnorm.url_template): canonical URLs
+    folded to host + digit/hex-generalized path + sorted param names,
+    counted per template. Full value oracle (same RE2 folds restated as
+    DuckDB regexp_replace over the shared derive+canon CTEs)."""
+    from dupers_ray.pipelines.urls import template_rollup
+
+    docs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        _derive_messy_urls, batch_format="pyarrow")
+    return template_rollup(docs)
+
+
 def _sitemap_inputs(sf_dir: str):
     from dupers_ray.stages.sitemap import extract_sitemaps, page_urls
     from dupers_ray.synth import synth_sitemap_pages
@@ -4914,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": _q_blocklist_filter,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
+        "url_templates": _q_url_templates,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5658,6 +5671,31 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "winnow_matches": _winnow_matches_oracle_sql(),
+        "url_templates": "WITH " + _URL_DERIVE_CANON_SQL + r"""
+            , tparts AS (
+                SELECT regexp_replace(url_canon, '\?.*$', '') AS head,
+                       CASE WHEN url_canon LIKE '%?%'
+                            THEN regexp_extract(url_canon, '\?(.*)$', 1)
+                       END AS q
+                FROM canon
+            ), tmpl AS (
+                SELECT lower(regexp_extract(head,
+                           '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1)) ||
+                       regexp_replace(regexp_replace(
+                           regexp_extract(head,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*([^?]*)$', 1),
+                           '[0-9a-fA-F]{16,}', '{hex}', 'g'),
+                           '[0-9]+', '{d}', 'g') ||
+                       CASE WHEN q IS NULL
+                                 OR regexp_replace(q, '=[^&]*', '', 'g') = ''
+                            THEN ''
+                            ELSE '?' || regexp_replace(q, '=[^&]*', '', 'g')
+                       END AS url_template
+                FROM tparts
+            )
+            SELECT url_template, CAST(count(*) AS BIGINT) AS n
+            FROM tmpl GROUP BY 1
+        """,
         # word-5-gram sets as unit-separator-joined strings; CASE arms
         # mirror shingle_set/exact_jaccard semantics exactly (empty→set(),
         # <k tokens→single whole-text shingle; both-empty→1.0, one→0.0)

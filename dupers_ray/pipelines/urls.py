@@ -131,6 +131,26 @@ def domain_rollup(
     return counts_by_bucket(with_dom, bucket_col="domain", size_col=size_col)
 
 
+def template_rollup(
+    ds: "ray.data.Dataset", *, url_col: str = "url",
+) -> "ray.data.Dataset":
+    """→ (url_template, n): URL-pattern counts over canonical URLs
+    (stages/urlnorm.url_template). Per-batch partial counts shuffle, not
+    rows — template cardinality is bounded by site structure, so the
+    groupby side stays small at any corpus scale."""
+    from dupers_ray.pipelines.maintenance import counts_by_bucket
+    from dupers_ray.stages.urlnorm import url_template
+
+    def add_template(batch: pa.Table) -> pa.Table:
+        t = canonical_url(batch, url_col=url_col)
+        return url_template(t, url_col="url_canon")
+
+    with_t = ds.map_batches(
+        add_template, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return counts_by_bucket(with_t, bucket_col="url_template")
+
+
 def revisit_collapse(
     ds: "ray.data.Dataset",
     *,

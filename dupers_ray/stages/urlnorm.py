@@ -121,6 +121,47 @@ def canonical_url(
     return batch.append_column(out_col, canon)
 
 
+def url_template(
+    batch: pa.Table, *, url_col: str = "url_canon", out_col: str = "url_template",
+) -> pa.Table:
+    """Structural URL template: host + path with long hex runs (>= 16
+    chars: uuids/hashes) folded to ``{hex}`` and digit runs to ``{d}``,
+    plus the sorted query-param NAMES (values stripped). URL-pattern
+    mining is the standard crawl-frontier / URL-spam signal: a host
+    whose pages collapse to one template with a counter is a calendar,
+    faceted-search or session-id trap (analogue of the reference's
+    filename-pattern buckets). Pure Arrow RE2 — stateless, no shuffle.
+    Expects canonical URLs (canonical_url) so param order is stable;
+    rows that don't parse as URLs pass through verbatim."""
+    u = batch.column(url_col)
+    head = pc.replace_substring_regex(u, pattern=r"\?.*$", replacement="")
+    qm = pc.extract_regex(u, pattern=r"^[^?]*\?(?P<q>.*)$")
+    names = pc.replace_substring_regex(
+        pc.struct_field(qm, "q"), pattern=r"=[^&]*", replacement=""
+    )
+    m = pc.extract_regex(head, pattern=_URL_RE)
+    auth = pc.utf8_lower(pc.struct_field(m, "auth"))
+    tpath = pc.replace_substring_regex(
+        pc.struct_field(m, "path"), pattern=r"[0-9a-fA-F]{16,}",
+        replacement="{hex}",
+    )
+    tpath = pc.replace_substring_regex(
+        tpath, pattern=r"[0-9]+", replacement="{d}"
+    )
+    no_names = pc.or_kleene(pc.is_null(names), pc.equal(names, ""))
+    qtail = pc.if_else(
+        no_names, pa.scalar("", pa.string()),
+        pc.binary_join_element_wise(
+            pa.scalar("?"), names.cast(pa.string()), ""
+        ),
+    )
+    tmpl = pc.binary_join_element_wise(auth, tpath, qtail, "")
+    tmpl = pc.if_else(pc.is_null(tmpl), u, tmpl)
+    if out_col in batch.column_names:
+        return batch.set_column(batch.column_names.index(out_col), out_col, tmpl)
+    return batch.append_column(out_col, tmpl)
+
+
 def extract_canonical_href(
     batch: pa.Table,
     *,

@@ -417,3 +417,44 @@ def test_meta_refresh_chains_pipeline(ray_session):
     out = meta_refresh_chains(pages, rounds=2).to_pandas().sort_values("id")
     assert out.root.tolist() == [i - i % 4 for i in range(n)]
     assert out.hops.tolist() == [i % 4 for i in range(n)]
+
+
+def test_url_template_folding():
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import canonical_url, url_template
+
+    urls = [
+        "https://ex.com/article/12345?b=2&a=1",
+        "https://ex.com/article/98765?a=9&b=8",
+        "https://ex.com/u/3fa85f6457174562b3fc2c963f66afa6/profile",
+        "https://ex.com/2024/01/15/post-title",
+        "https://sub9.ex.com/page",          # digits in host stay verbatim
+        "https://ex.com/plain",
+        "not a url at all",
+    ]
+    t = canonical_url(pa.table({"url": urls}))
+    out = url_template(t).column("url_template").to_pylist()
+    assert out[0] == "ex.com/article/{d}?a&b"
+    assert out[0] == out[1]                  # same template, any id/values
+    assert out[2] == "ex.com/u/{hex}/profile"
+    assert out[3] == "ex.com/{d}/{d}/{d}/post-title"
+    assert out[4] == "sub9.ex.com/page"
+    assert out[5] == "ex.com/plain"
+    assert out[6] == "not a url at all"      # non-URL passthrough
+
+
+def test_template_rollup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import template_rollup
+
+    urls = [f"https://ex.com/item/{i}" for i in range(7)] + [
+        "https://ex.com/about", "https://other.net/item/1",
+    ]
+    ds = rd.from_arrow(pa.table({"url": urls})).repartition(3)
+    got = {r["url_template"]: r["n"] for r in template_rollup(ds).take_all()}
+    assert got == {
+        "ex.com/item/{d}": 7, "ex.com/about": 1, "other.net/item/{d}": 1,
+    }
