@@ -4423,6 +4423,23 @@ def _q_url_templates(sf_dir: str):
     return template_rollup(docs)
 
 
+def _q_og_cards(sf_dir: str):
+    """OpenGraph / Twitter-card extraction (stages/linkgraph.og_extract)
+    over pages with arithmetically planted meta tags (synth.synth_og_pages:
+    clean, messy-attribute-order and conditional card variants plus
+    decoys). The oracle states the planted truth directly — the
+    extractor must recover exactly it."""
+    from dupers_ray.stages.linkgraph import og_extract
+    from dupers_ray.synth import synth_og_pages
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_og_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pages.map_batches(
+        og_extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _sitemap_inputs(sf_dir: str):
     from dupers_ray.stages.sitemap import extract_sitemaps, page_urls
     from dupers_ray.synth import synth_sitemap_pages
@@ -4927,6 +4944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
         "url_templates": _q_url_templates,
+        "og_cards": _q_og_cards,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5671,6 +5689,19 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "winnow_matches": _winnow_matches_oracle_sql(),
+        "og_cards": """
+            SELECT doc_id, 'og:title' AS prop,
+                   'Title ' || (doc_id % 50) AS content
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'og:image',
+                   'https://cdn' || (doc_id % 7) || '.example/img'
+                       || (doc_id % 11) || '.png'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'twitter:card', 'summary' || (doc_id % 4)
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         "url_templates": "WITH " + _URL_DERIVE_CANON_SQL + r"""
             , tparts AS (
                 SELECT regexp_replace(url_canon, '\?.*$', '') AS head,

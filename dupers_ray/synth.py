@@ -326,6 +326,45 @@ def synth_doc_html(
     })
 
 
+def synth_og_pages(
+    batch: "pa.Table", *, id_col: str = "doc_id",
+) -> "pa.Table":
+    """Pages with ARITHMETICALLY planted OpenGraph / Twitter-card meta
+    tags so a DuckDB oracle can state the extraction truth without
+    parsing html. Doc i carries:
+
+    - ``og:title = 'Title {i%50}'`` — clean double-quoted tag;
+    - ``og:image = 'https://cdn{i%7}.example/img{i%11}.png'`` — MESSY
+      tag: uppercase <META>, attributes reversed (content before
+      property), single quotes / unquoted;
+    - ``twitter:card = 'summary{i%4}'`` on ``i % 3 == 0`` only.
+
+    Decoys a correct extractor must drop: ``<meta name=description>``,
+    ``<meta charset>``, an ``og:``-lookalike inside visible text, and a
+    ``<link>`` tag. Output: (id, html binary)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    pages: list[bytes] = []
+    for i in ids.tolist():
+        card = (
+            f'<meta name="twitter:card" content="summary{i % 4}">'
+            if i % 3 == 0 else ""
+        )
+        body = (
+            f'<html><head><meta charset="utf-8">'
+            f'<meta property="og:title" content="Title {i % 50}">'
+            f"<META CONTENT='https://cdn{i % 7}.example/img{i % 11}.png' "
+            f"PROPERTY=og:image>{card}"
+            f'<meta name="description" content="not a card">'
+            f'<link rel="canonical" href="https://host{i}.example/">'
+            f"</head><body><p>og:title is not a tag here</p></body></html>"
+        )
+        pages.append(body.encode())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "html": pa.array(pages, pa.binary()),
+    })
+
+
 def synth_doc_html_blocks(
     batch: "pa.Table",
     *,

@@ -294,3 +294,36 @@ def test_feed_links_discovery():
     assert out.column("feed_type").to_pylist() == ["rss", "atom"]
     assert out.column("href").to_pylist() == [
         "https://a.example/feed.xml", "https://b.example/atom"]
+
+
+def test_og_extract_variants_and_decoys():
+    import pyarrow as pa
+
+    from dupers_ray.stages.linkgraph import og_extract
+
+    html = [
+        # clean + messy order + unquoted + decoys
+        b'<html><head><meta charset="utf-8">'
+        b'<meta property="og:title" content="A Title">'
+        b"<META CONTENT='https://x/i.png' PROPERTY=og:image>"
+        b'<meta name=twitter:card content=summary>'
+        b'<meta name="description" content="drop me">'
+        b'</head><body>og:title in prose</body></html>',
+        # two tags in ONE piece boundary + empty page
+        b'<meta property="og:url" content="https://a/"><p x="y">'
+        b'<meta name="twitter:site" content="@me">',
+        b"",
+        None,
+    ]
+    t = pa.table({"doc_id": [0, 1, 2, 3], "html": pa.array(html, pa.binary())})
+    out = og_extract(t)
+    rows = sorted(zip(out.column("doc_id").to_pylist(),
+                      out.column("prop").to_pylist(),
+                      out.column("content").to_pylist()))
+    assert rows == [
+        (0, "og:image", "https://x/i.png"),
+        (0, "og:title", "A Title"),
+        (0, "twitter:card", "summary"),
+        (1, "og:url", "https://a/"),
+        (1, "twitter:site", "@me"),
+    ]
