@@ -4440,6 +4440,22 @@ def _q_og_cards(sf_dir: str):
     )
 
 
+def _q_amp_unify(sf_dir: str):
+    """AMP-variant identity unification (pipelines/urls.amp_unify) over
+    planted canonical/AMP/bystander triples (synth.synth_amp_pages).
+    Odd-base AMP pages declare NOTHING — they unify only through the
+    canonical page's rel=amphtml forward edge, which is the operator's
+    added value over rel=canonical honoring. Planted truth stated
+    directly by the oracle."""
+    from dupers_ray.pipelines.urls import amp_unify
+    from dupers_ray.synth import synth_amp_pages
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_amp_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return amp_unify(pages)
+
+
 def _sitemap_inputs(sf_dir: str):
     from dupers_ray.stages.sitemap import extract_sitemaps, page_urls
     from dupers_ray.synth import synth_sitemap_pages
@@ -4945,6 +4961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_matches": _q_winnow_matches,
         "url_templates": _q_url_templates,
         "og_cards": _q_og_cards,
+        "amp_unify": _q_amp_unify,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5689,6 +5706,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "winnow_matches": _winnow_matches_oracle_sql(),
+        "amp_unify": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 < 2 THEN doc_id - (doc_id % 3)
+                        ELSE doc_id END AS cluster
+            FROM documents
+        """,
         "og_cards": """
             SELECT doc_id, 'og:title' AS prop,
                    'Title ' || (doc_id % 50) AS content

@@ -286,6 +286,84 @@ def page_identity(
     return exact_assign(keyed, id_col=id_col, content_col="identity")
 
 
+def amp_unify(
+    pages: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "ray.data.Dataset":
+    """AMP-variant identity unification: collapse ``/amp`` mirror URLs
+    onto their canonical page using BOTH declared directions —
+
+    - an AMP page's own ``rel=canonical`` (handled like any canonical
+      declaration), and
+    - the canonical page's ``rel=amphtml`` forward pointer, which
+      rescues the common misconfiguration where the AMP page declares
+      nothing: any page whose URL is some page's declared AMP target
+      inherits the DECLARER's identity.
+
+    Output: (id_col, cluster:int64) — min-doc identity clusters over
+    canonical+SURT keys. Scale shape: one text scan for declarations,
+    one string-hash cogroup join of (url × amp-target) projections
+    (never html), one digest-partition shuffle for grouping. The decls
+    projection (4 narrow string columns) is materialized because two
+    branches consume it. Contract: at most one page declares a given
+    AMP target (true of real sites; extra declarers would fan out the
+    left join)."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.pipelines.diff import exact_assign
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.stages.urlnorm import (
+        extract_amphtml_href, extract_canonical_href, surt_key,
+    )
+
+    def decls(t: pa.Table) -> pa.Table:
+        a = extract_canonical_href(
+            t, html_col=html_col, url_col=url_col, out_col="canonical")
+        b = extract_amphtml_href(a, html_col=html_col, out_col="amp_href")
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "url": t.column(url_col).cast(pa.string()),
+            "canonical": b.column("canonical").cast(pa.string()),
+            "amp_href": b.column("amp_href").cast(pa.string()),
+        })
+
+    d = pages.map_batches(
+        decls, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def mapping(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t.column("amp_href")))
+        return pa.table({
+            "amp_url": f.column("amp_href"),
+            "amp_identity": f.column("canonical"),
+        })
+
+    m = d.map_batches(mapping, batch_format="pyarrow", zero_copy_batch=True)
+    joined = cogroup_join(
+        d.select_columns([id_col, "url", "canonical"]), m,
+        on="url", right_on="amp_url", how="left",
+    )
+
+    def to_key(t: pa.Table) -> pa.Table:
+        ident = pc.if_else(
+            pc.is_valid(t.column("amp_identity")),
+            t.column("amp_identity"), t.column("canonical"),
+        )
+        c = canonical_url(pa.table({"url": ident}), url_col="url")
+        s = surt_key(c, url_col="url_canon")
+        return pa.table({
+            id_col: t.column(id_col),
+            "identity": pc.fill_null(s.column("surt"), ""),
+        })
+
+    keyed = joined.map_batches(
+        to_key, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_assign(keyed, id_col=id_col, content_col="identity")
+
+
 def meta_refresh_chains(
     pages: "ray.data.Dataset",
     *,

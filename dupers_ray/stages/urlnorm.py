@@ -196,6 +196,34 @@ def extract_canonical_href(
     return batch.append_column(out_col, canon)
 
 
+def extract_amphtml_href(
+    batch: pa.Table,
+    *,
+    html_col: str = "html",
+    out_col: str = "amp_href",
+) -> pa.Table:
+    """``<link rel="amphtml" href=…>`` — the canonical page's OWN pointer
+    at its AMP mirror. The reverse direction of rel=canonical: AMP pages
+    SHOULD declare canonical back, but misconfigured ones often don't,
+    and then this forward edge is the only signal that the /amp URL is a
+    duplicate identity. Same tolerant RE2 as extract_canonical_href;
+    NULL when the page declares no AMP variant (no self fallback — the
+    absence is the signal)."""
+    pat = (
+        r'(?is)<link\s+[^>]*'
+        r'(?:rel\s*=\s*["\x27]?amphtml["\x27]?[^>]*'
+        r'href\s*=\s*["\x27](?P<a>[^"\x27]+)'
+        r'|href\s*=\s*["\x27](?P<b>[^"\x27]+)["\x27][^>]*'
+        r'rel\s*=\s*["\x27]?amphtml)'
+    )
+    m = pc.extract_regex(batch.column(html_col), pat)
+    a, b = pc.struct_field(m, "a"), pc.struct_field(m, "b")
+    href = pc.if_else(pc.not_equal(pc.fill_null(a, ""), ""), a, b)
+    if pa.types.is_binary(href.type) or pa.types.is_large_binary(href.type):
+        href = pc.cast(href, pa.string())
+    return batch.append_column(out_col, href)
+
+
 def extract_meta_refresh(
     batch: pa.Table,
     *,

@@ -365,6 +365,53 @@ def synth_og_pages(
     })
 
 
+def synth_amp_pages(
+    batch: "pa.Table", *, id_col: str = "doc_id",
+) -> "pa.Table":
+    """AMP-mirror fixture with planted identities. base = id//3, v = id%3:
+
+    - v=0 canonical page at ``https://hosta{base}.example/art{base}``,
+      declaring ``rel=amphtml`` → the /amp URL (messy attr order on even
+      base);
+    - v=1 AMP page at ``…/art{base}/amp``: declares ``rel=canonical``
+      back ONLY when base is even — odd-base AMP pages declare NOTHING
+      and can be unified only via the canonical page's amphtml edge;
+    - v=2 bystander on its own host, no declarations.
+
+    Planted truth: v∈{0,1} unify (cluster = id - id%3), v=2 is a
+    singleton. Output: (id, url, html binary)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    urls: list[str] = []
+    pages: list[bytes] = []
+    for i in ids.tolist():
+        base, v = i // 3, i % 3
+        canon = f"https://hosta{base}.example/art{base}"
+        amp = f"{canon}/amp"
+        if v == 0:
+            urls.append(canon)
+            link = (
+                f"<LINK HREF='{amp}' REL=amphtml>" if base % 2 == 0
+                else f'<link rel="amphtml" href="{amp}">'
+            )
+            body = f"<html><head>{link}</head><body>article {base}</body></html>"
+        elif v == 1:
+            urls.append(amp)
+            link = (
+                f'<link rel="canonical" href="{canon}">' if base % 2 == 0
+                else ""
+            )
+            body = f"<html><head>{link}</head><body>article {base} amp</body></html>"
+        else:
+            urls.append(f"https://hostb{base}.example/other{base}")
+            body = f"<html><body>other {base}</body></html>"
+        pages.append(body.encode())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(pages, pa.binary()),
+    })
+
+
 def synth_doc_html_blocks(
     batch: "pa.Table",
     *,

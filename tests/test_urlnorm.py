@@ -458,3 +458,36 @@ def test_template_rollup(ray_session):
     assert got == {
         "ex.com/item/{d}": 7, "ex.com/about": 1, "other.net/item/{d}": 1,
     }
+
+
+def test_extract_amphtml_href():
+    import pyarrow as pa
+
+    from dupers_ray.stages.urlnorm import extract_amphtml_href
+
+    html = pa.array([
+        b'<link rel="amphtml" href="https://a/amp">',
+        b"<LINK HREF='https://b/amp' REL=amphtml>",
+        b'<link rel="canonical" href="https://c/">',   # wrong rel
+        b"no links at all",
+    ], pa.binary())
+    out = extract_amphtml_href(pa.table({"html": html}))
+    assert out.column("amp_href").to_pylist() == [
+        "https://a/amp", "https://b/amp", None, None,
+    ]
+
+
+def test_amp_unify_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.urls import amp_unify
+    from dupers_ray.synth import synth_amp_pages
+
+    n = 48
+    pages = rd.from_arrow(
+        synth_amp_pages(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    ).repartition(4)
+    out = amp_unify(pages).to_pandas().sort_values("doc_id")
+    want = [i - i % 3 if i % 3 < 2 else i for i in range(n)]
+    assert out.cluster.tolist() == want
