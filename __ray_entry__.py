@@ -1221,6 +1221,106 @@ def _winnow_matches_oracle_sql(w: int = 4, min_shared: int = 2) -> str:
     """
 
 
+def _cdc_sql_core() -> str:
+    """Shared WITH-clauses restating stages/cdc: UTF-8 blob → per-byte
+    values (hex gather) → 8-byte rolling _POLY fold → splitmix64 →
+    boundary where low 6 bits are zero → chunk spans (ends = boundaries
+    plus the doc's last byte). Ends with CTE
+    ``chunks(doc_id, chunk_idx, cstart, clen, blob_hex)``."""
+    from dupers_ray.functions import hashing as _hk
+    from dupers_ray.stages import minhash as _mk
+
+    P = int(_mk._POLY)
+    GAMMA, M1, M2 = int(_hk._SM_GAMMA), int(_hk._SM_M1), int(_hk._SM_M2)
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    def maddmod(a: str, m: int, b: str) -> str:
+        return (
+            f"((({a})::UHUGEINT * {m}::UHUGEINT + ({b})::UHUGEINT)"
+            f" % {_MOD64})::UBIGINT"
+        )
+
+    poly = "b0"
+    for j in range(1, 8):
+        poly = maddmod(poly, P, f"b{j}")
+    return f"""blobs AS (
+            SELECT doc_id, hex(encode(text)) AS blob_hex,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ), bv AS (
+            SELECT doc_id, n, unnest(range(1, n+1)) AS pos,
+                   unnest([('0x'||substr(blob_hex, i*2-1, 2))::UBIGINT
+                           FOR i IN range(1, n+1)]) AS v
+            FROM blobs
+        ), win AS (
+            SELECT doc_id, n, pos,
+                   lag(v,7) OVER w AS b0, lag(v,6) OVER w AS b1,
+                   lag(v,5) OVER w AS b2, lag(v,4) OVER w AS b3,
+                   lag(v,3) OVER w AS b4, lag(v,2) OVER w AS b5,
+                   lag(v,1) OVER w AS b6, v AS b7
+            FROM bv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), folded AS (
+            SELECT doc_id, pos, {poly} AS acc FROM win WHERE pos >= 8
+        ), smx AS (
+            SELECT doc_id, pos,
+                   ((acc::UHUGEINT + {GAMMA}::UHUGEINT) % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', M1)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', M2)} AS x4,
+                   xor(x4, x4 >> 31) AS sm
+            FROM folded
+        ), bounds AS (
+            SELECT doc_id, list(pos) AS bl FROM smx
+            WHERE (sm & 63::UBIGINT) = 0 GROUP BY doc_id
+        ), ends AS (
+            SELECT b.doc_id, b.blob_hex,
+                   list_sort(list_distinct(list_append(
+                       coalesce(bd.bl, CAST([] AS BIGINT[])), b.n))) AS el
+            FROM blobs b LEFT JOIN bounds bd USING (doc_id)
+        ), chunks AS (
+            SELECT doc_id, blob_hex,
+                   unnest([{{'chunk_idx': i,
+                             'cstart': CASE WHEN i = 1 THEN 1
+                                            ELSE el[i-1] + 1 END,
+                             'clen': el[i] - (CASE WHEN i = 1 THEN 1
+                                              ELSE el[i-1] + 1 END) + 1}}
+                           FOR i IN range(1, len(el)+1)],
+                          recursive := true)
+            FROM ends
+        )"""
+
+
+def _cdc_chunks_oracle_sql() -> str:
+    return f"""
+        WITH {_cdc_sql_core()}
+        SELECT doc_id, chunk_idx, cstart AS start, clen AS length,
+               ('0x'||substr(md5(substr(blob_hex, cstart*2-1, clen*2)),
+                             1, 16))::UBIGINT AS chunk_hash
+        FROM chunks
+    """
+
+
+def _cdc_stats_oracle_sql() -> str:
+    return f"""
+        WITH {_cdc_sql_core()}, hashed AS (
+            SELECT ('0x'||substr(md5(substr(blob_hex, cstart*2-1, clen*2)),
+                                 1, 16))::UBIGINT AS chunk_hash,
+                   clen
+            FROM chunks
+        )
+        SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+               CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+               CAST(sum(clen) AS BIGINT) AS total_bytes,
+               CAST((SELECT sum(ml) FROM (
+                   SELECT min(clen) AS ml FROM hashed GROUP BY chunk_hash
+               )) AS BIGINT) AS distinct_bytes
+        FROM hashed
+    """
+
+
 def _sig_sql_prefix(table: str = "documents") -> tuple[str, float]:
     """Shared WITH-clauses restating the OPH signature pipeline
     (stages/minhash) in DuckDB — tokens → md5-u64 hashes → 5-gram
@@ -3017,6 +3117,27 @@ def _q_winnow_matches(sf_dir: str):
     return winnow_matches(
         _tbl(sf_dir, "documents", ["doc_id", "text"]), min_shared=2
     )
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (stages/cdc.py — LBFS/FastCDC family):
+    rolling-hash byte boundaries, one row per chunk with its md5-u64
+    identity. Full value oracle (byte-level rolling fold restated with
+    hex-gather + lag windows in SQL). Stateless streaming pass."""
+    from dupers_ray.stages.cdc import cdc_chunk_table
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        cdc_chunk_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_cdc_dedup_stats(sf_dir: str):
+    """Chunk-level dedup accounting: what CDC dedup would save on this
+    corpus (total vs distinct chunks/bytes, one row). Hash-partitioned
+    distinct counting — only 16-byte rows shuffle."""
+    from dupers_ray.stages.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _q_line_dedup(sf_dir: str):
@@ -4962,6 +5083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": _q_url_templates,
         "og_cards": _q_og_cards,
         "amp_unify": _q_amp_unify,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5706,6 +5829,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_oracle_sql(),
         "winnow_fingerprints": _winnow_oracle_sql(),
         "winnow_matches": _winnow_matches_oracle_sql(),
+        "cdc_chunks": _cdc_chunks_oracle_sql(),
+        "cdc_dedup_stats": _cdc_stats_oracle_sql(),
         "amp_unify": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 < 2 THEN doc_id - (doc_id % 3)
