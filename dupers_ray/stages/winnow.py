@@ -38,6 +38,7 @@ import pyarrow as pa
 logger = logging.getLogger(__name__)
 
 from dupers_ray.functions.hashing import hash_str_u64, splitmix64
+from dupers_ray.functions.pairs import segment_pairs
 from dupers_ray.stages.minhash import _POLY
 from dupers_ray.stages.textstats import flat_tokens
 
@@ -174,47 +175,17 @@ def winnow_matches(
         doc = np.asarray(g.column("doc"), dtype=np.int64)
         order = np.lexsort((doc, gram))
         gram, doc = gram[order], doc[order]
-        new = np.r_[True, gram[1:] != gram[:-1]]
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.r_[starts, len(gram)])
-        over = counts > max_bucket
-        if over.any():
+        ii, jj, over, mx = segment_pairs(gram, max_bucket=max_bucket)
+        if over:
             logger.warning(
                 "winnow_matches: %d hot gram buckets capped at %d holders "
                 "(max %d held)",
-                int(over.sum()), max_bucket, int(counts.max()),
+                over, max_bucket, mx,
             )
-        c = np.minimum(counts, max_bucket)
-        per_seg = c * (c - 1) // 2
-        total = int(per_seg.sum())
-        if total == 0:
+        if not len(ii):
             return empty
-        live = per_seg > 0
-        seg_ids = np.flatnonzero(live)
-        rep = per_seg[live]
-        seg_rep = np.repeat(seg_ids, rep)
-        base = np.repeat(np.cumsum(rep) - rep, rep)
-        intra = np.arange(total, dtype=np.int64) - base
-        # enumerate unordered (i, j), i < j < c: i = row of the triangular
-        # index, j = i + 1 + offset
-        cc = c[seg_rep]
-        # row i such that i*(2c-i-1)/2 <= intra: solve via floats then fix up
-        i = np.floor(
-            (2 * cc - 1 - np.sqrt((2 * cc - 1) ** 2 - 8 * intra)) / 2
-        ).astype(np.int64)
-        first_of_i = i * (2 * cc - i - 1) // 2
-        # one-step fix-up in each direction for float-sqrt edge error
-        bad = first_of_i > intra
-        i[bad] -= 1
-        first_of_i[bad] = i[bad] * (2 * cc[bad] - i[bad] - 1) // 2
-        nxt = (i + 1) * (2 * cc - i - 2) // 2
-        bad = nxt <= intra
-        i[bad] += 1
-        first_of_i[bad] = nxt[bad]
-        j = intra - first_of_i + i + 1
-        s0 = starts[seg_rep]
-        a = doc[s0 + i]
-        b = doc[s0 + j]
+        a = doc[ii]
+        b = doc[jj]
         src = np.minimum(a, b)
         dst = np.maximum(a, b)
         with np.errstate(over="ignore"):

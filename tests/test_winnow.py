@@ -151,3 +151,35 @@ def test_density_and_batching_invariance():
         for p, g in zip(solo.column("pos").to_pylist(), solo.column("gram").to_pylist())
     }
     assert one[0] == solo_set
+
+
+def test_segment_pairs_matches_bruteforce():
+    from dupers_ray.functions.pairs import segment_pairs
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        key = np.sort(rng.integers(0, 12, rng.integers(0, 60)).astype(np.int64))
+        cap = int(rng.integers(1, 9))
+        ii, jj, over, mx = segment_pairs(key, max_bucket=cap)
+        want = set()
+        n_over = 0
+        seg_max = 0
+        s = 0
+        while s < len(key):
+            e = s
+            while e < len(key) and key[e] == key[s]:
+                e += 1
+            seg_max = max(seg_max, e - s)
+            if e - s > cap:
+                n_over += 1
+            for a in range(s, min(e, s + cap)):
+                for b in range(a + 1, min(e, s + cap)):
+                    want.add((a, b))
+            s = e
+        assert set(zip(ii.tolist(), jj.tolist())) == want
+        assert len(ii) == len(want)
+        assert over == n_over
+        assert mx == (seg_max if len(key) else 0)
+    # empty input
+    ii, jj, over, mx = segment_pairs(np.empty(0, np.int64), max_bucket=4)
+    assert len(ii) == 0 and len(jj) == 0 and over == 0 and mx == 0
