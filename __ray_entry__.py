@@ -3119,6 +3119,66 @@ def _q_winnow_matches(sf_dir: str):
     )
 
 
+_WINDOW_US = 14_400_000_000  # 4 h pair window over a 24 h arrival spread
+
+
+def _q_windowed_near_pairs(sf_dir: str):
+    """Time-windowed near-dup pairs (near_dedup.windowed_near_pairs):
+    LSH band matches restricted to |dt| <= 4 h, the bounded-history
+    streaming-dedup shape — reducer cells keyed (band, hash, epoch) stay
+    bounded by 2x one window forever, unlike a global band bucket that
+    grows with crawl age. Arrival times are arithmetic (golden-ratio
+    scatter of doc_id over 24 h in whole seconds) so the oracle states
+    them directly. Full value oracle via the shared OPH signature CTE."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from dupers_ray.pipelines.near_dedup import windowed_near_pairs
+
+    def add_ts(t: _pa.Table) -> _pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ts = 1_700_000_000_000_000 + ((ids * 2654435761) % 86400) * 1_000_000
+        return t.append_column("ts_us", _pa.array(ts))
+
+    pages = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_ts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return windowed_near_pairs(pages, window_us=_WINDOW_US)
+
+
+def _windowed_near_pairs_oracle_sql() -> str:
+    """near_dedup.windowed_near_pairs restated: band buckets via the
+    shared OPH signature CTE (equal band_hash iff equal 4-component
+    sub-signature, modulo the same 2^-64 mix collisions the flagship
+    clusters oracle accepts), arrival timestamps restated arithmetically,
+    pairs filtered to |dt| <= window and de-duplicated across bands."""
+    prefix, _thr = _sig_sql_prefix()
+    return f"""
+        WITH {prefix}, arrivals AS (
+            SELECT doc_id,
+                   1700000000000000 + ((doc_id * 2654435761) % 86400)
+                       * 1000000 AS ts_us
+            FROM documents
+        ), bandrows AS (
+            SELECT doc_id, CAST(bin // 4 AS INTEGER) AS band,
+                   list(comp ORDER BY bin) AS sub
+            FROM sigcomp GROUP BY 1, 2
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS dst_id
+            FROM bandrows a JOIN bandrows b
+              ON a.band = b.band AND a.sub = b.sub
+             AND a.doc_id < b.doc_id
+        )
+        SELECT p.src_id, p.dst_id,
+               abs(tb.ts_us - ta.ts_us) AS dt_us
+        FROM pairs p
+        JOIN arrivals ta ON ta.doc_id = p.src_id
+        JOIN arrivals tb ON tb.doc_id = p.dst_id
+        WHERE abs(tb.ts_us - ta.ts_us) <= {_WINDOW_US}
+        ORDER BY src_id, dst_id
+    """
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (stages/cdc.py — LBFS/FastCDC family):
     rolling-hash byte boundaries, one row per chunk with its md5-u64
@@ -5085,6 +5145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "amp_unify": _q_amp_unify,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
+        "windowed_near_pairs": _q_windowed_near_pairs,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5831,6 +5892,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_matches": _winnow_matches_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
         "cdc_dedup_stats": _cdc_stats_oracle_sql(),
+        "windowed_near_pairs": _windowed_near_pairs_oracle_sql(),
         "amp_unify": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 < 2 THEN doc_id - (doc_id % 3)

@@ -784,3 +784,201 @@ def bucket_size_histogram(
     return sizes.map_batches(
         hist_partial, batch_format="pyarrow", zero_copy_batch=True,
     ).groupby("bucket_size").aggregate(Sum("n_buckets", alias_name="n_buckets"))
+
+
+def windowed_near_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    window_us: int,
+    id_col: str = "doc_id",
+    ts_col: str = "ts_us",
+    text_col: str = "text",
+    shingle: ShingleConfig | None = None,
+    minhash: MinHashConfig | None = None,
+    max_bucket: int = 4096,
+    n_parts: int = 64,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Time-windowed near-dup candidate pairs: (src_id, dst_id, dt_us)
+    for doc pairs that share >= 1 LSH band bucket AND arrived within
+    ``window_us`` of each other — the bounded-history streaming analogue
+    of dupers' walkCompare-against-recent-scans (pkg/dupe/dupe.go:940-966
+    checks new files only against the existing bucket, not all history).
+
+    Scale shape — why epoch co-location instead of the plain band
+    groupby: a boilerplate band bucket grows WITH CORPUS AGE under the
+    global (band, hash) key, so a long-running crawl concentrates ever
+    more rows on one reducer. Keying by (band, hash, epoch := ts //
+    window) bounds every reducer cell at 2x one window's occupancy
+    forever. Each band row is emitted twice — home epoch e and probe
+    epoch e+1 — so any pair with |dt| <= window shares >= 1 cell
+    (|dt| <= W implies epoch delta <= 1); a pair is OWNED by the cell
+    where >= 1 member is home, which de-duplicates the replica-replica
+    copy without cross-cell traffic. Three shuffles of 40-byte rows,
+    text never leaves the signature scan:
+      1. fused signature+band+replicate scan -> (band, hash, epoch) rows,
+      2. ONE groupby on hash(band, hash, epoch) % n_parts; within cell,
+         segment_pairs (hot cells capped at ``max_bucket``, logged),
+      3. ONE groupby on a pair-hash partition; distinct (src, dst).
+    """
+    shingle = shingle or ShingleConfig()
+    minhash = minhash or MinHashConfig()
+    from dupers_ray.functions.pairs import segment_pairs
+    from dupers_ray.stages.minhash import mix_rows_u64
+
+    bands_n, rows_n = minhash.bands, minhash.rows
+    w = np.int64(window_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        key = (shingle, minhash, id_col, text_col)
+        mh = _MINHASHER_CACHE.get(key)
+        if mh is None:
+            mh = MinHasher(
+                shingle=shingle, minhash=minhash,
+                id_col=id_col, text_col=text_col,
+            )
+            _MINHASHER_CACHE[key] = mh
+        ts_arr = batch.column(ts_col)
+        if pa.types.is_timestamp(ts_arr.type):
+            ts_arr = ts_arr.cast(pa.int64())
+        ts = np.asarray(ts_arr, dtype=np.int64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        texts = [
+            t if t is not None else ""
+            for t in batch.column(text_col).to_pylist()
+        ]
+        sig, n_sh = mh.signatures(texts)
+        keep = n_sh > 0
+        ids, ts = ids[keep], ts[keep]
+        d = len(ids)
+        if d == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "bh": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+                "cell": pa.array([], pa.int64()),
+                "home": pa.array([], pa.bool_()),
+                "__part": pa.array([], pa.int64()),
+            })
+        mat = sig.reshape(d, bands_n, rows_n).astype(np.uint64)
+        bh = np.empty((d, bands_n), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands_n):
+                bh[:, b] = mix_rows_u64(mat[:, b, :] + np.uint64(b + 1))
+        epoch = ts // w  # floor toward -inf not needed: ts >= 0 by contract
+        band_col = np.tile(np.arange(bands_n, dtype=np.int32), d)
+        bh_flat = bh.reshape(-1)
+        doc_rep = np.repeat(ids, bands_n)
+        ts_rep = np.repeat(ts, bands_n)
+        ep_rep = np.repeat(epoch, bands_n)
+        n = d * bands_n
+        band2 = np.concatenate([band_col, band_col])
+        bh2 = np.concatenate([bh_flat, bh_flat])
+        doc2 = np.concatenate([doc_rep, doc_rep])
+        ts2 = np.concatenate([ts_rep, ts_rep])
+        cell2 = np.concatenate([ep_rep, ep_rep + 1])
+        home2 = np.concatenate([
+            np.ones(n, np.bool_), np.zeros(n, np.bool_),
+        ])
+        with np.errstate(over="ignore"):
+            mix = splitmix64(
+                bh2
+                + splitmix64(
+                    band2.astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    + cell2.view(np.uint64)
+                )
+            )
+        return pa.table({
+            "band": pa.array(band2),
+            "bh": pa.array(bh2.view(np.int64)),
+            "doc": pa.array(doc2),
+            "ts": pa.array(ts2),
+            "cell": pa.array(cell2),
+            "home": pa.array(home2),
+            "__part": pa.array((mix % np.uint64(n_parts)).astype(np.int64)),
+        })
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "dt": pa.array([], pa.int64()),
+            "__ppart": pa.array([], pa.int64()),
+        })
+        if not g.num_rows:
+            return empty
+        band = np.asarray(g.column("band"), dtype=np.int64)
+        bh = np.asarray(g.column("bh"), dtype=np.int64)
+        cell = np.asarray(g.column("cell"), dtype=np.int64)
+        doc = np.asarray(g.column("doc"), dtype=np.int64)
+        ts = np.asarray(g.column("ts"), dtype=np.int64)
+        home = np.asarray(g.column("home"), dtype=np.bool_)
+        order = np.lexsort((doc, cell, bh, band))
+        band, bh, cell = band[order], bh[order], cell[order]
+        doc, ts, home = doc[order], ts[order], home[order]
+        new = np.r_[
+            True,
+            (band[1:] != band[:-1])
+            | (bh[1:] != bh[:-1])
+            | (cell[1:] != cell[:-1]),
+        ]
+        skey = np.cumsum(new)
+        ii, jj, over, mx = segment_pairs(skey, max_bucket=max_bucket)
+        if over:
+            logger.warning(
+                "windowed_near_pairs: %d hot cells capped at %d rows "
+                "(max %d held)", over, max_bucket, mx,
+            )
+        if not len(ii):
+            return empty
+        dt = np.abs(ts[ii] - ts[jj])
+        m = (dt <= window_us) & (home[ii] | home[jj])
+        ii, jj, dt = ii[m], jj[m], dt[m]
+        if not len(ii):
+            return empty
+        src = np.minimum(doc[ii], doc[jj])
+        dst = np.maximum(doc[ii], doc[jj])
+        with np.errstate(over="ignore"):
+            mix = splitmix64(
+                src.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + dst.view(np.uint64)
+            )
+        return pa.table({
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "dt": pa.array(dt),
+            "__ppart": pa.array((mix % np.uint64(n_parts)).astype(np.int64)),
+        })
+
+    def dedup(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src_id": pa.array([], pa.int64()),
+            "dst_id": pa.array([], pa.int64()),
+            "dt_us": pa.array([], pa.int64()),
+        })
+        if not g.num_rows:
+            return empty
+        src = np.asarray(g.column("src"), dtype=np.int64)
+        dst = np.asarray(g.column("dst"), dtype=np.int64)
+        dt = np.asarray(g.column("dt"), dtype=np.int64)
+        # dt is a function of the pair, so unique over the triple == pair
+        key = np.stack([src, dst, dt], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table({
+            "src_id": pa.array(uniq[:, 0]),
+            "dst_id": pa.array(uniq[:, 1]),
+            "dt_us": pa.array(uniq[:, 2]),
+        })
+
+    return (
+        ds.map_batches(
+            prep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby("__part")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+        .groupby("__ppart")
+        .map_groups(dedup, batch_format="pyarrow")
+    )

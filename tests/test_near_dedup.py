@@ -257,3 +257,97 @@ def test_bucket_size_histogram(ray_session):
     assert got.n_buckets.tolist() == exp.n_buckets.tolist()
     # the 3 identical docs share every band: a size-3 bucket per band
     assert got[got.bucket_size == 3].n_buckets.sum() >= cfg.bands
+
+
+class TestWindowedNearPairs:
+    """windowed_near_pairs == brute-force (band match AND |dt| <= W),
+    including pairs straddling an epoch boundary (the probe-replica
+    path) and band-matching pairs farther than one window apart."""
+
+    def _brute(self, ids, texts, ts, window_us):
+        from dupers_ray.config import MinHashConfig, ShingleConfig
+        from dupers_ray.stages.minhash import MinHasher, mix_rows_u64
+
+        mh = MinHasher(ShingleConfig(), MinHashConfig(),
+                       id_col="doc_id", text_col="text")
+        sig, n_sh = mh.signatures(list(texts))
+        keep = n_sh > 0
+        kids = np.asarray(ids)[keep]
+        kts = np.asarray(ts)[keep]
+        cfg = MinHashConfig()
+        d = len(kids)
+        mat = sig.reshape(d, cfg.bands, cfg.rows).astype(np.uint64)
+        bh = np.empty((d, cfg.bands), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(cfg.bands):
+                bh[:, b] = mix_rows_u64(mat[:, b, :] + np.uint64(b + 1))
+        want = {}
+        for i in range(d):
+            for j in range(i + 1, d):
+                dt = abs(int(kts[i]) - int(kts[j]))
+                if dt <= window_us and (bh[i] == bh[j]).any():
+                    a, b2 = sorted((int(kids[i]), int(kids[j])))
+                    want[(a, b2)] = dt
+        return want
+
+    def test_matches_bruteforce_across_epochs(self, ray_session):
+        from dupers_ray.pipelines.near_dedup import windowed_near_pairs
+
+        rng = np.random.default_rng(7)
+        base = [
+            " ".join(f"w{int(x)}" for x in rng.integers(0, 50, 60))
+            for _ in range(8)
+        ]
+        texts, ts, ids = [], [], []
+        W = 1_000_000  # 1 s window
+        n = 0
+        for gi, t in enumerate(base):
+            # near-identical variants scattered so some pairs land in one
+            # epoch, some straddle a boundary, some exceed the window
+            for vi, off in enumerate(
+                [0, W // 3, W - 1, W + 1, 3 * W + gi * 17]
+            ):
+                words = t.split()
+                words[vi] = f"v{gi}_{vi}"
+                texts.append(" ".join(words))
+                ts.append(10 * W * gi + off)
+                ids.append(n)
+                n += 1
+        texts.append("")  # token-less doc must be dropped, not crash
+        ts.append(0)
+        ids.append(n)
+        want = self._brute(ids, texts, ts, W)
+        assert want, "fixture must produce at least one windowed pair"
+        # at least one pair must straddle an epoch boundary (dt<=W but
+        # different epochs) to exercise the probe-replica path
+        straddle = [
+            (a, b) for (a, b), dt in want.items()
+            if (ts[a] // W) != (ts[b] // W)
+        ]
+        assert straddle, "fixture must exercise the cross-epoch path"
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })).repartition(3)
+        got = {
+            (r["src_id"], r["dst_id"]): r["dt_us"]
+            for r in windowed_near_pairs(ds, window_us=W).take_all()
+        }
+        assert got == want
+
+    def test_accepts_timestamp_column(self, ray_session):
+        from dupers_ray.pipelines.near_dedup import windowed_near_pairs
+
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "ts_us": pa.array([1_000_000, 1_500_000], pa.timestamp("us")),
+            "text": pa.array([t, t]),
+        })
+        got = windowed_near_pairs(
+            rd.from_arrow(tbl), window_us=1_000_000
+        ).take_all()
+        assert [(r["src_id"], r["dst_id"], r["dt_us"]) for r in got] == [
+            (1, 2, 500_000)
+        ]
