@@ -3179,6 +3179,64 @@ def _windowed_near_pairs_oracle_sql() -> str:
     """
 
 
+def _q_first_publishers(sf_dir: str):
+    """Keep-earliest dedup attribution (curation.first_publishers): per
+    multi-doc near-dup cluster, the earliest-arrival member is the
+    origin; every other member gets (origin_id, lag_us). Arrival times
+    are the same golden-ratio arithmetic scatter the windowed-pairs
+    query uses, so the oracle composes the flagship cluster SQL with one
+    window function."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import first_publishers
+
+    def add_ts(t: _pa.Table) -> _pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        ts = 1_700_000_000_000_000 + ((ids * 2654435761) % 86400) * 1_000_000
+        return t.append_column("ts_us", _pa.array(ts))
+
+    pages = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_ts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return first_publishers(
+        pages, DedupConfig(id_col="doc_id", text_col="text")
+    )
+
+
+def _first_publishers_oracle_sql() -> str:
+    """curation.first_publishers restated: flagship cluster CTE, arrival
+    timestamps arithmetic, min-(ts, doc_id) member per cluster is the
+    origin, non-origin members emit their lag."""
+    return f"""
+        WITH clusters AS ({_near_dup_clusters_oracle_sql()}),
+        arrivals AS (
+            SELECT doc_id,
+                   1700000000000000 + ((doc_id * 2654435761) % 86400)
+                       * 1000000 AS ts_us
+            FROM documents
+        ),
+        j AS (
+            SELECT c.cluster_id, c.doc_id, a.ts_us
+            FROM clusters c JOIN arrivals a USING (doc_id)
+        ),
+        r AS (
+            SELECT cluster_id, doc_id, ts_us,
+                   first_value(doc_id) OVER w AS origin_id,
+                   first_value(ts_us) OVER w AS origin_ts
+            FROM j
+            WINDOW w AS (PARTITION BY cluster_id
+                         ORDER BY ts_us ASC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        SELECT doc_id, origin_id, ts_us - origin_ts AS lag_us
+        FROM r WHERE doc_id <> origin_id
+        ORDER BY doc_id
+    """
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (stages/cdc.py — LBFS/FastCDC family):
     rolling-hash byte boundaries, one row per chunk with its md5-u64
@@ -5146,6 +5204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "windowed_near_pairs": _q_windowed_near_pairs,
+        "first_publishers": _q_first_publishers,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5893,6 +5952,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _cdc_chunks_oracle_sql(),
         "cdc_dedup_stats": _cdc_stats_oracle_sql(),
         "windowed_near_pairs": _windowed_near_pairs_oracle_sql(),
+        "first_publishers": _first_publishers_oracle_sql(),
         "amp_unify": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 < 2 THEN doc_id - (doc_id % 3)

@@ -315,3 +315,91 @@ def source_dup_stats(
 
     return merged.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def first_publishers(
+    ds: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    ts_col: str = "ts_us",
+    mapping_ds: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """→ (doc_id, origin_id, lag_us): for every NON-ORIGIN member of a
+    multi-doc near-dup cluster, the cluster's earliest-arrival member
+    (min ts, min id tiebreak) and the copy lag.
+
+    The keep-EARLIEST dedup policy: the reference keeps the first file
+    of each dupe group in bucket order (pkg/dupe/dupe.go:919-931); with
+    real arrival timestamps "first" means provenance — the original
+    publisher — and the lag distribution is the syndication-latency
+    report. Composes the flagship cluster assignment with the arrival
+    table: two cogroup joins + one capped groupby; the corpus text is
+    scanned once (inside dupe_clusters) and never again."""
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.joins import cogroup_join
+    from dupers_ray.stages.filters import top_per_group
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+
+    clusters = dupe_clusters(ds, cfg, mapping_ds=mapping_ds)
+
+    def arrivals_only(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table({id_col: t.column(id_col), "ts": ts})
+
+    arrivals = ds.map_batches(
+        arrivals_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    lschema = pa.schema([(id_col, pa.int64()), ("cluster_id", pa.uint64())])
+    rschema = pa.schema([(id_col, pa.int64()), ("ts", pa.int64())])
+    joined = cogroup_join(
+        clusters, arrivals, on=id_col,
+        left_schema=lschema, right_schema=rschema,
+    )
+
+    def with_key(t: pa.Table) -> pa.Table:
+        return t.append_column("ck", _i64_view(t.column("cluster_id")))
+
+    keyed = joined.map_batches(with_key, batch_format="pyarrow")
+
+    origins = top_per_group(
+        keyed, group_col="ck", by=[("ts", True), (id_col, True)], n=1
+    )
+
+    def origin_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": t.column("ck"),
+            "origin_id": t.column(id_col),
+            "origin_ts": t.column("ts"),
+        })
+
+    origin_tbl = origins.map_batches(origin_cols, batch_format="pyarrow")
+
+    mschema = pa.schema([
+        (id_col, pa.int64()), ("cluster_id", pa.uint64()),
+        ("ts", pa.int64()), ("ck", pa.int64()),
+    ])
+    oschema = pa.schema([
+        ("ck", pa.int64()), ("origin_id", pa.int64()),
+        ("origin_ts", pa.int64()),
+    ])
+    out = cogroup_join(
+        keyed, origin_tbl, on="ck",
+        left_schema=mschema, right_schema=oschema,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column(id_col), t.column("origin_id")))
+        return pa.table({
+            id_col: t.column(id_col),
+            "origin_id": t.column("origin_id"),
+            "lag_us": pc.subtract(t.column("ts"), t.column("origin_ts")),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -139,3 +139,42 @@ def test_source_dup_stats_invariants(ray_session):
         out.n_docs.to_numpy(), 1)
     assert (out.dup_ppm.to_numpy() == exp).all()
     assert (out.n_dup_docs <= out.n_docs).all()
+
+
+def test_first_publishers_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.curation import first_publishers
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    t = _docs_table()
+    ids = t.column("doc_id").to_numpy()
+    # scrambled arrivals incl. ties (same ts) -> min-doc_id tiebreak
+    ts = ((ids * 7919) % 3) * 1_000_000
+    pages = t.append_column("ts_us", pa.array(ts.astype(np.int64)))
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    ds = rd.from_arrow(pages).repartition(5)
+
+    assign = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dupe_clusters(ds, cfg).take_all()
+    }
+    by_cluster: dict = {}
+    for d, c in assign.items():
+        by_cluster.setdefault(c, []).append(d)
+    want = {}
+    for members in by_cluster.values():
+        if len(members) < 2:
+            continue
+        origin = min(members, key=lambda d: (ts[d], d))
+        for d in members:
+            if d != origin:
+                want[d] = (origin, int(ts[d] - ts[origin]))
+    got = {
+        r["doc_id"]: (r["origin_id"], r["lag_us"])
+        for r in first_publishers(ds, cfg).take_all()
+    }
+    assert got == want
+    assert want, "fixture must contain multi-doc clusters"
+    assert any(lag == 0 for _, lag in want.values()), "tie case exercised"
