@@ -3272,6 +3272,22 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Dolma/MassiveText-style FIRST-OCCURRENCE paragraph dedup
+    (stages/linededup.dedup_paragraphs_first): every repeated 10-token
+    chunk keeps only its earliest (doc_id, position) occurrence; later
+    copies are cut. Distinct from line_dedup (CCNet drops frequent
+    lines from EVERY doc — including the original). Full value oracle
+    on the cleaned text via a row_number window over (line ORDER BY
+    doc_id, position)."""
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    return dedup_paragraphs_first(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id", tokens_per_line=10,
+    )
+
+
 def _q_hreflang_edges(sf_dir: str):
     """Translation-cluster mining from hreflang alternates
     (stages/linkgraph.alternate_links — the ParaCrawl-style signal):
@@ -5205,6 +5221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "windowed_near_pairs": _q_windowed_near_pairs,
         "first_publishers": _q_first_publishers,
+        "paragraph_dedup": _q_paragraph_dedup,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5953,6 +5970,34 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_stats": _cdc_stats_oracle_sql(),
         "windowed_near_pairs": _windowed_near_pairs_oracle_sql(),
         "first_publishers": _first_publishers_oracle_sql(),
+        "paragraph_dedup": """
+            WITH split AS (
+                SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, li,
+                       array_to_string(tk[li*10+1 : li*10+10], ' ') AS line
+                FROM split,
+                     LATERAL (SELECT unnest(generate_series(
+                                  0, (len(tk)-1)//10)) AS li)
+            ), ranked AS (
+                SELECT doc_id, li, line,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, li
+                       ) AS rk
+                FROM lines
+            ), kept AS (
+                SELECT doc_id, li, line FROM ranked WHERE rk = 1
+            )
+            SELECT s.doc_id,
+                   CAST((len(s.tk)-1)//10 + 1 AS BIGINT) AS n_lines,
+                   CAST((len(s.tk)-1)//10 + 1 - count(k.line)
+                        AS BIGINT) AS n_removed,
+                   COALESCE(string_agg(k.line, ' ' ORDER BY k.li), '')
+                       AS clean_text
+            FROM split s LEFT JOIN kept k ON s.doc_id = k.doc_id
+            GROUP BY s.doc_id, len(s.tk)
+        """,
         "amp_unify": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 < 2 THEN doc_id - (doc_id % 3)

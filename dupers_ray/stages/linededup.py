@@ -253,3 +253,147 @@ def remove_duplicate_lines(
         )
 
     return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence paragraph dedup (Dolma / MassiveText style)
+# ---------------------------------------------------------------------------
+
+_LI_BITS = 20  # chunk index packs into the low 20 bits of the winner key
+
+
+def _flat_chunks(
+    t: pa.Table, *, id_col: str, text_col: str, tokens_per_line: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[list[str]]]:
+    """Flatten a batch into parallel (doc_id, chunk_idx, chunk_hash)
+    arrays plus the per-doc chunk strings. ``chunk_idx`` is 0-based
+    within the doc; every doc yields >= 1 chunk (empty text -> ['']),
+    matching the SQL lateral-unnest shape."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lines = _doc_lines(t.column(text_col).to_pylist(), tokens_per_line)
+    lens = np.fromiter((len(ls) for ls in lines), np.int64, len(lines))
+    doc = np.repeat(ids, lens)
+    # 0..len-1 within each doc: global arange minus each doc's start
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    li = np.arange(int(lens.sum()), dtype=np.int64) - starts
+    flat = [s for ls in lines for s in ls]
+    h = hash_str_u64(flat) if flat else np.empty(0, np.uint64)
+    return doc, li, h, lines
+
+
+def duplicated_paragraph_winners(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For every chunk string occurring MORE THAN ONCE corpus-wide
+    (across or within docs), the (sorted hashes, winner keys) pair where
+    the winner is the minimal ``(doc_id, chunk_idx)`` occurrence packed
+    as ``doc_id << 20 | chunk_idx``.
+
+    Scale shape: ONE combiner pass (per-batch min-winner + count per
+    hash via argsort + reduceat — 24 B/chunk rows leave the scan, text
+    bytes never shuffle) -> one small groupby(Min, Sum) -> only the
+    DUPLICATED chunks (count > 1) come back to the driver; singleton
+    chunks — the overwhelming mass of a web corpus — never leave the
+    cluster. The packed winner bounds doc_id < 2^43 at 20 index bits;
+    at trillion-doc scale widen to a two-column (min doc, then min idx
+    within that doc) cascade — the groupby shape is unchanged.
+
+    Collision bound: an md5-u64 alias between distinct chunk strings
+    could drop a unique chunk; the SQL oracle compares exact strings, so
+    a collision surfaces as a driver mismatch rather than hiding
+    (same contract as :func:`frequent_lines`)."""
+    from ray.data.aggregate import Min
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        doc, li, h, _ = _flat_chunks(
+            t, id_col=id_col, text_col=text_col,
+            tokens_per_line=tokens_per_line,
+        )
+        packed = (doc << _LI_BITS) | li
+        order = np.argsort(h, kind="stable")
+        hs, ps = h[order], packed[order]
+        new = np.r_[True, hs[1:] != hs[:-1]] if len(hs) else np.empty(0, bool)
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.r_[idx, len(hs)])
+        mins = (
+            np.minimum.reduceat(ps, idx) if len(idx) else np.empty(0, np.int64)
+        )
+        return pa.table({
+            "lh": pa.array(hs[idx].view(np.int64)),
+            "mp": pa.array(mins),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    agg = docs.map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lh").aggregate(
+        Min("mp", alias_name="mp"), Sum("n", alias_name="n")
+    )
+    dup = agg.filter(expr="n > 1").select_columns(["lh", "mp"]).to_pandas()
+    if not len(dup):
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = dup["lh"].to_numpy(np.int64).view(np.uint64)
+    mp = dup["mp"].to_numpy(np.int64)
+    order = np.argsort(h)
+    return h[order], mp[order]
+
+
+def dedup_paragraphs_first(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 10,
+) -> "ray.data.Dataset":
+    """Dolma/MassiveText-style first-occurrence paragraph dedup: every
+    repeated chunk keeps ONLY its earliest occurrence (min doc_id, then
+    min position) and later copies are cut from their documents.
+
+    Distinct from :func:`remove_duplicate_lines` (CCNet boilerplate:
+    frequent lines are dropped EVERYWHERE): here exactly one copy
+    survives, so quoted-once content keeps its original attribution —
+    the sub-document analogue of keep-earliest file dedup
+    (pkg/dupe/dupe.go:919-931 dedups whole files, never spans).
+
+    Output per doc: (id, n_lines, n_removed, clean_text); kept chunks
+    rejoin with single spaces in original order. Two streaming passes
+    over the corpus, only the duplicated-chunk winner table (16 B/dup
+    chunk) is broadcast."""
+    dup_h, winners = duplicated_paragraph_winners(
+        docs, id_col=id_col, text_col=text_col,
+        tokens_per_line=tokens_per_line,
+    )
+    ref = ray.put((dup_h, winners))
+
+    def clean(t: pa.Table) -> pa.Table:
+        block, win = ray.get(ref)
+        doc, li, h, lines = _flat_chunks(
+            t, id_col=id_col, text_col=text_col,
+            tokens_per_line=tokens_per_line,
+        )
+        if len(block) and len(h):
+            pos = np.searchsorted(block, h).clip(0, len(block) - 1)
+            isdup = block[pos] == h
+            packed = (doc << _LI_BITS) | li
+            drop = isdup & (win[pos] != packed)
+        else:
+            drop = np.zeros(len(h), bool)
+        n_lines = np.fromiter((len(ls) for ls in lines), np.int64, len(lines))
+        texts, n_removed, off = [], np.zeros(len(lines), np.int64), 0
+        for i, ls in enumerate(lines):
+            d = drop[off: off + len(ls)]
+            off += len(ls)
+            n_removed[i] = int(d.sum())
+            texts.append(" ".join(s for s, dd in zip(ls, d) if not dd))
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_lines": pa.array(n_lines),
+            "n_removed": pa.array(n_removed),
+            "clean_text": pa.array(texts, pa.string()),
+        })
+
+    return docs.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)

@@ -136,3 +136,104 @@ def test_frequent_lines_threshold():
     assert len(f3) < len(f2)  # FOOTER (2 docs) drops out at min_docs=3
     assert len(f9) == 0
     assert np.all(np.diff(f2.view(np.int64)) != 0)  # sorted distinct
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence paragraph dedup (dedup_paragraphs_first)
+# ---------------------------------------------------------------------------
+
+
+def _brute_first_occurrence(table: pa.Table, w: int):
+    """Keep only the earliest (doc_id, position) copy of each chunk."""
+    texts = table.column("text").to_pylist()
+    ids = table.column("doc_id").to_pylist()
+    lines = _doc_lines(texts, w)
+    seen: set[str] = set()
+    out = []
+    for i in sorted(range(len(ids)), key=lambda j: ids[j]):
+        kept = []
+        for s in lines[i]:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        out.append({
+            "doc_id": ids[i],
+            "n_lines": len(lines[i]),
+            "n_removed": len(lines[i]) - len(kept),
+            "clean_text": " ".join(kept),
+        })
+    return sorted(out, key=lambda r: r["doc_id"])
+
+
+def test_dedup_paragraphs_first_matches_brute():
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    tbl = _corpus()
+    got = (
+        dedup_paragraphs_first(
+            rd.from_arrow(tbl).repartition(3), tokens_per_line=10
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_first_occurrence(tbl, 10)
+    assert got.to_dict("records") == exp
+
+
+def test_first_occurrence_keeps_original_copy():
+    """The earliest doc keeps BOILER; every later copy (including the
+    in-doc repeat of doc 8) is cut — unlike CCNet line_dedup, which
+    drops it everywhere."""
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    got = (
+        dedup_paragraphs_first(rd.from_arrow(_corpus()), tokens_per_line=10)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[0, "clean_text"].startswith(BOILER)
+    assert not got.loc[1, "clean_text"].startswith(BOILER)
+    # doc 8's leading BOILER chunk is grid-aligned and duplicated -> cut;
+    # its trailing copy straddles a chunk boundary and is NOT a dup chunk
+    assert not got.loc[8, "clean_text"].startswith(BOILER)
+    assert got.loc[8, "n_removed"] == 1
+    # CCNet comparison: line_dedup strips BOILER from doc 0 too
+    ccnet = (
+        remove_duplicate_lines(rd.from_arrow(_corpus()), tokens_per_line=10)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert BOILER not in ccnet.loc[0, "clean_text"]
+
+
+def test_first_occurrence_no_duplicates_is_identity():
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    tbl = pa.table({
+        "doc_id": [0, 1],
+        "text": ["alpha beta gamma", "delta epsilon zeta"],
+    })
+    got = (
+        dedup_paragraphs_first(rd.from_arrow(tbl), tokens_per_line=10)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["n_removed"].tolist() == [0, 0]
+    assert got["clean_text"].tolist() == [
+        "alpha beta gamma", "delta epsilon zeta",
+    ]
+
+
+def test_winner_packing_positions():
+    """Within one doc the FIRST position wins (position tie-break)."""
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    chunk = "one two three four five six seven eight nine ten"
+    tbl = pa.table({"doc_id": [5], "text": [chunk + " " + chunk]})
+    got = dedup_paragraphs_first(
+        rd.from_arrow(tbl), tokens_per_line=10
+    ).to_pandas()
+    assert got.loc[0, "n_removed"] == 1
+    assert got.loc[0, "clean_text"] == chunk
