@@ -3288,6 +3288,58 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-weighted source mixing (stages/budget.py
+    temperature_sample): keep-rate per source proportional to
+    sqrt(n_s)/n_s (alpha=0.5 up-weights low-resource sources), drawn by
+    the splitmix64 hash-Bernoulli; all-integer rate arithmetic so the
+    oracle is float-comparison-free."""
+    from dupers_ray.stages.budget import temperature_sample
+
+    return temperature_sample(
+        _tbl(sf_dir, "documents", ["doc_id", "source"]),
+        target_rows=300,
+    )
+
+
+def _temperature_mix_oracle_sql() -> str:
+    """Integer restatement: w=floor(sqrt(n)) (double sqrt, exact below
+    2^52), r = least(D, T*w*D // (S*n)), keep iff splitmix64(doc_id) %
+    D < r — same finalizer chain as _sample_hash_oracle_sql."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH counts AS (
+            SELECT source, count(*)::BIGINT AS n FROM documents
+            GROUP BY source
+        ), w AS (
+            SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w
+            FROM counts
+        ), rate AS (
+            SELECT source,
+                   least(1000000::BIGINT,
+                         (300::BIGINT * w * 1000000::BIGINT)
+                         // ((SELECT sum(w) FROM w)::BIGINT * n)) AS r
+            FROM w
+        ), sm AS (
+            SELECT doc_id, source,
+                   ((doc_id::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM documents
+        )
+        SELECT d.doc_id, d.source
+        FROM sm d JOIN rate r ON d.source = r.source
+        WHERE d.h % 1000000 < r.r::UBIGINT
+    """
+
+
 def _q_hreflang_edges(sf_dir: str):
     """Translation-cluster mining from hreflang alternates
     (stages/linkgraph.alternate_links — the ParaCrawl-style signal):
@@ -5222,6 +5274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_near_pairs": _q_windowed_near_pairs,
         "first_publishers": _q_first_publishers,
         "paragraph_dedup": _q_paragraph_dedup,
+        "temperature_mix": _q_temperature_mix,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -5970,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup_stats": _cdc_stats_oracle_sql(),
         "windowed_near_pairs": _windowed_near_pairs_oracle_sql(),
         "first_publishers": _first_publishers_oracle_sql(),
+        "temperature_mix": _temperature_mix_oracle_sql(),
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk

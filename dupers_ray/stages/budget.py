@@ -665,3 +665,69 @@ def packed_windows_checkpointed(
         upstream_fingerprint=stats_res["fingerprint"],
     )
     return rd.read_parquet(out["windows"])
+
+
+def temperature_sample(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    target_rows: int,
+    denom: int = 1_000_000,
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """Temperature-weighted source mixing (the multilingual-LM recipe:
+    sample source s proportionally to ``n_s ** alpha`` with alpha=0.5,
+    so low-resource sources are up-weighted relative to their share).
+    Engine-new vs the reference (whole-corpus exact dedup only); the
+    mixing step that follows dedup in an LLM data pipeline.
+
+    Exactness contract: alpha=0.5 is computed as ``floor(sqrt(n_s))``
+    IN DOUBLE PRECISION on both sides (numpy here, DuckDB ``sqrt`` in
+    the oracle) — bit-identical for every n_s < 2^52. All downstream
+    arithmetic is integer: per-source keep-rate numerator
+    ``r_s = min(denom, target_rows * w_s * denom // (S * n_s))`` with
+    ``S = sum(w_s)``, and a row is kept iff
+    ``splitmix64(id ^ salt) % denom < r_s`` — the same deterministic
+    hash-Bernoulli family as ``sample_hash``, so the draw is
+    reproducible at any parallelism and restatable in SQL with zero
+    float comparisons. ``target_rows * w_s * denom`` bounds the widest
+    intermediate; keep it under 2^63 (it is, by ~6 orders, for any
+    corpus this engine addresses per-source).
+
+    Scale shape: per-batch (key, count) combiner rows fold driver-side
+    (source cardinality is broadcast-bounded by definition of a mixing
+    config — no string-key groupby shuffle), then ONE stateless filter
+    pass. Expected kept rows per source: ``n_s * r_s / denom``, i.e.
+    ~``target_rows * w_s / S`` — the temperature allocation."""
+    import pandas as pd
+
+    parts = docs.select_columns([key_col]).map_batches(
+        lambda t: t.group_by([key_col]).aggregate([([], "count_all")])
+        .rename_columns([key_col, "n"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    counts = parts.groupby(key_col)["n"].sum()
+    n = counts.to_numpy(np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64))).astype(np.int64)
+    s = int(w.sum())
+    if s == 0:
+        return docs.select_columns([id_col, key_col]).limit(0)
+    r = np.minimum(
+        int(denom),
+        (int(target_rows) * w * int(denom)) // (s * n),
+    )
+    rates = dict(zip(counts.index.tolist(), (int(x) for x in r)))
+    ref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        keys = t.column(key_col).to_pylist()
+        rr = np.fromiter((rt.get(k, 0) for k in keys), np.uint64, len(keys))
+        ids = np.asarray(
+            t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        m = (splitmix64(ids ^ np.uint64(salt)) % np.uint64(denom)) < rr
+        return t.select([id_col, key_col]).filter(pa.array(m))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

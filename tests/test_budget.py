@@ -270,3 +270,89 @@ def test_chunk_docs_matches_bruteforce(pages_small):
     for i in range(t.num_rows):
         toks = _TOKEN_RE.findall((tbl.column("text")[i].as_py() or "").lower())
         assert per_doc[i] == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixing (temperature_sample)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_corpus() -> pa.Table:
+    """3 sources with 400 / 100 / 25 docs — a 16:4:1 skew that alpha=0.5
+    compresses to 4:2:1 in sqrt-space."""
+    sizes = {"big": 400, "mid": 100, "small": 25}
+    ids, src = [], []
+    i = 0
+    for s, k in sizes.items():
+        for _ in range(k):
+            ids.append(i)
+            src.append(s)
+            i += 1
+    return pa.table({"doc_id": ids, "source": src})
+
+
+def _brute_temperature(tbl: pa.Table, target: int, denom: int = 1_000_000):
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.uint64)
+    src = tbl.column("source").to_pylist()
+    from collections import Counter
+
+    cnt = Counter(src)
+    w = {s: int(np.floor(np.sqrt(float(n)))) for s, n in cnt.items()}
+    S = sum(w.values())
+    r = {
+        s: min(denom, target * w[s] * denom // (S * cnt[s]))
+        for s in cnt
+    }
+    h = splitmix64(ids) % np.uint64(denom)
+    keep = [int(hh) < r[s] for hh, s in zip(h, src)]
+    return {
+        (int(i), s) for i, s, k in zip(ids, src, keep) if k
+    }
+
+
+def test_temperature_sample_matches_brute():
+    from dupers_ray.stages.budget import temperature_sample
+
+    tbl = _skewed_corpus()
+    got = temperature_sample(
+        rd.from_arrow(tbl).repartition(5), target_rows=200
+    ).to_pandas()
+    assert set(zip(got["doc_id"], got["source"])) == _brute_temperature(
+        tbl, 200
+    )
+
+
+def test_temperature_sample_upweights_small_sources():
+    """Kept fraction of the small source exceeds the big source's (the
+    whole point of alpha<1), and totals land near the target."""
+    from dupers_ray.stages.budget import temperature_sample
+
+    got = temperature_sample(
+        rd.from_arrow(_skewed_corpus()), target_rows=200
+    ).to_pandas()
+    frac = got.groupby("source").size()
+    assert frac.get("small", 0) / 25 > frac.get("big", 0) / 400
+    assert 140 <= len(got) <= 260  # Bernoulli noise band around 200
+
+
+def test_temperature_sample_rate_caps_at_one():
+    """target >> corpus: every row keeps (rate caps at denom)."""
+    from dupers_ray.stages.budget import temperature_sample
+
+    tbl = _skewed_corpus()
+    got = temperature_sample(
+        rd.from_arrow(tbl), target_rows=10_000_000
+    ).to_pandas()
+    assert len(got) == tbl.num_rows
+
+
+def test_temperature_sample_block_layout_invariant():
+    from dupers_ray.stages.budget import temperature_sample
+
+    tbl = _skewed_corpus()
+    a = temperature_sample(rd.from_arrow(tbl), target_rows=123).to_pandas()
+    b = temperature_sample(
+        rd.from_arrow(tbl).repartition(11), target_rows=123
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["doc_id"], df["source"]))  # noqa: E731
+    assert key(a) == key(b)
