@@ -2228,7 +2228,9 @@ def _invindex_dir(sf_dir: str) -> str:
     from dupers_ray.pipelines.invindex import build_token_index
 
     slug = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = f"/tmp/dupers_ray_invindex/{slug}"
+    # v2: postings carry tf/dl + the _stats.json sidecar (BM25); the
+    # version bump invalidates caches written by the narrower v1 schema
+    out = f"/tmp/dupers_ray_invindex/{slug}_v2"
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         build_token_index(_tbl(sf_dir, "documents", ["doc_id", "text"]), out)
@@ -3286,6 +3288,48 @@ def _q_paragraph_dedup(sf_dir: str):
         _tbl(sf_dir, "documents", ["doc_id", "text"]),
         id_col="doc_id", tokens_per_line=10,
     )
+
+
+def _q_bm25_scores(sf_dir: str):
+    """Okapi BM25 ranked retrieval (pipelines/invindex.bm25_scores) for
+    the 2-term query the indexed_search ops use: partition-pruned df
+    pass + stateless scoring of matched postings (tf/dl denormalized
+    into the posting rows at build). Emits ALL matching docs with their
+    scores — the row set is float-free; the float score column rides the
+    driver's round-6 compare like the cosine ops."""
+    from dupers_ray.pipelines.invindex import bm25_scores
+
+    return bm25_scores(_invindex_dir(sf_dir), ["join", "data"])
+
+
+_BM25_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+               (SELECT sum(dl) FROM dl)
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+    ), tf AS (
+        SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks
+        WHERE tok IN ('data', 'join') GROUP BY doc_id, tok
+    ), df AS (
+        SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+    )
+    SELECT t.doc_id,
+           sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * (1.2 + 1.0)
+                  / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)))
+           ) AS score
+    FROM tf t
+    JOIN df d ON t.tok = d.tok
+    JOIN dl l ON t.doc_id = l.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+"""
 
 
 def _q_temperature_mix(sf_dir: str):
@@ -5275,6 +5319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_publishers": _q_first_publishers,
         "paragraph_dedup": _q_paragraph_dedup,
         "temperature_mix": _q_temperature_mix,
+        "bm25_scores": _q_bm25_scores,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6024,6 +6069,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_near_pairs": _windowed_near_pairs_oracle_sql(),
         "first_publishers": _first_publishers_oracle_sql(),
         "temperature_mix": _temperature_mix_oracle_sql(),
+        "bm25_scores": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk

@@ -46,14 +46,22 @@ def _postings(t: pa.Table, *, id_col: str, text_col: str, partitions: int) -> pa
     doc_idx = np.repeat(np.arange(len(ids)), lens)
     if len(th):
         order = np.lexsort((th, doc_idx))
-        d_, h_ = doc_idx[order], th[order]
-        new = np.r_[True, (d_[1:] != d_[:-1]) | (h_[1:] != h_[:-1])]
-        d_, h_ = d_[new], h_[new]
+        d_all, h_all = doc_idx[order], th[order]
+        new = np.r_[True, (d_all[1:] != d_all[:-1]) | (h_all[1:] != h_all[:-1])]
+        idx = np.flatnonzero(new)
+        d_, h_ = d_all[idx], h_all[idx]
+        tf_ = np.diff(np.r_[idx, len(h_all)])  # run length = term frequency
     else:
         d_, h_ = np.empty(0, np.int64), np.empty(0, np.uint64)
+        tf_ = np.empty(0, np.int64)
     return pa.table({
         "th": pa.array(h_.view(np.int64)),
         id_col: pa.array(ids[d_]),
+        # tf + denormalized doc length make every posting row
+        # self-sufficient for BM25 scoring — no doc-length join at query
+        # time (16 extra B/posting, the standard search-engine trade)
+        "tf": pa.array(tf_.astype(np.int64)),
+        "dl": pa.array(lens[d_]),
         "part": pa.array((h_ % np.uint64(partitions)).astype(np.int64)),
     })
 
@@ -73,6 +81,21 @@ def build_token_index(
         fn_kwargs={"id_col": id_col, "text_col": text_col,
                    "partitions": partitions},
     ).write_parquet(out_dir, partition_cols=["part"])
+    # corpus stats sidecar for BM25: N = ALL source docs (token-less
+    # included), sum_dl = total tokens. sum(tf) over the WRITTEN index
+    # equals sum_dl (a doc's tf values sum to its dl) — one sequential
+    # column scan of the index, no re-tokenize, no shuffle.
+    n_docs = ds.count()
+    import glob as _glob
+    import json
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
+    sum_dl = 0
+    if files:
+        agg = rd.read_parquet(files, columns=["tf"]).sum("tf")
+        sum_dl = int(agg if agg is not None else 0)
+    with open(os.path.join(out_dir, "_stats.json"), "w") as f:
+        json.dump({"n_docs": int(n_docs), "sum_dl": sum_dl}, f)
 
 
 def indexed_token_search(
@@ -120,5 +143,118 @@ def indexed_token_search(
         n = t.column("sum(n_hit)")
         mask = pc.greater_equal(n, 1) if mode == "any" else pc.equal(n, want)
         return pa.table({id_col: t.column(id_col).filter(mask)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_scores(
+    index_dir: str,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    partitions: int = DEFAULT_PARTITIONS,
+) -> "rd.Dataset":
+    """Okapi BM25 ranked retrieval over the token index (Robertson/
+    Sparck Jones probabilistic weighting, the Lucene ``+1`` idf
+    variant): for every doc containing >= 1 query term,
+
+        score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    The reference ranks search hits by filename order only
+    (pkg/database/database.go:373-447); BM25 is the relevance ranking a
+    corpus-scale search needs. Scale shape: the PARTITION PRUNE does the
+    heavy lifting (<= n_terms/partitions of index bytes read, twice);
+    pass 1 folds per-term document frequencies driver-side (<= n_terms
+    rows); pass 2 scores matched postings statelessly — tf and dl ride
+    in the posting row (build-time denormalization), so no join — and
+    pre-sums per doc per batch before ONE tiny groupby of matched docs.
+    Output: (id_col, score) for ALL matching docs; rank/limit downstream
+    (emitting the full matched set keeps the row SET float-free even
+    though scores are floats)."""
+    import glob
+    import json
+
+    with open(os.path.join(index_dir, "_stats.json")) as f:
+        stats = json.load(f)
+    n_docs, sum_dl = float(stats["n_docs"]), float(stats["sum_dl"])
+    avgdl = sum_dl / n_docs if n_docs else 1.0
+
+    terms = sorted(set(terms))
+    # sorted in the INT64 view order — searchsorted below runs against
+    # the int64 posting column, where hashes >= 2^63 compare negative
+    th = np.sort(hash_str_u64(terms).view(np.int64))
+    parts = sorted({int(h) for h in (th.view(np.uint64) % np.uint64(partitions))})
+    paths = [
+        f
+        for p in parts
+        for f in sorted(glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    if not paths or not len(th):
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
+    need = pa.array(th)
+
+    # pass 1: document frequency per query term (combiner -> driver fold;
+    # postings are distinct per (doc, term), so row counts ARE doc counts)
+    def _df(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("th"), value_set=need))
+        g = m.group_by(["th"]).aggregate([([], "count_all")])
+        return g.rename_columns(["th", "n"])
+
+    df_parts = rd.read_parquet(paths, columns=["th"]).map_batches(
+        _df, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if df_parts.empty or "th" not in df_parts.columns:
+        # no query term occurs anywhere (all-empty blocks drop their
+        # schema, hence the column check) -> nothing can match
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
+    df_by_th = df_parts.groupby("th")["n"].sum()
+    dfv = np.zeros(len(th), np.float64)
+    pos = np.searchsorted(th, df_by_th.index.to_numpy(np.int64))
+    dfv[pos] = df_by_th.to_numpy(np.float64)
+    idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+
+    # pass 2: stateless scoring of matched postings, per-batch pre-sum
+    def _score(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("th"), value_set=need))
+        if not m.num_rows:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        hh = m.column("th").to_numpy(zero_copy_only=False)
+        tf = m.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = m.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = m.column(id_col).to_numpy(zero_copy_only=False)
+        w = idf[np.searchsorted(th, hh)] * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        order = np.argsort(ids, kind="stable")
+        ids_s, w_s = ids[order], w[order]
+        newd = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        starts = np.flatnonzero(newd)
+        return pa.table({
+            id_col: pa.array(ids_s[starts]),
+            "score": pa.array(np.add.reduceat(w_s, starts)),
+        })
+
+    scored = rd.read_parquet(paths, columns=["th", id_col, "tf", "dl"]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = scored.groupby(id_col).sum("score")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t.column(id_col),
+            "score": t.column("sum(score)"),
+        })
 
     return agg.map_batches(finish, batch_format="pyarrow")

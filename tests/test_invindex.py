@@ -78,3 +78,69 @@ def test_index_postings_distinct(tmp_path):
     build_token_index(ds, idx, partitions=8)
     t = rd.read_parquet(idx).to_pandas()
     assert not t.duplicated(["th", "doc_id"]).any()
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (bm25_scores)
+# ---------------------------------------------------------------------------
+
+
+def _brute_bm25(texts, terms, k1=1.2, b=0.75):
+    n = float(len(texts))
+    tok_lists = [_TOK.findall((t or "").lower()) for t in texts]
+    dls = [float(len(ts)) for ts in tok_lists]
+    avgdl = sum(dls) / n
+    df = {
+        q: float(sum(1 for ts in tok_lists if q in ts)) for q in terms
+    }
+    out = {}
+    for i, ts in enumerate(tok_lists):
+        s = 0.0
+        for q in terms:
+            tf = float(ts.count(q))
+            if not tf:
+                continue
+            idf = np.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)
+                        / (tf + k1 * (1.0 - b + b * dls[i] / avgdl)))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_bruteforce(tmp_path):
+    from dupers_ray.pipelines.invindex import bm25_scores
+
+    texts, ds = _docs()
+    idx = str(tmp_path / "idx")
+    build_token_index(ds, idx, partitions=8)
+    assert os.path.exists(os.path.join(idx, "_stats.json"))
+    got = bm25_scores(idx, ["alpha", "beta"], partitions=8).to_pandas()
+    exp = _brute_bm25(texts, ["alpha", "beta"])
+    assert sorted(got["doc_id"]) == sorted(exp)
+    for _, row in got.iterrows():
+        assert abs(row["score"] - exp[int(row["doc_id"])]) < 1e-9
+
+
+def test_bm25_tf_saturation_and_ranking(tmp_path):
+    """Doc 7 ('alpha alpha beta beta') must outrank doc 0 ('alpha beta
+    gamma') on tf, but k1 saturation keeps the margin sublinear."""
+    from dupers_ray.pipelines.invindex import bm25_scores
+
+    texts, ds = _docs()
+    idx = str(tmp_path / "idx")
+    build_token_index(ds, idx, partitions=8)
+    got = bm25_scores(idx, ["alpha", "beta"], partitions=8).to_pandas()
+    s = dict(zip(got["doc_id"].astype(int), got["score"]))
+    assert s[7] > s[0]
+    assert s[7] < 2.0 * s[0]
+
+
+def test_bm25_unknown_term_scores_nothing(tmp_path):
+    from dupers_ray.pipelines.invindex import bm25_scores
+
+    _, ds = _docs()
+    idx = str(tmp_path / "idx")
+    build_token_index(ds, idx, partitions=8)
+    got = bm25_scores(idx, ["nosuchtoken"], partitions=8).to_pandas()
+    assert len(got) == 0
