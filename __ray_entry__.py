@@ -3290,6 +3290,75 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_dedup_method_venn(sf_dir: str):
+    """Dedup-method Venn (pipelines/venn.dedup_method_venn): run exact /
+    normalized / flagship-near / simhash dedup INDEPENDENTLY and
+    histogram the per-doc 4-bit flag masks — the method-overlap report
+    the tier cascade's first-catch attribution cannot express. Oracle
+    composes the flagship cluster SQL and the simhash pair SQL as
+    derived tables plus two window-function groupings."""
+    from dupers_ray.pipelines.venn import dedup_method_venn
+
+    return dedup_method_venn(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _dedup_method_venn_oracle_sql() -> str:
+    """Bit semantics mirror pipelines/venn.py: 1=exact (min-id keep per
+    sha256(text), empties skipped), 2=normalized exact (C4 normalize,
+    empty-after-norm skipped), 4=flagship cluster non-anchor, 8=simhash
+    larger-node pair end. mask-0 row = corpus minus flagged."""
+    near = _near_dup_clusters_oracle_sql()
+    sim = _simhash_oracle_sql()
+    return f"""
+        WITH nodes2 AS (
+            SELECT doc_id,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                       AS node
+            FROM documents
+        ), exact_f AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS m
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ) WHERE doc_id > m
+        ), norm_f AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(tn)) AS m
+                FROM (
+                    SELECT doc_id,
+                           trim(regexp_replace(regexp_replace(
+                               lower(text), '[^a-z0-9\\s]+', '', 'g'),
+                               '\\s+', ' ', 'g'), ' ') AS tn
+                    FROM documents
+                ) WHERE tn IS NOT NULL AND length(tn) > 0
+            ) WHERE doc_id > m
+        ), assign AS (
+            SELECT * FROM ({near})
+        ), near_f AS (
+            SELECT a.doc_id
+            FROM assign a JOIN nodes2 n ON n.doc_id = a.doc_id
+            WHERE a.cluster_id <> n.node
+        ), sim_f AS (
+            SELECT DISTINCT n.doc_id
+            FROM nodes2 n JOIN ({sim}) p ON p.dst = n.node
+        ), bits AS (
+            SELECT doc_id, 1 AS b FROM exact_f
+            UNION ALL SELECT doc_id, 2 FROM norm_f
+            UNION ALL SELECT doc_id, 4 FROM near_f
+            UNION ALL SELECT doc_id, 8 FROM sim_f
+        ), masks AS (
+            SELECT doc_id, sum(b) AS mask FROM bits GROUP BY doc_id
+        )
+        SELECT CAST(mask AS BIGINT) AS mask,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM masks GROUP BY mask
+        UNION ALL
+        SELECT 0, (SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM masks)
+    """
+
+
 def _q_bm25_scores(sf_dir: str):
     """Okapi BM25 ranked retrieval (pipelines/invindex.bm25_scores) for
     the 2-term query the indexed_search ops use: partition-pruned df
@@ -5320,6 +5389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "temperature_mix": _q_temperature_mix,
         "bm25_scores": _q_bm25_scores,
+        "dedup_method_venn": _q_dedup_method_venn,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6070,6 +6140,7 @@ def oracle_sql() -> dict[str, str]:
         "first_publishers": _first_publishers_oracle_sql(),
         "temperature_mix": _temperature_mix_oracle_sql(),
         "bm25_scores": _BM25_ORACLE,
+        "dedup_method_venn": _dedup_method_venn_oracle_sql(),
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk

@@ -1,0 +1,162 @@
+"""Dedup-method Venn: which duplicates does each method catch?
+
+The tier cascade (pipelines/tiers.py) attributes every duplicate to the
+FIRST tier that catches it — by design it cannot say how much the
+methods overlap. This report runs the doc-level dedup methods
+INDEPENDENTLY and histograms their per-doc flag masks, answering the
+questions a pipeline owner tunes tiers with: how much of near-dup is
+already exact? what does simhash add over MinHash/LSH? is normalized
+dedup worth its scan?
+
+Per-method "flagged" semantics (keep-first; a doc is flagged iff the
+method alone would drop it):
+
+- ``exact``  (bit 1): another doc with identical text has a smaller id
+  (sha256 groups over non-empty text — pkg/dupe/dupe.go:919-931
+  lookupOne semantics with min-id as the kept copy).
+- ``norm``   (bit 2): same rule over C4-normalized text
+  (stages/normalize.py; empty-after-normalization docs are skipped,
+  matching the digest stage's ErrFileEmpty parity).
+- ``near``   (bit 4): the flagship MinHash/LSH cluster assignment
+  (pipelines/dupe.dupe_clusters, default config — LSH-verified edges
+  UNIONED with exact-digest edges, so this bit largely subsumes bit 1;
+  the mask histogram QUANTIFIES that subsumption) labels the doc with a
+  cluster id other than its own node — i.e. it is not its cluster's
+  min-node anchor.
+- ``simhash``(bit 8): the doc is the larger-node end of >= 1 Charikar
+  simhash pair at hamming <= 3 (stages/simhash.py pigeonhole bands).
+
+Scale shape: each method's flagged set is (id, bit) rows — 12 B/doc and
+only for DUPLICATED docs, the small side of a web corpus by mass; the
+union → groupby(id).sum(bit) shuffle moves those rows only (never text),
+and the mask histogram is <= 16 rows. The simhash dst-node set rides the
+driver like every pair output (pairs, not corpus, bounded); swap for a
+cogroup join if a corpus's dup density explodes it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from dupers_ray.functions.hashing import node_ids
+
+EXACT_BIT = 1
+NORM_BIT = 2
+NEAR_BIT = 4
+SIMHASH_BIT = 8
+
+
+def _flag_table(ids: pa.Array | pa.ChunkedArray, bit: int) -> pa.Table:
+    n = len(ids)
+    return pa.table({
+        "doc_id": ids,
+        "bit": pa.array(np.full(n, bit, np.int64)),
+    })
+
+
+def _node_col(t: pa.Table, id_col: str) -> np.ndarray:
+    return node_ids([str(v) for v in t.column(id_col).to_pylist()])
+
+
+def dedup_method_venn(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """(mask, n_docs) histogram over the 4-bit method flags, mask 0 row
+    included (docs no method would drop). Driver-side result is <= 16
+    rows by construction."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
+    from dupers_ray.stages.normalize import normalize_text
+    from dupers_ray.stages.simhash import simhash_pairs
+
+    n_total = docs.count()
+
+    # bit 1 — exact: every non-canonical member of a sha256(text) group
+    exact_f = exact_dupe_pairs(
+        docs, id_col=id_col, content_col=text_col
+    ).map_batches(
+        lambda t: _flag_table(t.column(f"match_{id_col}"), EXACT_BIT),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # bit 2 — normalized-exact
+    norm_docs = docs.map_batches(
+        normalize_text, batch_format="pyarrow", zero_copy_batch=True
+    )
+    norm_f = exact_dupe_pairs(
+        norm_docs, id_col=id_col, content_col="text_norm"
+    ).map_batches(
+        lambda t: _flag_table(t.column(f"match_{id_col}"), NORM_BIT),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # bit 4 — flagship near-dup clusters: flagged iff not the cluster's
+    # min-node anchor (singletons label themselves -> unflagged)
+    cfg = DedupConfig(id_col=id_col, text_col=text_col)
+    assign = dupe_clusters(docs.select_columns([id_col, text_col]), cfg)
+
+    def near_flags(t: pa.Table) -> pa.Table:
+        node = _node_col(t, id_col)
+        cl = np.asarray(t.column("cluster_id"), dtype=np.uint64)
+        mask = cl != node
+        return _flag_table(t.column(id_col).filter(pa.array(mask)), NEAR_BIT)
+
+    near_f = assign.map_batches(
+        near_flags, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # bit 8 — simhash: larger-node end of any hamming<=3 pair
+    pairs = simhash_pairs(
+        docs.select_columns([id_col, text_col]), id_col=id_col,
+        text_col=text_col,
+    ).to_pandas()
+    dst = (
+        np.unique(pairs["dst"].to_numpy(np.uint64))
+        if len(pairs) else np.empty(0, np.uint64)
+    )
+    import ray
+
+    dst_ref = ray.put(dst)
+
+    def sim_flags(t: pa.Table) -> pa.Table:
+        block = ray.get(dst_ref)
+        if not len(block) or not t.num_rows:
+            return _flag_table(t.column(id_col).slice(0, 0), SIMHASH_BIT)
+        node = _node_col(t, id_col)
+        pos = np.searchsorted(block, node).clip(0, len(block) - 1)
+        mask = block[pos] == node
+        return _flag_table(
+            t.column(id_col).filter(pa.array(mask)), SIMHASH_BIT
+        )
+
+    sim_f = docs.select_columns([id_col]).map_batches(
+        sim_flags, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    flagged = (
+        exact_f.union(norm_f).union(near_f).union(sim_f)
+        .groupby(id_col).sum("bit")
+    )
+    masks = flagged.map_batches(
+        lambda t: pa.table({"mask": t.column("sum(bit)")}),
+        batch_format="pyarrow",
+    )
+    hist = masks.groupby("mask").count().to_pandas()
+    if hist.empty or "mask" not in hist.columns:
+        hist_rows = {}
+    else:
+        hist_rows = dict(zip(hist["mask"].astype(int), hist["count()"].astype(int)))
+    n_flagged = sum(hist_rows.values())
+    hist_rows[0] = n_total - n_flagged
+    out = sorted(hist_rows.items())
+    return pa.table({
+        "mask": pa.array([m for m, _ in out], pa.int64()),
+        "n_docs": pa.array([n for _, n in out], pa.int64()),
+    })
