@@ -685,7 +685,99 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_identity)
+
+    s = sub.add_parser("bm25", help="BM25 ranked search over a token index")
+    s.add_argument("corpus", help="corpus dir (builds the index on first use)")
+    s.add_argument("index_dir", help="token index dir (created if absent)")
+    s.add_argument("terms", nargs="+")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--k", type=int, default=0, help="top-k only")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_bm25)
+
+    s = sub.add_parser(
+        "venn", help="dedup-method overlap histogram (exact/norm/near/simhash)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_venn)
+
+    s = sub.add_parser(
+        "mix", help="temperature-weighted source mixing (alpha=0.5)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--key-col", default="source")
+    s.add_argument("--target", type=int, required=True,
+                   help="target row count across sources")
+    s.add_argument("--salt", type=int, default=0)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_mix)
+
+    s = sub.add_parser(
+        "paradedup",
+        help="first-occurrence paragraph dedup (keep earliest copy)")
+    s.add_argument("corpus")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--tokens-per-line", type=int, default=10)
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_paradedup)
     return p
+
+
+def cmd_bm25(a) -> int:
+    import ray.data as rd
+
+    from dupers_ray.pipelines.invindex import bm25_scores, build_token_index
+
+    if not os.path.exists(os.path.join(a.index_dir, "_stats.json")):
+        build_token_index(
+            _read(a.corpus), a.index_dir,
+            id_col=a.id_col, text_col=a.text_col,
+        )
+        print(f"bm25: built index at {a.index_dir}")
+    out = bm25_scores(a.index_dir, a.terms, id_col=a.id_col)
+    if a.k:
+        out = out.sort("score", descending=True).limit(a.k)
+        out = rd.from_pandas(out.to_pandas())  # small: k rows
+    _emit(out, a.out, "bm25")
+    return 0
+
+
+def cmd_venn(a) -> int:
+    import ray.data as rd
+
+    from dupers_ray.pipelines.venn import dedup_method_venn
+
+    hist = dedup_method_venn(
+        _read(a.corpus), id_col=a.id_col, text_col=a.text_col
+    )
+    _emit(rd.from_arrow(hist), a.out, "venn")
+    return 0
+
+
+def cmd_mix(a) -> int:
+    from dupers_ray.stages.budget import temperature_sample
+
+    out = temperature_sample(
+        _read(a.corpus), id_col=a.id_col, key_col=a.key_col,
+        target_rows=a.target, salt=a.salt,
+    )
+    _emit(out, a.out, "mix")
+    return 0
+
+
+def cmd_paradedup(a) -> int:
+    from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+    out = dedup_paragraphs_first(
+        _read(a.corpus), id_col=a.id_col, text_col=a.text_col,
+        tokens_per_line=a.tokens_per_line,
+    )
+    _emit(out, a.out, "paradedup")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
