@@ -3290,6 +3290,39 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_edit_verified_pairs(sf_dir: str):
+    """Myers bit-parallel exact edit distance (stages/editdist.py) over
+    the simhash hamming<=3 pair set: 64-char-prefix Levenshtein,
+    vectorized across pairs (one uint64 lane each). Oracle composes the
+    simhash pair SQL with DuckDB levenshtein(substr(..,1,64)) —
+    byte-based there, char-based here, equal on this pure-ASCII corpus
+    (same caveat the simhash oracle documents for its tokenizer)."""
+    from dupers_ray.stages.editdist import edit_verified_pairs
+
+    return edit_verified_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _edit_verified_pairs_oracle_sql() -> str:
+    sim = _simhash_oracle_sql()
+    return f"""
+        WITH nodes2 AS (
+            SELECT doc_id, text,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                       AS node
+            FROM documents
+        ), pairs AS (
+            SELECT * FROM ({sim})
+        )
+        SELECT p.src, p.dst, p.hamming,
+               CAST(levenshtein(substr(a.text, 1, 64),
+                                substr(b.text, 1, 64)) AS BIGINT)
+                   AS edit_dist
+        FROM pairs p
+        JOIN nodes2 a ON a.node = p.src
+        JOIN nodes2 b ON b.node = p.dst
+    """
+
+
 def _q_dedup_method_venn(sf_dir: str):
     """Dedup-method Venn (pipelines/venn.dedup_method_venn): run exact /
     normalized / flagship-near / simhash dedup INDEPENDENTLY and
@@ -5390,6 +5423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": _q_temperature_mix,
         "bm25_scores": _q_bm25_scores,
         "dedup_method_venn": _q_dedup_method_venn,
+        "edit_verified_pairs": _q_edit_verified_pairs,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6141,6 +6175,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _temperature_mix_oracle_sql(),
         "bm25_scores": _BM25_ORACLE,
         "dedup_method_venn": _dedup_method_venn_oracle_sql(),
+        "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk
