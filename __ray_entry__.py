@@ -3290,6 +3290,49 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_content_novelty(sf_dir: str):
+    """Arrival-order content novelty (stages/repetition.content_novelty):
+    per doc, how many of its distinct word-8-gram shingles appear in NO
+    smaller-id document — the 'new content per crawl page' measure.
+    Integer-exact; same shingle contract as dup_ngram_coverage."""
+    from dupers_ray.stages.repetition import content_novelty
+
+    return content_novelty(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id", k=8,
+    )
+
+
+_CONTENT_NOVELTY_ORACLE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT doc_id,
+            CASE
+                WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(tk) < 8 THEN [array_to_string(tk, chr(31))]
+                ELSE list_distinct([array_to_string(tk[i:i+7], chr(31))
+                                    FOR i IN range(1, len(tk) - 6)])
+            END AS grams
+        FROM toks
+    ), g AS (
+        SELECT doc_id, unnest(grams) AS gr FROM sh
+    ), own AS (
+        SELECT gr, min(doc_id) AS owner FROM g GROUP BY gr
+    ), nov AS (
+        SELECT g.doc_id, count(*) FILTER (g.doc_id = o.owner) AS n_novel
+        FROM g JOIN own o USING (gr) GROUP BY g.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+    FROM sh s LEFT JOIN nov n USING (doc_id)
+    WHERE len(s.grams) > 0
+"""
+
+
 def _q_edit_verified_pairs(sf_dir: str):
     """Myers bit-parallel exact edit distance (stages/editdist.py) over
     the simhash hamming<=3 pair set: 64-char-prefix Levenshtein,
@@ -5424,6 +5467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "dedup_method_venn": _q_dedup_method_venn,
         "edit_verified_pairs": _q_edit_verified_pairs,
+        "content_novelty": _q_content_novelty,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6176,6 +6220,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _BM25_ORACLE,
         "dedup_method_venn": _dedup_method_venn_oracle_sql(),
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
+        "content_novelty": _CONTENT_NOVELTY_ORACLE,
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk

@@ -135,3 +135,73 @@ def dup_ngram_coverage(
         lambda t: t.rename_columns([id_col, "n_grams", "n_dup_grams"]),
         batch_format="pyarrow",
     )
+
+
+def content_novelty(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> "ray.data.Dataset":
+    """Per-doc content novelty in arrival order: ``n_novel`` of the
+    doc's ``n_grams`` distinct word-k-gram shingles appear in NO
+    earlier document (arrival = ascending ``id_col``; at crawl scale
+    the key is (warc_ts, id) — same convention as first_publishers).
+    The streaming-dedup question this answers: how much genuinely new
+    content does each page (or, aggregated, each crawl batch) add?
+
+    Same scale shape as :func:`dup_ngram_coverage` — one shingle
+    combiner pass, a (gram, doc) 16 B-row shuffle where each gram group
+    resolves its min-id owner vectorized-free (group rows only), then
+    one per-doc sum; text bytes never shuffle, nothing broadcasts.
+    Shingle-less docs are absent from the output (same contract)."""
+    from dupers_ray.pipelines.decontam import _shingle_hashes
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        hs = _shingle_hashes(t.column(text_col).to_pylist(), k)
+        counts = np.fromiter((len(h) for h in hs), np.int64, len(hs))
+        sh = np.concatenate(hs) if len(hs) else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "gram": pa.array(sh.view(np.int64)),
+                id_col: pa.array(np.repeat(ids, counts)),
+                "n_grams": pa.array(np.repeat(counts, counts)),
+            }
+        )
+
+    gram_rows = docs.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def tag_novel(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        novel = (ids == ids.min()).astype(np.int64)
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "n_grams": g.column("n_grams"),
+                "novel": pa.array(novel),
+            }
+        )
+
+    tagged = gram_rows.groupby("gram").map_groups(
+        tag_novel, batch_format="pyarrow"
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by([id_col])
+            .aggregate([("n_grams", "max"), ("novel", "sum")])
+        )
+        return g.rename_columns([id_col, "n_grams", "novel"])
+
+    partials = tagged.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partials.groupby(id_col).aggregate(Max("n_grams"), Sum("novel"))
+    return out.map_batches(
+        lambda t: t.rename_columns([id_col, "n_grams", "n_novel"]),
+        batch_format="pyarrow",
+    )

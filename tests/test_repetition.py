@@ -60,3 +60,49 @@ def test_dup_ngram_coverage_planted():
         )
         assert got[i] == (len(s), n_dup), f"doc {i}"
     assert any(v[1] > 0 for v in got.values())  # planted dups detected
+
+
+# ---------------------------------------------------------------------------
+# Arrival-order content novelty (content_novelty)
+# ---------------------------------------------------------------------------
+
+
+def test_content_novelty_brute():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.ngram import shingle_set
+    from dupers_ray.stages.repetition import content_novelty
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        # doc 1 repeats doc 0's opening 8-gram then diverges
+        "alpha beta gamma delta epsilon zeta eta theta something else here",
+        "a totally different page about rain gauges and barley fields",
+        "short",          # <8 tokens -> single whole-text shingle
+        "short",          # duplicate whole-text shingle -> 0 novel
+        "",               # shingle-less -> absent from output
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (
+        content_novelty(rd.from_arrow(tbl).repartition(3), k=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force with the same shingle contract
+    sets = [
+        {"\x1f".join(t) for t in shingle_set(s, 8)} for s in texts
+    ]
+    exp = []
+    for i, gs in enumerate(sets):
+        if not gs:
+            continue
+        earlier = set().union(*sets[:i]) if i else set()
+        exp.append({
+            "doc_id": i,
+            "n_grams": len(gs),
+            "n_novel": len(gs - earlier),
+        })
+    assert got.to_dict("records") == exp
+    # spot invariants
+    assert got.loc[got["doc_id"] == 4, "n_novel"].item() == 0
+    assert 5 not in set(got["doc_id"])
