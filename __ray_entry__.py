@@ -3477,6 +3477,33 @@ _BM25_ORACLE = """
 """
 
 
+def _q_bm25_incremental(sf_dir: str):
+    """Incremental index maintenance (pipelines/invindex.py
+    update_token_index — dupers `up`/walkCompare applied to the search
+    index): build on the doc_id<250 half, update with the full corpus
+    (anti-join filters to the unindexed delta, posting files append),
+    then BM25. The oracle is the FULL-corpus BM25 SQL — the update must
+    be indistinguishable from a fresh full build."""
+    import hashlib as _h
+
+    from dupers_ray.pipelines.invindex import (
+        bm25_scores,
+        build_token_index,
+        update_token_index,
+    )
+
+    slug = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/dupers_ray_invindex/{slug}_v2_inc"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        full = _tbl(sf_dir, "documents", ["doc_id", "text"])
+        build_token_index(full.filter(expr="doc_id < 250"), out)
+        update_token_index(full, out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return bm25_scores(out, ["join", "data"])
+
+
 def _q_temperature_mix(sf_dir: str):
     """Temperature-weighted source mixing (stages/budget.py
     temperature_sample): keep-rate per source proportional to
@@ -5468,6 +5495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_venn": _q_dedup_method_venn,
         "edit_verified_pairs": _q_edit_verified_pairs,
         "content_novelty": _q_content_novelty,
+        "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -6221,6 +6249,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_venn": _dedup_method_venn_oracle_sql(),
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
+        "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (
                 SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS tk

@@ -693,6 +693,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--id-col", default="doc_id")
     s.add_argument("--text-col", default="text")
     s.add_argument("--k", type=int, default=0, help="top-k only")
+    s.add_argument("--update", action="store_true",
+                   help="index unindexed corpus docs before querying")
     s.add_argument("--out")
     s.set_defaults(fn=cmd_bm25)
 
@@ -738,6 +740,14 @@ def cmd_bm25(a) -> int:
             id_col=a.id_col, text_col=a.text_col,
         )
         print(f"bm25: built index at {a.index_dir}")
+    elif a.update:
+        from dupers_ray.pipelines.invindex import update_token_index
+
+        n = update_token_index(
+            _read(a.corpus), a.index_dir,
+            id_col=a.id_col, text_col=a.text_col,
+        )
+        print(f"bm25: indexed {n} new docs")
     out = bm25_scores(a.index_dir, a.terms, id_col=a.id_col)
     if a.k:
         out = out.sort("score", descending=True).limit(a.k)

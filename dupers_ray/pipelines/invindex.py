@@ -96,6 +96,55 @@ def build_token_index(
         sum_dl = int(agg if agg is not None else 0)
     with open(os.path.join(out_dir, "_stats.json"), "w") as f:
         json.dump({"n_docs": int(n_docs), "sum_dl": sum_dl}, f)
+    # indexed-id sidecar (incremental updates anti-join against it)
+    ds.select_columns([id_col]).write_parquet(os.path.join(out_dir, "_docs"))
+
+
+def update_token_index(
+    ds: "rd.Dataset",
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = DEFAULT_PARTITIONS,
+) -> int:
+    """Incremental index maintenance — the reference's ``up`` verb
+    (walkCompare, pkg/dupe/dupe.go:940-966) applied to the token index:
+    only docs NOT already indexed pay the tokenize + write; existing
+    posting files are untouched (append-only parquet under each
+    ``part=`` dir, unique filenames). Returns the number of new docs.
+
+    Scale shape: the known-id filter is the count-gated
+    broadcast-or-shuffle anti-join every other incremental path here
+    uses (maintenance.anti_join_auto) — no driver take_all of indexed
+    ids; stats update reads only the DELTA postings."""
+    import json
+
+    from dupers_ray.pipelines.maintenance import anti_join_auto
+
+    docs_dir = os.path.join(out_dir, "_docs")
+    known = rd.read_parquet(docs_dir, columns=[id_col])
+    delta = anti_join_auto(
+        ds.select_columns([id_col, text_col]), known, key_col=id_col
+    ).materialize()
+    n_new = delta.count()
+    if n_new == 0:
+        return 0
+    postings = delta.map_batches(
+        _postings, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "partitions": partitions},
+    ).materialize()
+    postings.write_parquet(out_dir, partition_cols=["part"])
+    new_dl = postings.sum("tf")
+    with open(os.path.join(out_dir, "_stats.json")) as f:
+        stats = json.load(f)
+    stats["n_docs"] += int(n_new)
+    stats["sum_dl"] += int(new_dl if new_dl is not None else 0)
+    with open(os.path.join(out_dir, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    delta.select_columns([id_col]).write_parquet(docs_dir)
+    return int(n_new)
 
 
 def indexed_token_search(

@@ -144,3 +144,52 @@ def test_bm25_unknown_term_scores_nothing(tmp_path):
     build_token_index(ds, idx, partitions=8)
     got = bm25_scores(idx, ["nosuchtoken"], partitions=8).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (update_token_index)
+# ---------------------------------------------------------------------------
+
+
+def test_update_token_index_equals_full_build(tmp_path):
+    from dupers_ray.pipelines.invindex import (
+        bm25_scores,
+        build_token_index,
+        update_token_index,
+    )
+
+    texts, ds = _docs()
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_token_index(ds.filter(expr="doc_id < 4"), inc, partitions=8)
+    n_new = update_token_index(ds, inc, partitions=8)
+    assert n_new == len(texts) - 4
+    build_token_index(ds, full, partitions=8)
+
+    for terms in (["alpha"], ["alpha", "beta"]):
+        a = bm25_scores(inc, terms, partitions=8).to_pandas()
+        b = bm25_scores(full, terms, partitions=8).to_pandas()
+        ka = sorted(zip(a["doc_id"], a["score"].round(9)))
+        kb = sorted(zip(b["doc_id"], b["score"].round(9)))
+        assert ka == kb
+        got = sorted(indexed_token_search(inc, terms, partitions=8)
+                     .to_pandas()["doc_id"])
+        exp = sorted(indexed_token_search(full, terms, partitions=8)
+                     .to_pandas()["doc_id"])
+        assert got == exp
+
+
+def test_update_token_index_idempotent(tmp_path):
+    from dupers_ray.pipelines.invindex import (
+        build_token_index,
+        update_token_index,
+    )
+    import json
+
+    _, ds = _docs()
+    idx = str(tmp_path / "idx")
+    build_token_index(ds, idx, partitions=8)
+    with open(os.path.join(idx, "_stats.json")) as f:
+        before = json.load(f)
+    assert update_token_index(ds, idx, partitions=8) == 0
+    with open(os.path.join(idx, "_stats.json")) as f:
+        assert json.load(f) == before
