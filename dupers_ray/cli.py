@@ -743,10 +743,14 @@ def cmd_bm25(a) -> int:
     elif a.update:
         from dupers_ray.pipelines.invindex import update_token_index
 
-        n = update_token_index(
-            _read(a.corpus), a.index_dir,
-            id_col=a.id_col, text_col=a.text_col,
-        )
+        try:
+            n = update_token_index(
+                _read(a.corpus), a.index_dir,
+                id_col=a.id_col, text_col=a.text_col,
+            )
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(f"bm25: indexed {n} new docs")
     out = bm25_scores(a.index_dir, a.terms, id_col=a.id_col)
     if a.k:

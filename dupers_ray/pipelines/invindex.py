@@ -123,6 +123,11 @@ def update_token_index(
     from dupers_ray.pipelines.maintenance import anti_join_auto
 
     docs_dir = os.path.join(out_dir, "_docs")
+    if not os.path.isdir(docs_dir):
+        raise FileNotFoundError(
+            f"{out_dir} has no _docs sidecar (built by an older "
+            "build_token_index?) — rebuild the index to enable updates"
+        )
     known = rd.read_parquet(docs_dir, columns=[id_col])
     delta = anti_join_auto(
         ds.select_columns([id_col, text_col]), known, key_col=id_col
