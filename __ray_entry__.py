@@ -3375,7 +3375,10 @@ def _q_dedup_method_venn(sf_dir: str):
     derived tables plus two window-function groupings."""
     from dupers_ray.pipelines.venn import dedup_method_venn
 
-    return dedup_method_venn(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+    return dedup_method_venn(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        weight_col="n_chars",
+    )
 
 
 def _dedup_method_venn_oracle_sql() -> str:
@@ -3425,13 +3428,14 @@ def _dedup_method_venn_oracle_sql() -> str:
             UNION ALL SELECT doc_id, 8 FROM sim_f
         ), masks AS (
             SELECT doc_id, sum(b) AS mask FROM bits GROUP BY doc_id
+        ), perdoc AS (
+            SELECT d.doc_id, COALESCE(m.mask, 0) AS mask, d.n_chars
+            FROM documents d LEFT JOIN masks m ON m.doc_id = d.doc_id
         )
         SELECT CAST(mask AS BIGINT) AS mask,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM masks GROUP BY mask
-        UNION ALL
-        SELECT 0, (SELECT count(*) FROM documents)
-                  - (SELECT count(*) FROM masks)
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM perdoc GROUP BY mask
     """
 
 

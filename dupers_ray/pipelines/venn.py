@@ -66,17 +66,21 @@ def dedup_method_venn(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    weight_col: str | None = None,
 ) -> pa.Table:
-    """(mask, n_docs) histogram over the 4-bit method flags, mask 0 row
-    included (docs no method would drop). Driver-side result is <= 16
-    rows by construction."""
+    """(mask, n_docs[, n_chars]) histogram over the 4-bit method flags,
+    mask 0 row included (docs no method would drop). With ``weight_col``
+    (e.g. n_chars) each mask also sums that column — the BYTES each
+    method combination would remove, which is what a tier budget is
+    actually tuned on. Driver-side result is <= 16 rows by construction;
+    the flagged (id, mask) set rides the driver/broadcast under the same
+    dup-density bound as the pair sets (swap for a cogroup join if a
+    corpus's duplicated fraction explodes it)."""
     from dupers_ray.config import DedupConfig
     from dupers_ray.pipelines.dupe import dupe_clusters
     from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
     from dupers_ray.stages.normalize import normalize_text
     from dupers_ray.stages.simhash import simhash_pairs
-
-    n_total = docs.count()
 
     # bit 1 — exact: every non-canonical member of a sha256(text) group
     exact_f = exact_dupe_pairs(
@@ -143,20 +147,51 @@ def dedup_method_venn(
     flagged = (
         exact_f.union(norm_f).union(near_f).union(sim_f)
         .groupby(id_col).sum("bit")
-    )
-    masks = flagged.map_batches(
-        lambda t: pa.table({"mask": t.column("sum(bit)")}),
-        batch_format="pyarrow",
-    )
-    hist = masks.groupby("mask").count().to_pandas()
-    if hist.empty or "mask" not in hist.columns:
-        hist_rows = {}
+    ).to_pandas()
+    if flagged.empty or id_col not in flagged.columns:
+        f_ids = np.empty(0, np.int64)
+        f_masks = np.empty(0, np.int64)
     else:
-        hist_rows = dict(zip(hist["mask"].astype(int), hist["count()"].astype(int)))
-    n_flagged = sum(hist_rows.values())
-    hist_rows[0] = n_total - n_flagged
-    out = sorted(hist_rows.items())
-    return pa.table({
-        "mask": pa.array([m for m, _ in out], pa.int64()),
-        "n_docs": pa.array([n for _, n in out], pa.int64()),
-    })
+        f_ids = flagged[id_col].to_numpy(np.int64)
+        f_masks = flagged["sum(bit)"].to_numpy(np.int64)
+        order = np.argsort(f_ids)
+        f_ids, f_masks = f_ids[order], f_masks[order]
+    import ray
+
+    flag_ref = ray.put((f_ids, f_masks))
+
+    # one weighted streaming pass: every doc resolves its mask (0 if
+    # unflagged) and contributes (count, weight) — <= 16 rows per batch
+    def weigh(t: pa.Table) -> pa.Table:
+        ids_s, masks_s = ray.get(flag_ref)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        if len(ids_s):
+            pos = np.searchsorted(ids_s, ids).clip(0, len(ids_s) - 1)
+            mk = np.where(ids_s[pos] == ids, masks_s[pos], 0)
+        else:
+            mk = np.zeros(len(ids), np.int64)
+        w = (
+            np.asarray(t.column(weight_col), dtype=np.int64)
+            if weight_col else np.zeros(len(ids), np.int64)
+        )
+        u, inv = np.unique(mk, return_inverse=True)
+        return pa.table({
+            "mask": pa.array(u.astype(np.int64)),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_chars": pa.array(
+                np.bincount(inv, weights=w).astype(np.int64)
+            ),
+        })
+
+    cols = [id_col] + ([weight_col] if weight_col else [])
+    parts = docs.select_columns(cols).map_batches(
+        weigh, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    agg = parts.groupby("mask")[["n_docs", "n_chars"]].sum().sort_index()
+    out = {
+        "mask": pa.array(agg.index.to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+    }
+    if weight_col:
+        out["n_chars"] = pa.array(agg["n_chars"].to_numpy(np.int64))
+    return pa.table(out)
