@@ -3290,6 +3290,46 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_source_quality_report(sf_dir: str):
+    """Per-source curation dashboard (pipelines/report.py
+    source_quality_report): Gopher passes, hashed-BoW quality sums,
+    exact-dup counts — ONE fused scan + driver fold; oracle composes
+    the gopher and quality SQL as derived tables plus the exact-dup
+    window."""
+    from dupers_ray.pipelines.report import source_quality_report
+
+    return source_quality_report(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+
+
+def _source_quality_report_oracle_sql() -> str:
+    g, q = _gopher_oracle_sql(), _quality_oracle_sql()
+    return f"""
+        WITH g AS (SELECT * FROM ({g})),
+        q AS (SELECT * FROM ({q})),
+        dup AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY sha256(text)) AS m
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ) WHERE doc_id > m
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(g.keep) AS BIGINT) AS n_gopher_pass,
+               CAST(sum(q.score) AS BIGINT) AS sum_quality,
+               CAST(sum(q."keep") AS BIGINT) AS n_quality_keep,
+               CAST(count(dup.doc_id) AS BIGINT) AS n_exact_dup
+        FROM documents d
+        JOIN g ON g.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN dup ON dup.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+
+
 def _q_content_novelty(sf_dir: str):
     """Arrival-order content novelty (stages/repetition.content_novelty):
     per doc, how many of its distinct word-8-gram shingles appear in NO
@@ -5499,6 +5539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_venn": _q_dedup_method_venn,
         "edit_verified_pairs": _q_edit_verified_pairs,
         "content_novelty": _q_content_novelty,
+        "source_quality_report": _q_source_quality_report,
         "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
@@ -6253,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_venn": _dedup_method_venn_oracle_sql(),
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
+        "source_quality_report": _source_quality_report_oracle_sql(),
         "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (

@@ -116,3 +116,79 @@ def sensen_keep_dirs(
         return t.filter(pc.equal(t.column("has_exe"), True)).select(["dir"])
 
     return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def source_quality_report(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "source",
+) -> "ray.data.Dataset":
+    """Per-source curation dashboard — the table a pipeline owner reads
+    before setting tier budgets: per ``key_col``,
+
+        n_docs, n_gopher_pass (Gopher rules keep), sum_quality /
+        n_quality_keep (hashed-BoW classifier), n_exact_dup (docs an
+        exact keep-first dedup would drop).
+
+    ONE fused text scan computes both stateless quality kernels
+    (stages/quality.gopher_rules + quality_score) per batch and
+    pre-aggregates per source; the exact-dup flag set is the pair
+    output's dup side (bounded by dup density, broadcast once). Partial
+    rows are n_sources per batch, folded driver-side — no string-key
+    groupby shuffle (the known Ray string-sort pathology). All-integer
+    output, fully SQL-restatable."""
+    import ray as _ray
+
+    from dupers_ray.stages.quality import gopher_rules, quality_score
+
+    dup_df = exact_dupe_pairs(
+        docs.select_columns([id_col, text_col]),
+        id_col=id_col, content_col=text_col,
+    ).to_pandas()
+    col = f"match_{id_col}"
+    dup_ids = (
+        np.sort(dup_df[col].to_numpy(np.int64))
+        if len(dup_df) and col in dup_df.columns else np.empty(0, np.int64)
+    )
+    ref = _ray.put(dup_ids)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        dups = _ray.get(ref)
+        g = gopher_rules(t, id_col=id_col, text_col=text_col)
+        q = quality_score(t, id_col=id_col, text_col=text_col)
+        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        if len(dups):
+            pos = np.searchsorted(dups, ids).clip(0, len(dups) - 1)
+            is_dup = (dups[pos] == ids).astype(np.int64)
+        else:
+            is_dup = np.zeros(len(ids), np.int64)
+        keys, inv = np.unique(
+            np.asarray(t.column(key_col).to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        def agg(v):
+            return np.bincount(inv, weights=v, minlength=len(keys)).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(list(keys), pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=len(keys)).astype(np.int64)),
+            "n_gopher_pass": pa.array(agg(
+                np.asarray(g.column("keep"), dtype=np.int64))),
+            "sum_quality": pa.array(agg(
+                np.asarray(q.column("score"), dtype=np.int64))),
+            "n_quality_keep": pa.array(agg(
+                np.asarray(q.column("keep"), dtype=np.int64))),
+            "n_exact_dup": pa.array(agg(is_dup)),
+        })
+
+    parts = docs.select_columns([id_col, text_col, key_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.groupby(key_col, as_index=False)[
+            ["n_docs", "n_gopher_pass", "sum_quality",
+             "n_quality_keep", "n_exact_dup"]
+        ].sum().sort_values(key_col)
+    )
+    return ray.data.from_pandas(out)

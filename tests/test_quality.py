@@ -217,3 +217,43 @@ def test_score_with_bow_weights_roundtrip():
              % np.uint64(512)).astype(np.int64)
         s = int(w[b].sum())
         assert got[i] == (s, int(np.sign(s)))
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality dashboard (pipelines/report.source_quality_report)
+# ---------------------------------------------------------------------------
+
+
+def test_source_quality_report_composes_kernels():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.report import source_quality_report
+    from dupers_ray.stages.quality import gopher_rules, quality_score
+
+    texts = [
+        " ".join(["the quick brown fox jumps over a lazy dog again"] * 10),
+        " ".join(["another page with the usual stopword mix in it"] * 10),
+        "tiny",                   # fails gopher min-words
+        None,                     # null text
+    ]
+    # two sources; doc 1 text duplicated into source b twice -> 1 exact dup
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": texts + [texts[1]],
+        "source": ["a", "a", "b", "b", "b"],
+    })
+    got = (
+        source_quality_report(rd.from_arrow(tbl).repartition(3))
+        .to_pandas().set_index("source")
+    )
+    g = gopher_rules(tbl).to_pandas().set_index("doc_id")
+    q = quality_score(tbl).to_pandas().set_index("doc_id")
+    for src, ids in {"a": [0, 1], "b": [2, 3, 4]}.items():
+        assert got.loc[src, "n_docs"] == len(ids)
+        assert got.loc[src, "n_gopher_pass"] == g.loc[ids, "keep"].sum()
+        assert got.loc[src, "sum_quality"] == q.loc[ids, "score"].sum()
+        assert got.loc[src, "n_quality_keep"] == q.loc[ids, "keep"].sum()
+    # doc 4 duplicates doc 1's text; keep-first drops the larger id
+    assert got.loc["a", "n_exact_dup"] == 0
+    assert got.loc["b", "n_exact_dup"] == 1
