@@ -3290,6 +3290,81 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_lexical_semantic_agreement(sf_dir: str):
+    """Pair-counting agreement between the flagship LEXICAL near-dup
+    clusters and the SEMANTIC k-means cells (text -> embed_texts ->
+    SemDeDup cell map): quantifies the SemDeDup premise that lexical
+    duplicates co-locate in embedding cells (containment_a_ppm is the
+    fraction of lexical dup-pair mass the cells capture). Same C(n,2)
+    arithmetic as cluster_agreement — no pair enumeration."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.diff import cluster_agreement
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    from dupers_ray.stages.embed_texts import embed_texts
+    from dupers_ray.stages.semdedup import semantic_dedup
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    a = dupe_clusters(docs, DedupConfig(id_col="doc_id", text_col="text"))
+    emb = embed_texts(docs, concurrency=(1, 4)).filter(expr="n_tokens > 0")
+    sem = semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, iters=0, id_col="doc_id"
+    ).select_columns(["doc_id", "cell"])
+    return cluster_agreement(a, sem, b_col="cell")
+
+
+def _lexical_semantic_agreement_oracle_sql() -> str:
+    """Flagship cluster SQL x the semantic cell-map CTE chain, joined
+    into the same joint-count C(n,2) arithmetic the cluster_agreement
+    oracle uses (tokenless docs absent from the cell map, so the inner
+    join intersects exactly like the engine's cogroup join)."""
+    near = _near_dup_clusters_oracle_sql()
+    return f"""
+        WITH a AS ({near}),
+        {_embed_sql_cte()},
+        embl AS (
+            SELECT doc_id,
+                   list(CAST(v AS DOUBLE) ORDER BY j) AS embedding
+            FROM emb GROUP BY doc_id
+        ), cents AS (
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell,
+                   embedding AS ce
+            FROM embl
+            QUALIFY row_number() OVER (ORDER BY doc_id) <= 8
+        ), assign AS (
+            SELECT e.doc_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.doc_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC,
+                                c.cell ASC
+                   ) AS rk
+            FROM embl e CROSS JOIN cents c
+        ), cellmap AS (
+            SELECT doc_id, cell FROM assign WHERE rk = 1
+        ), j AS (
+            SELECT a.cluster_id AS ca, b.cell AS cb, count(*) AS n
+            FROM a JOIN cellmap b ON a.doc_id = b.doc_id GROUP BY 1, 2
+        ),
+        pb AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v FROM j),
+        ma AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v
+               FROM (SELECT sum(n) AS n FROM j GROUP BY ca)),
+        mb AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS v
+               FROM (SELECT sum(n) AS n FROM j GROUP BY cb))
+        SELECT CAST(ma.v AS BIGINT) AS pairs_a,
+               CAST(mb.v AS BIGINT) AS pairs_b,
+               CAST(pb.v AS BIGINT) AS pairs_both,
+               CAST(CASE WHEN ma.v > 0
+                    THEN pb.v * 1000000 // ma.v ELSE 0 END AS BIGINT)
+                   AS containment_a_ppm,
+               CAST(CASE WHEN mb.v > 0
+                    THEN pb.v * 1000000 // mb.v ELSE 0 END AS BIGINT)
+                   AS containment_b_ppm,
+               CAST(CASE WHEN ma.v + mb.v - pb.v > 0
+                    THEN pb.v * 1000000 // (ma.v + mb.v - pb.v)
+                    ELSE 0 END AS BIGINT) AS jaccard_ppm
+        FROM pb, ma, mb
+    """
+
+
 def _q_source_quality_report(sf_dir: str):
     """Per-source curation dashboard (pipelines/report.py
     source_quality_report): Gopher passes, hashed-BoW quality sums,
@@ -5540,6 +5615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_verified_pairs": _q_edit_verified_pairs,
         "content_novelty": _q_content_novelty,
         "source_quality_report": _q_source_quality_report,
+        "lexical_semantic_agreement": _q_lexical_semantic_agreement,
         "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
@@ -6295,6 +6371,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
         "source_quality_report": _source_quality_report_oracle_sql(),
+        "lexical_semantic_agreement": _lexical_semantic_agreement_oracle_sql(),
         "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (
