@@ -3290,6 +3290,35 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_top_quality_per_source(sf_dir: str):
+    """Grouped top-k without a global sort (pipelines/report.py
+    top_quality_per_source): per source, the 3 highest hashed-BoW
+    quality scores (min-id ties). Partial per-batch top-k folds
+    driver-side; the oracle is the row_number window."""
+    from dupers_ray.pipelines.report import top_quality_per_source
+
+    return top_quality_per_source(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]), k=3
+    )
+
+
+def _top_quality_per_source_oracle_sql() -> str:
+    q = _quality_oracle_sql()
+    return f"""
+        WITH q AS (SELECT * FROM ({q})),
+        r AS (
+            SELECT d.source, q.doc_id, q.score,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.score DESC, q.doc_id ASC
+                   ) AS rk
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+        )
+        SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, score
+        FROM r WHERE rk <= 3
+    """
+
+
 def _q_lexical_semantic_agreement(sf_dir: str):
     """Pair-counting agreement between the flagship LEXICAL near-dup
     clusters and the SEMANTIC k-means cells (text -> embed_texts ->
@@ -5616,6 +5645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_novelty": _q_content_novelty,
         "source_quality_report": _q_source_quality_report,
         "lexical_semantic_agreement": _q_lexical_semantic_agreement,
+        "top_quality_per_source": _q_top_quality_per_source,
         "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
@@ -6372,6 +6402,7 @@ def oracle_sql() -> dict[str, str]:
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
         "source_quality_report": _source_quality_report_oracle_sql(),
         "lexical_semantic_agreement": _lexical_semantic_agreement_oracle_sql(),
+        "top_quality_per_source": _top_quality_per_source_oracle_sql(),
         "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (

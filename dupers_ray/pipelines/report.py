@@ -192,3 +192,51 @@ def source_quality_report(
         ].sum().sort_values(key_col)
     )
     return ray.data.from_pandas(out)
+
+
+def top_quality_per_source(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "source",
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Per-source top-k docs by hashed-BoW quality score (ties broken by
+    min id) — grouped top-k WITHOUT a global sort: each batch emits at
+    most k rows per source it contains (partial top-k is closed under
+    merge), and the ≤ n_batches*k*n_sources partials fold driver-side
+    (source cardinality is broadcast-bounded; swap the fold for a
+    groupby(key).map_groups when it is not). The reference's closest
+    surface is its full ORDER-BY listing (`dupers ls`,
+    pkg/database/database.go:373-447); this is the bounded-memory
+    corpus-scale version of 'show me the best pages per site'."""
+    from dupers_ray.stages.quality import quality_score
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = quality_score(t, id_col=id_col, text_col=text_col)
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_pylist(),
+            id_col: np.asarray(t.column(id_col), dtype=np.int64),
+            "score": np.asarray(q.column("score"), dtype=np.int64),
+        })
+        df = df.sort_values(
+            [key_col, "score", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(
+            df.groupby(key_col, sort=False).head(k), preserve_index=False
+        )
+
+    parts = docs.select_columns([id_col, text_col, key_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    parts = parts.sort_values(
+        [key_col, "score", id_col], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = parts.groupby(key_col, sort=False).head(k).copy()
+    top["rank"] = top.groupby(key_col, sort=False).cumcount() + 1
+    return ray.data.from_pandas(
+        top[[key_col, "rank", id_col, "score"]].reset_index(drop=True)
+    )

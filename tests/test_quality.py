@@ -257,3 +257,36 @@ def test_source_quality_report_composes_kernels():
     # doc 4 duplicates doc 1's text; keep-first drops the larger id
     assert got.loc["a", "n_exact_dup"] == 0
     assert got.loc["b", "n_exact_dup"] == 1
+
+
+def test_top_quality_per_source_partial_merge_invariant():
+    """Partial per-batch top-k folds must equal the single-partition
+    answer at any block layout, including ties broken by min id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.report import top_quality_per_source
+    from dupers_ray.stages.quality import quality_score
+
+    texts = [f"word{i} alpha beta gamma delta common tail tokens" for i in range(20)]
+    tbl = pa.table({
+        "doc_id": list(range(20)),
+        "text": texts,
+        "source": ["a", "b"] * 10,
+    })
+    one = top_quality_per_source(rd.from_arrow(tbl), k=3).to_pandas()
+    many = top_quality_per_source(
+        rd.from_arrow(tbl).repartition(7), k=3
+    ).to_pandas()
+    key = lambda df: df.sort_values(["source", "rank"]).values.tolist()  # noqa: E731
+    assert key(one) == key(many)
+    # cross-check against a pandas reference
+    q = quality_score(tbl).to_pandas()
+    q["source"] = tbl.column("source").to_pylist()
+    exp = (
+        q.sort_values(["source", "score", "doc_id"],
+                      ascending=[True, False, True])
+        .groupby("source").head(3)
+    )
+    got = one.sort_values(["source", "rank"])
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
