@@ -3290,6 +3290,45 @@ def _q_paragraph_dedup(sf_dir: str):
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Positional phrase search (pipelines/invindex.phrase_search):
+    docs containing the exact token phrase 'customer join' with
+    occurrence counts. Partition-pruned occurrence reads shrink to
+    packed (doc<<20|pos) keys; the phrase constraint is n-1 global
+    sorted-set intersections. Oracle: position self-join over the
+    tokenized stream."""
+    import hashlib as _h
+
+    from dupers_ray.pipelines.invindex import build_phrase_index, phrase_search
+
+    slug = _h.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/dupers_ray_phraseidx/{slug}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        build_phrase_index(_tbl(sf_dir, "documents", ["doc_id", "text"]), out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return phrase_search(out, ["customer", "join"])
+
+
+_PHRASE_SEARCH_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i AS pos, tk[i] AS tok
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i)
+    )
+    SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM pos p0 JOIN pos p1
+      ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+    WHERE p0.tok = 'customer' AND p1.tok = 'join'
+    GROUP BY p0.doc_id
+"""
+
+
 def _q_top_quality_per_source(sf_dir: str):
     """Grouped top-k without a global sort (pipelines/report.py
     top_quality_per_source): per source, the 3 highest hashed-BoW
@@ -5646,6 +5685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_report": _q_source_quality_report,
         "lexical_semantic_agreement": _q_lexical_semantic_agreement,
         "top_quality_per_source": _q_top_quality_per_source,
+        "phrase_search": _q_phrase_search,
         "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
@@ -6403,6 +6443,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_report": _source_quality_report_oracle_sql(),
         "lexical_semantic_agreement": _lexical_semantic_agreement_oracle_sql(),
         "top_quality_per_source": _top_quality_per_source_oracle_sql(),
+        "phrase_search": _PHRASE_SEARCH_ORACLE,
         "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (

@@ -312,3 +312,130 @@ def bm25_scores(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_POS_BITS = 20  # positions pack into the low 20 bits of (doc << 20 | pos)
+
+
+def build_phrase_index(
+    ds: "rd.Dataset",
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int = DEFAULT_PARTITIONS,
+) -> None:
+    """Positional token index for phrase queries: one row per token
+    OCCURRENCE (th, id, pos — 24 B), hive-partitioned by ``th %
+    partitions`` like the tf index. Kept separate from the BM25 index
+    because positions multiply row count by the average tf; build it
+    only when phrase search is needed (the standard Lucene trade).
+    Position packing bounds docs at 2^20 tokens (longer docs truncate;
+    a 1M-token web page is not a phrase-search target)."""
+    from dupers_ray.stages.lmstats import _doc_tokens
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        th, lens = _doc_tokens(t.column(text_col), ids)
+        pos_in_doc = np.arange(len(th), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        keep = pos_in_doc < (1 << _POS_BITS)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)[keep]
+        th, pos_in_doc = th[keep], pos_in_doc[keep]
+        return pa.table({
+            "th": pa.array(th.view(np.int64)),
+            id_col: pa.array(ids[doc_idx]),
+            "pos": pa.array(pos_in_doc),
+            "part": pa.array((th % np.uint64(partitions)).astype(np.int64)),
+        })
+
+    ds.select_columns([id_col, text_col]).map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={},
+    ).write_parquet(out_dir, partition_cols=["part"])
+
+
+def phrase_search(
+    index_dir: str,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    partitions: int = DEFAULT_PARTITIONS,
+) -> "rd.Dataset":
+    """Docs containing the exact token PHRASE (terms at consecutive
+    positions), with occurrence counts: (id_col, n_matches).
+
+    Scale shape: only the phrase terms' partitions are read; matched
+    occurrence rows shrink to packed (doc << 20 | pos) int64 keys and
+    the phrase constraint is n-1 GLOBAL sorted-set intersections
+    (np.intersect1d over all docs at once — positions of doc boundaries
+    can't collide across docs by the packing), so no per-doc Python and
+    no text bytes move. The driver holds one sorted key array per term,
+    bounded by the terms' posting sizes — for rare-term phrases (the
+    common case) tiny; a stopword-phrase query pays proportionally, as
+    in any positional index."""
+    import glob
+
+    if not phrase:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    th = hash_str_u64(list(phrase)).view(np.int64)  # per phrase slot
+    uniq = np.unique(th)
+    parts = sorted({int(h) for h in (uniq.view(np.uint64) % np.uint64(partitions))})
+    paths = [
+        f
+        for p in parts
+        for f in sorted(glob.glob(os.path.join(index_dir, f"part={p}", "*.parquet")))
+    ]
+    if not paths:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    need = pa.array(uniq)
+
+    def gather(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.is_in(t.column("th"), value_set=need))
+        return m.select(["th", id_col, "pos"])
+
+    matched = rd.read_parquet(paths, columns=["th", id_col, "pos"]).map_batches(
+        gather, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(matched):
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    keys_by_th: dict[int, np.ndarray] = {}
+    packed = (
+        matched[id_col].to_numpy(np.int64) << _POS_BITS
+    ) | matched["pos"].to_numpy(np.int64)
+    for h in uniq:
+        keys_by_th[int(h)] = np.sort(
+            packed[matched["th"].to_numpy(np.int64) == h]
+        )
+    starts = keys_by_th.get(int(th[0]), np.empty(0, np.int64))
+    pos_mask = np.int64((1 << _POS_BITS) - 1)
+    for i in range(1, len(th)):
+        nxt = keys_by_th.get(int(th[i]), np.empty(0, np.int64))
+        # occurrences with pos < i can't continue a phrase; dropping them
+        # also stops the subtraction from wrapping into the previous
+        # doc's packed key space
+        nxt = nxt[(nxt & pos_mask) >= i]
+        starts = np.intersect1d(starts, nxt - i, assume_unique=True)
+        if not len(starts):
+            break
+    if not len(starts):
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+        }))
+    docs = starts >> _POS_BITS
+    u, n = np.unique(docs, return_counts=True)
+    return rd.from_arrow(pa.table({
+        id_col: pa.array(u.astype(np.int64)),
+        "n_matches": pa.array(n.astype(np.int64)),
+    }))

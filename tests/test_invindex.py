@@ -193,3 +193,50 @@ def test_update_token_index_idempotent(tmp_path):
     assert update_token_index(ds, idx, partitions=8) == 0
     with open(os.path.join(idx, "_stats.json")) as f:
         assert json.load(f) == before
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (build_phrase_index / phrase_search)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_matches_bruteforce(tmp_path):
+    from dupers_ray.pipelines.invindex import build_phrase_index, phrase_search
+
+    texts = [
+        "alpha beta gamma alpha beta",      # 'alpha beta' twice
+        "beta alpha beta gamma",            # once (positions 1-2)
+        "alpha gamma beta",                 # never adjacent
+        "alpha beta",                       # once
+        "",
+        None,
+        "beta beta beta",                   # repeated-term phrase fodder
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    idx = str(tmp_path / "pidx")
+    build_phrase_index(ds, idx, partitions=8)
+
+    def brute(phrase):
+        out = {}
+        for i, t in enumerate(texts):
+            toks = _TOK.findall((t or "").lower())
+            n = sum(
+                1 for j in range(len(toks) - len(phrase) + 1)
+                if toks[j: j + len(phrase)] == phrase
+            )
+            if n:
+                out[i] = n
+        return out
+
+    for phrase in (["alpha", "beta"], ["beta", "gamma"],
+                   ["beta", "beta"], ["alpha", "beta", "gamma"],
+                   ["gamma", "zeta"], ["alpha"]):
+        got = phrase_search(idx, phrase, partitions=8).to_pandas()
+        exp = brute(phrase)
+        if "doc_id" not in got.columns:   # zero-row blocks lose schema
+            assert len(got) == 0 and exp == {}, phrase
+            continue
+        assert dict(zip(got["doc_id"].astype(int), got["n_matches"].astype(int))) == exp, phrase
