@@ -698,6 +698,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out")
     s.set_defaults(fn=cmd_bm25)
 
+    s = sub.add_parser("phrase", help="positional phrase search")
+    s.add_argument("corpus", help="corpus dir (builds the index on first use)")
+    s.add_argument("index_dir", help="positional index dir (created if absent)")
+    s.add_argument("terms", nargs="+", help="phrase tokens in order")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_phrase)
+
     s = sub.add_parser(
         "venn", help="dedup-method overlap histogram (exact/norm/near/simhash)")
     s.add_argument("corpus")
@@ -757,6 +766,20 @@ def cmd_bm25(a) -> int:
         out = out.sort("score", descending=True).limit(a.k)
         out = rd.from_pandas(out.to_pandas())  # small: k rows
     _emit(out, a.out, "bm25")
+    return 0
+
+
+def cmd_phrase(a) -> int:
+    from dupers_ray.pipelines.invindex import build_phrase_index, phrase_search
+
+    if not os.path.isdir(a.index_dir) or not os.listdir(a.index_dir):
+        build_phrase_index(
+            _read(a.corpus), a.index_dir,
+            id_col=a.id_col, text_col=a.text_col,
+        )
+        print(f"phrase: built positional index at {a.index_dir}")
+    out = phrase_search(a.index_dir, a.terms, id_col=a.id_col)
+    _emit(out, a.out, "phrase")
     return 0
 
 
