@@ -99,3 +99,24 @@ def test_edit_verified_pairs_empty_pair_set():
     # (Ray drops zero-row blocks, so no column assertion — the guard's
     # job is that the join chain doesn't raise on an empty pair set)
     assert len(out) == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.text("abcX ", max_size=64), st.text("abcX ", max_size=64)),
+            min_size=1, max_size=8,
+        )
+    )
+    def test_myers_property_matches_dp(pairs):
+        a = [p[0] for p in pairs]
+        b = [p[1] for p in pairs]
+        got = myers_prefix_distance(a, b)
+        exp = [_dp(x, y) for x, y in pairs]
+        assert got.tolist() == exp
+except ImportError:  # pragma: no cover
+    pass
