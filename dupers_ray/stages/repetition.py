@@ -72,6 +72,30 @@ def repetition_stats(
     return pa.table(cols)
 
 
+_GRAM_PARTITIONS = 256
+
+
+def _by_gram_partition(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Append ``__part = gram % P`` and coalesce blocks (the sort
+    AllToAll pays per-block scheduling; same fix as exact_dedup)."""
+    def add_part(t: pa.Table) -> pa.Table:
+        gr = np.asarray(t.column("gram"), dtype=np.int64).view(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array((gr % np.uint64(_GRAM_PARTITIONS)).astype(np.int64)),
+        )
+
+    try:
+        import ray as _r
+
+        ncpu = int(_r.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    return ds.map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(max(8, 2 * ncpu))
+
+
 def dup_ngram_coverage(
     docs: "ray.data.Dataset",
     *,
@@ -104,33 +128,38 @@ def dup_ngram_coverage(
         shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def tag_shared(g: pa.Table) -> pa.Table:
-        # rows are distinct (gram, doc) by construction; a group with >=2
-        # rows means the gram crosses documents
-        shared = np.full(g.num_rows, 1 if g.num_rows >= 2 else 0, np.int64)
-        return pa.table(
-            {
-                id_col: g.column(id_col),
-                "n_grams": g.column("n_grams"),
-                "shared": pa.array(shared),
-            }
-        )
+    # partition by gram-hash range, NOT by distinct gram: map_groups on
+    # the raw gram key costs one Python group-call per DISTINCT gram —
+    # ~10^8 calls on a 600k-page corpus (measured pathological). The
+    # _GRAM_PARTITIONS-way partition resolves each group with ONE
+    # vectorized sort + reduceat pass instead (exact_dedup's __part
+    # pattern; grams never split across partitions, so per-partition
+    # run-length counts are globally exact).
+    def tag_shared_part(g: pa.Table) -> pa.Table:
+        gr = np.asarray(g.column("gram"), dtype=np.int64)
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        ng = np.asarray(g.column("n_grams"), dtype=np.int64)
+        order = np.argsort(gr, kind="stable")
+        gs = gr[order]
+        new = np.r_[True, gs[1:] != gs[:-1]] if len(gs) else np.empty(0, bool)
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.r_[idx, len(gs)])
+        shared_sorted = np.repeat((counts >= 2).astype(np.int64), counts)
+        shared = np.empty(len(gs), np.int64)
+        shared[order] = shared_sorted
+        # per-doc partial within the partition (n_grams is constant per
+        # doc — any occurrence carries it)
+        u, first, inv = np.unique(ids, return_index=True, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(u),
+            "n_grams": pa.array(ng[first]),
+            "shared": pa.array(np.bincount(inv, weights=shared).astype(np.int64)),
+        })
 
-    tagged = gram_rows.groupby("gram").map_groups(
-        tag_shared, batch_format="pyarrow"
+    tagged = _by_gram_partition(gram_rows).groupby("__part").map_groups(
+        tag_shared_part, batch_format="pyarrow"
     )
-
-    def combine(t: pa.Table) -> pa.Table:
-        g = (
-            t.group_by([id_col])
-            .aggregate([("n_grams", "max"), ("shared", "sum")])
-        )
-        return g.rename_columns([id_col, "n_grams", "shared"])
-
-    partials = tagged.map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True
-    )
-    out = partials.groupby(id_col).aggregate(Max("n_grams"), Sum("shared"))
+    out = tagged.groupby(id_col).aggregate(Max("n_grams"), Sum("shared"))
     return out.map_batches(
         lambda t: t.rename_columns([id_col, "n_grams", "n_dup_grams"]),
         batch_format="pyarrow",
@@ -153,7 +182,7 @@ def content_novelty(
 
     Same scale shape as :func:`dup_ngram_coverage` — one shingle
     combiner pass, a (gram, doc) 16 B-row shuffle where each gram group
-    resolves its min-id owner vectorized-free (group rows only), then
+    partition resolves min-id owners in one vectorized pass, then
     one per-doc sum; text bytes never shuffle, nothing broadcasts.
     Shingle-less docs are absent from the output (same contract)."""
     from dupers_ray.pipelines.decontam import _shingle_hashes
@@ -175,32 +204,36 @@ def content_novelty(
         shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def tag_novel(g: pa.Table) -> pa.Table:
+    # partition by gram-hash range (see dup_ngram_coverage: per-distinct-
+    # gram map_groups is one Python call per gram — pathological at web
+    # scale); each partition resolves min-id owners in one sort+reduceat
+    def tag_novel_part(g: pa.Table) -> pa.Table:
+        gr = np.asarray(g.column("gram"), dtype=np.int64)
         ids = np.asarray(g.column(id_col), dtype=np.int64)
-        novel = (ids == ids.min()).astype(np.int64)
-        return pa.table(
-            {
-                id_col: g.column(id_col),
-                "n_grams": g.column("n_grams"),
-                "novel": pa.array(novel),
-            }
+        ng = np.asarray(g.column("n_grams"), dtype=np.int64)
+        order = np.argsort(gr, kind="stable")
+        gs, ds_ = gr[order], ids[order]
+        new = np.r_[True, gs[1:] != gs[:-1]] if len(gs) else np.empty(0, bool)
+        idx = np.flatnonzero(new)
+        counts = np.diff(np.r_[idx, len(gs)])
+        owners = (
+            np.minimum.reduceat(ds_, idx) if len(idx)
+            else np.empty(0, np.int64)
         )
+        novel_sorted = (ds_ == np.repeat(owners, counts)).astype(np.int64)
+        novel = np.empty(len(gs), np.int64)
+        novel[order] = novel_sorted
+        u, first, inv = np.unique(ids, return_index=True, return_inverse=True)
+        return pa.table({
+            id_col: pa.array(u),
+            "n_grams": pa.array(ng[first]),
+            "novel": pa.array(np.bincount(inv, weights=novel).astype(np.int64)),
+        })
 
-    tagged = gram_rows.groupby("gram").map_groups(
-        tag_novel, batch_format="pyarrow"
+    tagged = _by_gram_partition(gram_rows).groupby("__part").map_groups(
+        tag_novel_part, batch_format="pyarrow"
     )
-
-    def combine(t: pa.Table) -> pa.Table:
-        g = (
-            t.group_by([id_col])
-            .aggregate([("n_grams", "max"), ("novel", "sum")])
-        )
-        return g.rename_columns([id_col, "n_grams", "novel"])
-
-    partials = tagged.map_batches(
-        combine, batch_format="pyarrow", zero_copy_batch=True
-    )
-    out = partials.groupby(id_col).aggregate(Max("n_grams"), Sum("novel"))
+    out = tagged.groupby(id_col).aggregate(Max("n_grams"), Sum("novel"))
     return out.map_batches(
         lambda t: t.rename_columns([id_col, "n_grams", "n_novel"]),
         batch_format="pyarrow",
