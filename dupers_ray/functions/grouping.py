@@ -1,0 +1,72 @@
+"""Bounded-fan-out grouped execution.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per DISTINCT
+key — fine for bounded keys (cells, parts), pathological for unbounded
+ones: one Python call per doc/domain/gram means 10^6-10^8 interpreter
+round-trips at web scale (measured: the per-gram variant burned 16
+workers x 17 CPU-min without finishing 600k pages; the partitioned
+rewrite finishes in ~6 min). This helper partitions by ``hash(key) %
+num_partitions`` instead and invokes ``fn`` once per PARTITION; ``fn``
+MUST therefore aggregate per key internally (regroup) — equal keys
+always co-locate, so per-partition results are globally exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+DEFAULT_GROUP_PARTITIONS = 256
+
+
+def keyed_partition_map_groups(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    fn,
+    *,
+    num_partitions: int = DEFAULT_GROUP_PARTITIONS,
+    batch_format: str = "pandas",
+    coalesce: bool = True,
+) -> "ray.data.Dataset":
+    """groupby-by-key-hash-range replacement for
+    ``ds.groupby(key_col).map_groups(fn)``. ``fn`` receives one frame
+    per partition holding EVERY row of each key hashed there and must
+    reduce per key itself. Integer keys hash by value; string keys via
+    the vectorized string hash (equal keys → equal buckets is all the
+    partition needs). ``coalesce`` repartitions to ~2 blocks/CPU first
+    (Ray's sort AllToAll pays per-block scheduling — the exact_dedup
+    fix)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kcol = t.column(key_col)
+        if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+            from dupers_ray.pipelines.maintenance import hash_str_keys
+
+            keys = hash_str_keys(kcol)
+        else:
+            keys = np.asarray(kcol, dtype=np.uint64)
+        return t.append_column(
+            "__kp",
+            pa.array((keys % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    out = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    if coalesce:
+        try:
+            import ray as _r
+
+            ncpu = int(_r.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            ncpu = 8
+        out = out.repartition(max(8, 2 * ncpu))
+
+    if batch_format == "pandas":
+        def wrapped(df):
+            return fn(df.drop(columns="__kp"))
+    else:
+        def wrapped(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns(["__kp"]))
+
+    return out.groupby("__kp").map_groups(wrapped, batch_format=batch_format)

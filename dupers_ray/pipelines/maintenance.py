@@ -250,14 +250,16 @@ def latest_per_key(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(cols).tail(1)
+        # partition-wise (bounded fan-out): newest row per key WITHIN
+        # the key-hash partition — keys co-locate, so globally exact
+        return df.sort_values(cols).groupby(key_col, sort=False).tail(1)
+
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    return parts.groupby(key_col).map_groups(
-        resolve, batch_format="pandas"
-    )
+    return keyed_partition_map_groups(parts, key_col, resolve)
 
 
 def hash_str_keys(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:

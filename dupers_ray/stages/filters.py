@@ -230,5 +230,9 @@ def top_per_group(
             [group_col, *cols], ascending=[True, *asc], kind="mergesort"
         ).groupby(group_col, sort=False).head(n)
 
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
     parts = ds.map_batches(topn, batch_format="pandas")
-    return parts.groupby(group_col).map_groups(topn, batch_format="pandas")
+    # bounded fan-out: one call per key-hash partition, not per distinct
+    # group (per-domain calls are 10^6+ at web scale); topn regroups
+    return keyed_partition_map_groups(parts, group_col, topn)

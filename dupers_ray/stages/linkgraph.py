@@ -311,12 +311,13 @@ def anchor_profiles(
             .sum().reset_index()
         )
 
-    return (
-        links.select_columns(["dst_host", anchor_col])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("dst_host")
-        .map_groups(merge, batch_format="pandas")
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
+    parts = links.select_columns(["dst_host", anchor_col]).map_batches(
+        partial, batch_format="pandas"
     )
+    # bounded fan-out (hosts are unbounded); merge regroups internally
+    return keyed_partition_map_groups(parts, "dst_host", merge)
 
 
 def _host_index(

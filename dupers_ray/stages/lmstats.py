@@ -251,7 +251,14 @@ def doc_freq_stats(
         agg.loc[agg["min_freq"] == sent, "min_freq"] = 0
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return partials.groupby(id_col).map_groups(final, batch_format="pyarrow")
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
+    # bounded fan-out: per-doc map_groups would be one Python call per
+    # document; final() regroups internally so key-hash partitions are
+    # exact (functions/grouping.py)
+    return keyed_partition_map_groups(
+        partials, id_col, final, batch_format="pyarrow"
+    )
 
 
 def corpus_doc_freqs(ds: "ray.data.Dataset", *, text_col: str = "text"):

@@ -241,18 +241,27 @@ def grouped_quantiles_disc(
         zero_copy_batch=True,
     )
 
-    def per_group(df: "pd.DataFrame") -> "pd.DataFrame":
+    def one_group(df: "pd.DataFrame") -> dict:
         agg = df.groupby(value_col, sort=True)["cnt"].sum()
         vals = agg.index.to_numpy()
         cum = agg.to_numpy().cumsum()
         n = int(cum[-1])
-        row: dict = {group_col: [df[group_col].iloc[0]]}
+        row: dict = {group_col: df[group_col].iloc[0]}
         for q, name in zip(qs, out_cols):
             target = max(1, math.ceil(q * n))
-            row[name] = [vals[int(np.searchsorted(cum, target))]]
-        return pd.DataFrame(row)
+            row[name] = vals[int(np.searchsorted(cum, target))]
+        return row
 
-    return parts.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        # bounded fan-out (functions/grouping.py): every key in the
+        # partition reduces here — one histogram walk per key
+        return pd.DataFrame([
+            one_group(sub) for _, sub in df.groupby(group_col, sort=True)
+        ])
+
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
+    return keyed_partition_map_groups(parts, group_col, per_partition)
 
 
 def global_value_ranks(
