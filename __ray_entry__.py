@@ -3549,6 +3549,48 @@ def _edit_verified_pairs_oracle_sql() -> str:
     """
 
 
+def _q_cluster_edit_profile(sf_dir: str):
+    """Intra-cluster divergence (stages/editdist.cluster_edit_profile):
+    per flagship near-dup cluster member, the exact 64-char-prefix edit
+    distance to its cluster anchor — the threshold-tuning readout.
+    Anchor pairs derive from the parallelism-independent ASSIGNMENT
+    (the shard-dependent candidate star edges never surface). Oracle:
+    flagship SQL + levenshtein."""
+    from dupers_ray.stages.editdist import cluster_edit_profile
+
+    return cluster_edit_profile(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _cluster_edit_profile_oracle_sql() -> str:
+    near = _near_dup_clusters_oracle_sql()
+    return f"""
+        WITH assign AS ({near}),
+        nodes2 AS (
+            SELECT doc_id,
+                   ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT
+                       AS node
+            FROM documents
+        ), anchors AS (
+            SELECT a.cluster_id, n.doc_id AS anchor_id
+            FROM assign a JOIN nodes2 n ON n.doc_id = a.doc_id
+            WHERE n.node = a.cluster_id
+        ), members AS (
+            SELECT an.anchor_id, a.doc_id AS member_id
+            FROM assign a
+            JOIN nodes2 n ON n.doc_id = a.doc_id
+            JOIN anchors an ON an.cluster_id = a.cluster_id
+            WHERE n.node <> a.cluster_id
+        )
+        SELECT m.anchor_id, m.member_id,
+               CAST(levenshtein(substr(ta.text, 1, 64),
+                                substr(tb.text, 1, 64)) AS BIGINT)
+                   AS edit_dist
+        FROM members m
+        JOIN documents ta ON ta.doc_id = m.anchor_id
+        JOIN documents tb ON tb.doc_id = m.member_id
+    """
+
+
 def _q_dedup_method_venn(sf_dir: str):
     """Dedup-method Venn (pipelines/venn.dedup_method_venn): run exact /
     normalized / flagship-near / simhash dedup INDEPENDENTLY and
@@ -5686,6 +5728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_semantic_agreement": _q_lexical_semantic_agreement,
         "top_quality_per_source": _q_top_quality_per_source,
         "phrase_search": _q_phrase_search,
+        "cluster_edit_profile": _q_cluster_edit_profile,
         "bm25_incremental": _q_bm25_incremental,
         "bucket_rename": _q_bucket_rename,
         "segment_revenue": _q_segment_revenue,
@@ -6444,6 +6487,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_semantic_agreement": _lexical_semantic_agreement_oracle_sql(),
         "top_quality_per_source": _top_quality_per_source_oracle_sql(),
         "phrase_search": _PHRASE_SEARCH_ORACLE,
+        "cluster_edit_profile": _cluster_edit_profile_oracle_sql(),
         "bm25_incremental": _BM25_ORACLE,
         "paragraph_dedup": """
             WITH split AS (

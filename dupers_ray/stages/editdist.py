@@ -202,3 +202,150 @@ def edit_verified_pairs(
         })
 
     return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def annotate_pairs_prefix_distance(
+    pairs: "rd.Dataset",
+    docs: "rd.Dataset",
+    *,
+    left_col: str,
+    right_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 64,
+) -> "rd.Dataset":
+    """Annotate an id-keyed pair dataset with the exact edit distance of
+    the two docs' ``prefix``-char text prefixes (Myers, vectorized
+    across pairs). Two cogroup joins ship only (id, prefix) rows for
+    the paired docs; pair columns pass through, ``edit_dist`` appends."""
+    from dupers_ray.pipelines.joins import hash_join
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        pfx = [(s or "")[:prefix] for s in t.column(text_col).to_pylist()]
+        return pa.table({
+            "__pid": t.column(id_col).cast(pa.int64()),
+            "pfx": pa.array(pfx, pa.string()),
+        })
+
+    pfx_ds = docs.select_columns([id_col, text_col]).map_batches(
+        prefixes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pfx_schema = pa.schema([("__pid", pa.int64()), ("pfx", pa.string())])
+    from dupers_ray.pipelines.joins import _arrow_schema
+
+    pair_schema = _arrow_schema(pairs)
+    j1 = hash_join(
+        pairs, pfx_ds, on=left_col, right_on="__pid",
+        left_schema=pair_schema, right_schema=pfx_schema,
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [("pfx_a" if c == "pfx" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    j1_schema = pa.schema(
+        list(zip(pair_schema.names, pair_schema.types))
+        + [("pfx_a", pa.string())]
+    )
+    j2 = hash_join(
+        j1, pfx_ds, on=right_col, right_on="__pid",
+        left_schema=j1_schema, right_schema=pfx_schema,
+    )
+    out_cols = list(pair_schema.names)
+
+    def score(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            cols = {c: pa.array([], pair_schema.field(c).type)
+                    for c in out_cols}
+            cols["edit_dist"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        d = myers_prefix_distance(
+            t.column("pfx_a").to_pylist(), t.column("pfx").to_pylist(),
+            m_cap=prefix,
+        )
+        cols = {c: t.column(c) for c in out_cols}
+        cols["edit_dist"] = pa.array(d)
+        return pa.table(cols)
+
+    return j2.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_edit_profile(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 64,
+) -> "rd.Dataset":
+    """Intra-cluster divergence profile: for every member of a multi-doc
+    flagship near-dup cluster, the exact edit distance between its
+    64-char text prefix and its cluster ANCHOR's (the doc whose node ==
+    the cluster label). The threshold-tuning readout: a cluster set
+    whose members sit at edit distance 0-2 is tight; a fat tail says
+    the LSH threshold is admitting template-mates, not duplicates.
+
+    Deterministic at any parallelism (anchor pairs derive from the
+    cluster ASSIGNMENT, which is parallelism-independent, not from the
+    shard-dependent candidate star edges). Output:
+    (anchor_id, member_id, edit_dist)."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.functions.hashing import node_ids
+    from dupers_ray.pipelines.dupe import dupe_clusters
+    import ray
+
+    cfg = DedupConfig(id_col=id_col, text_col=text_col)
+    assign = dupe_clusters(
+        docs.select_columns([id_col, text_col]), cfg
+    ).materialize()
+
+    def anchors(t: pa.Table) -> pa.Table:
+        node = node_ids([str(v) for v in t.column(id_col).to_pylist()])
+        cl = np.asarray(t.column("cluster_id"), dtype=np.uint64)
+        m = cl == node
+        return pa.table({
+            "cluster_id": t.column("cluster_id").filter(pa.array(m)),
+            "anchor_id": t.column(id_col).filter(pa.array(m)).cast(pa.int64()),
+        })
+
+    amap = assign.map_batches(
+        anchors, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    a_cl = np.sort(amap["cluster_id"].to_numpy(np.uint64))
+    order = np.argsort(amap["cluster_id"].to_numpy(np.uint64))
+    a_id = amap["anchor_id"].to_numpy(np.int64)[order]
+    ref = ray.put((a_cl, a_id))
+
+    def member_pairs(t: pa.Table) -> pa.Table:
+        cl_s, id_s = ray.get(ref)
+        node = node_ids([str(v) for v in t.column(id_col).to_pylist()])
+        cl = np.asarray(t.column("cluster_id"), dtype=np.uint64)
+        m = cl != node
+        cl_m = cl[m]
+        pos = np.searchsorted(cl_s, cl_m).clip(0, max(0, len(cl_s) - 1))
+        ok = len(cl_s) > 0
+        anchor = id_s[pos] if ok else np.empty(0, np.int64)
+        ids = np.asarray(
+            t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64
+        )[m]
+        return pa.table({
+            "anchor_id": pa.array(anchor),
+            "member_id": pa.array(ids),
+        })
+
+    pairs_df = assign.map_batches(
+        member_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(pairs_df):
+        return rd.from_arrow(pa.table({
+            "anchor_id": pa.array([], pa.int64()),
+            "member_id": pa.array([], pa.int64()),
+            "edit_dist": pa.array([], pa.int64()),
+        }))
+    pairs = rd.from_arrow(pa.table({
+        "anchor_id": pa.array(pairs_df["anchor_id"].to_numpy(np.int64)),
+        "member_id": pa.array(pairs_df["member_id"].to_numpy(np.int64)),
+    }))
+    return annotate_pairs_prefix_distance(
+        pairs, docs, left_col="anchor_id", right_col="member_id",
+        id_col=id_col, text_col=text_col, prefix=prefix,
+    )

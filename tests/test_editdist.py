@@ -120,3 +120,41 @@ try:
         assert got.tolist() == exp
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_cluster_edit_profile_pipeline():
+    from dupers_ray.stages.editdist import cluster_edit_profile
+
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "volunteers measure corpus duplication rates across pages"
+        for _ in range(5)
+    )
+    variant = base.replace("quick", "quark", 1)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, variant, "unrelated gardening text"], pa.string()),
+    })
+    out = (
+        cluster_edit_profile(rd.from_arrow(tbl))
+        .to_pandas().sort_values("member_id").reset_index(drop=True)
+    )
+    # docs 0/1 cluster together; one is the anchor, the other the member
+    assert len(out) == 1
+    pair = {int(out.loc[0, "anchor_id"]), int(out.loc[0, "member_id"])}
+    assert pair == {0, 1}
+    assert int(out.loc[0, "edit_dist"]) == _dp(base[:64], variant[:64])
+
+
+def test_cluster_edit_profile_no_clusters():
+    from dupers_ray.stages.editdist import cluster_edit_profile
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(
+            ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa"],
+            pa.string(),
+        ),
+    })
+    out = cluster_edit_profile(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 0
