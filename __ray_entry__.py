@@ -3433,6 +3433,18 @@ def _lexical_semantic_agreement_oracle_sql() -> str:
     """
 
 
+def _q_novelty_by_source(sf_dir: str):
+    """Per-source novelty rollup (stages/repetition.novelty_by_key):
+    which sources still contribute first-seen shingles vs recirculate —
+    the crawl-budget readout. One cogroup join of 16 B id rows +
+    driver fold of bounded key partials."""
+    from dupers_ray.stages.repetition import novelty_by_key
+
+    return novelty_by_key(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]), k=8
+    )
+
+
 def _q_source_quality_report(sf_dir: str):
     """Per-source curation dashboard (pipelines/report.py
     source_quality_report): Gopher passes, hashed-BoW quality sums,
@@ -5725,6 +5737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_verified_pairs": _q_edit_verified_pairs,
         "content_novelty": _q_content_novelty,
         "source_quality_report": _q_source_quality_report,
+        "novelty_by_source": _q_novelty_by_source,
         "lexical_semantic_agreement": _q_lexical_semantic_agreement,
         "top_quality_per_source": _q_top_quality_per_source,
         "phrase_search": _q_phrase_search,
@@ -6484,6 +6497,15 @@ def oracle_sql() -> dict[str, str]:
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
         "source_quality_report": _source_quality_report_oracle_sql(),
+        "novelty_by_source": f"""
+            WITH nov AS ({_CONTENT_NOVELTY_ORACLE})
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nov.n_grams) AS BIGINT) AS sum_grams,
+                   CAST(sum(nov.n_novel) AS BIGINT) AS sum_novel
+            FROM nov JOIN documents d ON d.doc_id = nov.doc_id
+            GROUP BY d.source
+        """,
         "lexical_semantic_agreement": _lexical_semantic_agreement_oracle_sql(),
         "top_quality_per_source": _top_quality_per_source_oracle_sql(),
         "phrase_search": _PHRASE_SEARCH_ORACLE,

@@ -238,3 +238,52 @@ def content_novelty(
         lambda t: t.rename_columns([id_col, "n_grams", "n_novel"]),
         batch_format="pyarrow",
     )
+
+
+def novelty_by_key(
+    docs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str = "source",
+    k: int = 8,
+) -> "ray.data.Dataset":
+    """Per-``key_col`` content-novelty rollup: (key, n_docs, sum_grams,
+    sum_novel) — "which sources still add new content, which only
+    recirculate" (the crawl-budget question). Composes
+    :func:`content_novelty` with one cogroup join back to the key
+    column (16 B id rows both sides, text never moves) and a
+    driver-side fold of per-batch key partials (key cardinality is
+    mixing-config-bounded, the same contract as temperature mixing)."""
+    import pandas as pd
+
+    from dupers_ray.pipelines.joins import hash_join
+
+    nov = content_novelty(
+        docs, id_col=id_col, text_col=text_col, k=k
+    )
+    keys = docs.select_columns([id_col, key_col])
+    nov_schema = pa.schema([
+        (id_col, pa.int64()), ("n_grams", pa.int64()), ("n_novel", pa.int64()),
+    ])
+    key_schema = pa.schema([(id_col, pa.int64()), (key_col, pa.string())])
+    joined = hash_join(
+        nov, keys, on=id_col,
+        left_schema=nov_schema, right_schema=key_schema,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate(
+            [([], "count_all"), ("n_grams", "sum"), ("n_novel", "sum")]
+        )
+        return g.rename_columns([key_col, "n_docs", "sum_grams", "sum_novel"])
+
+    parts = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.groupby(key_col, as_index=False)[
+            ["n_docs", "sum_grams", "sum_novel"]
+        ].sum().sort_values(key_col).reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)

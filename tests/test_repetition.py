@@ -106,3 +106,35 @@ def test_content_novelty_brute():
     # spot invariants
     assert got.loc[got["doc_id"] == 4, "n_novel"].item() == 0
     assert 5 not in set(got["doc_id"])
+
+
+def test_novelty_by_source_rollup():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.stages.repetition import content_novelty, novelty_by_key
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+        "alpha beta gamma delta epsilon zeta eta theta other tail",
+        "unrelated words about harbors and sailboats in fog",
+        "",
+    ]
+    tbl = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": texts,
+        "source": ["a", "b", "b", "a"],
+    })
+    got = (
+        novelty_by_key(rd.from_arrow(tbl).repartition(2), k=8)
+        .to_pandas().set_index("source")
+    )
+    nov = content_novelty(
+        rd.from_arrow(tbl), k=8
+    ).to_pandas().set_index("doc_id")
+    # doc 3 is shingle-less -> absent; source 'a' counts doc 0 only
+    assert got.loc["a", "n_docs"] == 1
+    assert got.loc["b", "n_docs"] == 2
+    for src, ids in {"a": [0], "b": [1, 2]}.items():
+        assert got.loc[src, "sum_grams"] == nov.loc[ids, "n_grams"].sum()
+        assert got.loc[src, "sum_novel"] == nov.loc[ids, "n_novel"].sum()
