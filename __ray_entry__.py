@@ -2846,13 +2846,20 @@ def _q_simhash_pairs(sf_dir: str):
     """SimHash hamming<=3 near-dup pairs. Full value oracle: the banded
     pigeonhole + per-bucket verify equals the semantic all-pairs-at-
     hamming<=3 set, which _simhash_oracle_sql states directly (md5 token
-    hashes are SQL-reproducible)."""
+    hashes are SQL-reproducible).
+
+    Returned globally sorted by (src, dst): the pair set comes out of a
+    256-partition map_groups whose block emission order is nondeterministic,
+    which is the diagnosed cause of the round-3 driver hash_match=false
+    (rows+schema were green and the order-insensitive value compare passed
+    12/12). The pair list is tiny relative to the corpus, so the sort is a
+    driver-window canonicalization, not a pipeline cost."""
     from dupers_ray.config import SimHashConfig
     from dupers_ray.stages.simhash import simhash_pairs
 
     return simhash_pairs(
         _tbl(sf_dir, "documents", ["doc_id", "text"]), SimHashConfig(), id_col="doc_id"
-    )
+    ).sort(["src", "dst"])
 
 
 def _q_segment_revenue(sf_dir: str):
@@ -5603,13 +5610,82 @@ def _cluster_split_oracle_sql() -> str:
     """
 
 
+# Registry order matters: the driver's correctness gate verifies the FIRST 50
+# entries only.  _R4_WINDOW pins round 4's window: simhash_pairs first (round-3
+# hash-red, now canonicalized — sorted output + oracle-matching tokenizer),
+# then 49 names the driver has never checked (ledger:
+# `python tools/check_oracle.py --never-driver-checked`), prioritizing queries
+# whose pipelines this round refactored (venn fused scan, paragraph combiner,
+# novelty) so the driver re-proves them.  Everything else keeps its previous
+# relative order; tools/check_oracle.py still value-checks every entry locally.
+_R4_WINDOW = [
+    "simhash_pairs",
+    # refactored this round — driver should re-prove them
+    "dedup_method_venn",
+    "paragraph_dedup",
+    "content_novelty",
+    "novelty_by_source",
+    # verdict-named never-checked names
+    "winnow_fingerprints",
+    "winnow_matches",
+    "cdc_chunks",
+    "cdc_dedup_stats",
+    "bm25_scores",
+    "bm25_incremental",
+    "phrase_search",
+    "page_identity",
+    "sitemap_entries",
+    "sitemap_coverage",
+    "sitemap_discovery",
+    "sitemap_resolve",
+    "pack_sequences",
+    "packed_windows",
+    "perceptron_weights",
+    "perceptron_filter",
+    "edit_verified_pairs",
+    "cluster_edit_profile",
+    "temperature_mix",
+    "source_quality_report",
+    "lexical_semantic_agreement",
+    "top_quality_per_source",
+    "first_publishers",
+    "windowed_near_pairs",
+    # remaining never-checked, ledger order
+    "host_boilerplate",
+    "fast_membership",
+    "main_content",
+    "noindex_filter",
+    "latest_snapshot",
+    "link_edges_nofollow",
+    "web_curated",
+    "warc_roundtrip",
+    "surt_keys",
+    "cdx_index",
+    "charset_transcode",
+    "robots_check",
+    "wet_roundtrip",
+    "surt_dup_groups",
+    "revisit_collapse",
+    "soft_dedup_weights",
+    "mix_budget",
+    "bpe_pair_counts",
+    "jsonld_extract",
+    "template_keys",
+    "template_clusters",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Registry order matters: the driver's correctness gate verifies the
-    # FIRST 50 entries only (CORRECTNESS_r02.json capped at 50).  Round 3
-    # therefore leads with (a) the 41 round-2 queries the driver has not yet
-    # verified, then (b) new round-3 queries, so all land inside the window.
-    # The 50 queries already driver-green in CORRECTNESS_r01/r02 rotate to
-    # the back; tools/check_oracle.py still value-checks every entry locally.
+    all_q = _all_queries()
+    out = {name: all_q[name] for name in _R4_WINDOW}
+    out.update((k, v) for k, v in all_q.items() if k not in out)
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
+    # Full registry; queries() reorders it so _R4_WINDOW lands in the
+    # driver's 50-entry correctness window.  Historical window comments
+    # below are kept for provenance.
     return {
         # --- round-2 queries not yet driver-verified (VERDICT.md item 1) ---
         "dedup_tiers": _q_dedup_tiers,

@@ -30,10 +30,16 @@ def simhash_batch(
     *,
     id_col: str = "url",
     text_col: str = "text",
-    token_pattern: str = r"\w+",
+    token_pattern: str = r"[a-z0-9_]+",
 ) -> pa.Table:
     """(id, node, simhash: uint64, n_tokens). Vectorized: one flat token
-    pass, per-bit votes via reduceat over doc segments."""
+    pass, per-bit votes via reduceat over doc segments.
+
+    Tokenizer default is ``[a-z0-9_]+`` over lowered text so the kernel
+    matches the SQL oracle's ``regexp_extract_all(lower(text),
+    '[a-z0-9_]+')`` on ANY corpus, not just pure-ASCII ones (round-3
+    verdict fix #2 — previously ``\\w+``, equivalent only on the fixture
+    corpora)."""
     from dupers_ray.functions.hashing import node_ids
 
     tok = re.compile(token_pattern, re.UNICODE)

@@ -43,6 +43,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def never_driver_checked() -> list[str]:
+    """Registry names with no row in any CORRECTNESS_r*.json (VERDICT r3 #9).
+
+    The driver verifies only the first 50 ``queries()`` entries per round;
+    this ledger makes each round's rotation mechanical: put these names (plus
+    any fixed-but-red ones) at the front of the registry.
+    """
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        checked |= set(json.load(open(f)))
+
+    import __ray_entry__ as e
+
+    return [name for name in e.queries() if name not in checked]
+
+
 def main(sf_dir: str, only: set[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -115,6 +135,11 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if "--never-driver-checked" in args:
+        names = never_driver_checked()
+        print("\n".join(names))
+        print(f"# {len(names)} registry entries never driver-checked", file=sys.stderr)
+        sys.exit(0)
     only: set[str] | None = None
     if "--only" in args:
         i = args.index("--only")
