@@ -24,10 +24,12 @@ Scale shape:
   host ids → sparse (id, sum) pairs, at most distinct-hosts-per-batch
   rows) merged driver-side with ``np.add.at`` — ZERO shuffles. A
   measured 60 k-doc run spent 8 s per string-keyed groupby shuffle vs
-  <1 s for the partial merge; at rank vectors beyond driver memory,
-  swap the merge for an int-keyed groupby-sum (the partials are
-  already (int id, int sum) rows) — the contribution math is
-  unchanged.
+  <1 s for the partial merge. At rank vectors beyond the broadcast
+  limit the same recurrences degrade AUTOMATICALLY (``mode='auto'``)
+  to the int-keyed groupby-sum path (``_pagerank_grouped`` /
+  ``_hits_grouped``): per-host state in a hash-joined Dataset, scatter
+  partials into groupby-sums — 2 shuffles/iteration, no driver vector,
+  pytest-proven identical to the broadcast path.
 
 Reference analogue: none (dupers has no link surface) — engine-new,
 like the quality/dedup-cascade stack.
@@ -368,11 +370,15 @@ def _host_index(
                          "hosts share a 64-bit hash")
     hosts, hashes = ho[keep], hs[keep]
     if len(hosts) > broadcast_limit:
-        raise ValueError(
-            f"rank vector ({len(hosts)} hosts) exceeds broadcast_limit; "
-            f"switch the partial merges to int-keyed groupby-sums"
+        raise HostVectorTooLarge(
+            f"rank vector ({len(hosts)} hosts) exceeds broadcast_limit"
         )
     return hosts, hashes
+
+
+class HostVectorTooLarge(ValueError):
+    """Host count exceeds the broadcast-vector regime; callers switch to
+    the int-keyed groupby-sum path (``mode='grouped'``)."""
 
 
 def _lookup(hsorted: np.ndarray, col) -> np.ndarray:
@@ -438,12 +444,320 @@ def _scale_ppm(v: np.ndarray) -> np.ndarray:
     return np.array([(int(x) * PPM) // mx for x in v.tolist()], np.int64)
 
 
+def _edge_keys(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(skey, dkey) int64 hash keys per edge. uint64 md5 hashes are
+    reinterpreted as int64 (``.view``) because uint64 Ray groupby/join
+    keys above 2^63 fall out of Arrow blocks into pickled-object blocks;
+    the keys are opaque identifiers so signedness is irrelevant."""
+    from dupers_ray.functions.hashing import hash_str_u64
+
+    def keys(t: pa.Table) -> pa.Table:
+        s = hash_str_u64([str(x) for x in t.column("src_host").to_pylist()])
+        d = hash_str_u64([str(x) for x in t.column("dst_host").to_pylist()])
+        return pa.table({
+            "skey": pa.array(s.view(np.int64)),
+            "dkey": pa.array(d.view(np.int64)),
+        })
+
+    return edges.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _host_table(
+    edges: "ray.data.Dataset", num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Distributed (hkey:int64, host:string) unique-host table — the
+    grouped-path replacement for the driver-side ``_host_index``. Hash
+    collisions (two DISTINCT host strings sharing one md5-u64) raise
+    inside the dedup group instead of silently merging ranks."""
+    import pyarrow.compute as pc
+
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+    from dupers_ray.functions.hashing import hash_str_u64
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = pc.unique(
+            pa.chunked_array([
+                t.column("src_host").combine_chunks(),
+                t.column("dst_host").combine_chunks(),
+            ])
+        )
+        k = hash_str_u64([str(x) for x in u.to_pylist()])
+        return pa.table({
+            "hkey": pa.array(k.view(np.int64)),
+            "host": u,
+        })
+
+    def dedup(g: pa.Table) -> pa.Table:
+        out = g.group_by(["hkey", "host"]).aggregate([])
+        per_key = out.group_by("hkey").aggregate([("host", "count")])
+        if pc.max(per_key.column("host_count")).as_py() > 1:
+            raise ValueError(
+                "host md5-u64 hash collision — two distinct hosts share "
+                "a 64-bit hash"
+            )
+        return out.select(["hkey", "host"])
+
+    return keyed_partition_map_groups(
+        edges.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="hkey",
+        fn=dedup,
+        num_partitions=num_partitions,
+        batch_format="pyarrow",
+    )
+
+
+def _scatter_partial(key_col: str, val_expr) -> "callable":
+    """Per-batch combiner: sparse scatter-add of ``val_expr(t)`` over the
+    int64 ``key_col`` → (hkey, c) rows, at most distinct-keys-per-batch.
+    The downstream ``groupby('hkey').sum('c')`` then shuffles combined
+    partials, not per-edge rows — the spandedup combiner idiom applied
+    to the link graph."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "hkey": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
+        k = np.asarray(t.column(key_col), dtype=np.int64)
+        v = val_expr(t)
+        uk, inv = np.unique(k, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, v)
+        return pa.table({"hkey": pa.array(uk), "c": pa.array(acc)})
+
+    return partial
+
+
+def _grouped_sum(ds: "ray.data.Dataset", key_col: str, val_expr) -> "ray.data.Dataset":
+    """(hkey, c) dataset = groupby-sum of per-batch scatter partials."""
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hkey": t.column("hkey"),
+            "c": t.column("sum(c)").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(
+            _scatter_partial(key_col, val_expr),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("hkey")
+        .sum("c")
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+_HKC_SCHEMA = pa.schema([("hkey", pa.int64()), ("c", pa.int64())])
+
+
+def _pagerank_grouped(
+    edges: "ray.data.Dataset",
+    *,
+    iters: int = 2,
+    base: int = PPM,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Int-keyed groupby-sum PageRank for host counts beyond the
+    broadcast-vector regime: per-host state lives in a (hkey, host,
+    outdeg, r) Dataset instead of a driver ndarray; each iteration is
+    one cogroup join (edge src → current src value) feeding scatter-add
+    partials into one int-keyed groupby-sum, joined back to state. Same
+    integer recurrence as :func:`pagerank` — pytest forces a tiny
+    broadcast_limit and asserts grouped ≡ broadcast. Costs 2 shuffles
+    per iteration where the broadcast path costs zero; that is the
+    price of not holding the rank vector anywhere."""
+    from dupers_ray.pipelines.joins import hash_join
+
+    ekeys = _edge_keys(edges).materialize()  # consumed iters+1 times
+    hosts = _host_table(edges, num_partitions)
+
+    deg = _grouped_sum(ekeys, "skey", lambda t: np.ones(t.num_rows, np.int64))
+    host_schema = pa.schema([("hkey", pa.int64()), ("host", pa.large_string())])
+
+    def init_state(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("c"), dtype=np.int64)  # null → 0 for sinks
+        return pa.table({
+            "hkey": t.column("hkey"),
+            "host": t.column("host").cast(pa.large_string()),
+            "outdeg": pa.array(np.maximum(d, 1)),
+            "r": pa.array(np.full(t.num_rows, base, np.int64)),
+        })
+
+    def fill_c(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.column_names.index("c"),
+            "c",
+            pc.fill_null(t.column("c"), 0).cast(pa.int64()),
+        )
+
+    state = (
+        hash_join(
+            hosts, deg, on="hkey", join_type="left_outer",
+            num_partitions=num_partitions,
+            left_schema=host_schema, right_schema=_HKC_SCHEMA,
+        )
+        .map_batches(fill_c, batch_format="pyarrow")
+        .map_batches(init_state, batch_format="pyarrow")
+        .materialize()
+    )
+    state_schema = pa.schema([
+        ("hkey", pa.int64()), ("host", pa.large_string()),
+        ("outdeg", pa.int64()), ("r", pa.int64()),
+    ])
+    shift = (DAMPING_DEN - DAMPING_NUM) * base // DAMPING_DEN
+
+    for _ in range(iters):
+
+        def src_val(t: pa.Table) -> pa.Table:
+            r = np.asarray(t.column("r"), dtype=np.int64)
+            d = np.asarray(t.column("outdeg"), dtype=np.int64)
+            return pa.table({
+                "hkey": t.column("hkey"),
+                "val": pa.array((DAMPING_NUM * r) // (DAMPING_DEN * d)),
+            })
+
+        sval = state.map_batches(src_val, batch_format="pyarrow")
+        edge_val = hash_join(
+            ekeys, sval, on="skey", right_on="hkey",
+            num_partitions=num_partitions,
+            left_schema=pa.schema([("skey", pa.int64()), ("dkey", pa.int64())]),
+            right_schema=pa.schema([("hkey", pa.int64()), ("val", pa.int64())]),
+        )
+        contrib = _grouped_sum(
+            edge_val, "dkey",
+            lambda t: np.asarray(t.column("val"), dtype=np.int64),
+        )
+
+        def next_state(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.fill_null(t.column("c"), 0).cast(pa.int64())
+            r_new = np.asarray(c, dtype=np.int64) + shift
+            return pa.table({
+                "hkey": t.column("hkey"),
+                "host": t.column("host"),
+                "outdeg": t.column("outdeg"),
+                "r": pa.array(r_new),
+            })
+
+        # materialize per round — a lazy chain of joins would re-execute
+        # the whole prefix each iteration (the chains.py pointer-doubling
+        # lesson)
+        state = (
+            hash_join(
+                state, contrib, on="hkey", join_type="left_outer",
+                num_partitions=num_partitions,
+                left_schema=state_schema, right_schema=_HKC_SCHEMA,
+            )
+            .map_batches(next_state, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t.column("host"), "pr_ppm": t.column("r")})
+
+    return state.map_batches(out, batch_format="pyarrow")
+
+
+def _hits_grouped(
+    edges: "ray.data.Dataset",
+    *,
+    base: int = PPM,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Int-keyed groupby-sum HITS (one max-normalized round) — same
+    contract as :func:`hits`, state in Datasets instead of broadcast
+    ndarrays. Global maxima come from Dataset.max (a tree aggregate,
+    driver holds one scalar)."""
+    from dupers_ray.pipelines.joins import hash_join
+
+    ekeys = _edge_keys(edges).materialize()  # consumed twice
+    hosts = _host_table(edges, num_partitions)
+    host_schema = pa.schema([("hkey", pa.int64()), ("host", pa.large_string())])
+
+    a1 = _grouped_sum(
+        ekeys, "dkey", lambda t: np.full(t.num_rows, base, np.int64)
+    ).materialize()
+    mx_a = max(int(a1.max("c") or 0), 1)
+
+    def scale(mx: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column("c"), dtype=np.int64)
+            return pa.table({
+                "hkey": t.column("hkey"),
+                "c": pa.array(_scale_vec_ppm(v, mx)),
+            })
+
+        return f
+
+    auth = a1.map_batches(scale(mx_a), batch_format="pyarrow").materialize()
+
+    edge_auth = hash_join(
+        ekeys, auth, on="dkey", right_on="hkey",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("skey", pa.int64()), ("dkey", pa.int64())]),
+        right_schema=_HKC_SCHEMA,
+    )
+    h1 = _grouped_sum(
+        edge_auth, "skey", lambda t: np.asarray(t.column("c"), dtype=np.int64)
+    ).materialize()
+    mx_h = max(int(h1.max("c") or 0), 1)
+    hub = h1.map_batches(scale(mx_h), batch_format="pyarrow")
+
+    def rn(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cols = {n: t.column(n) for n in t.column_names if n != "c"}
+            cols[name] = pc.fill_null(t.column("c"), 0).cast(pa.int64())
+            return pa.table(cols)
+
+        return f
+
+    joined = hash_join(
+        hosts, auth, on="hkey", join_type="left_outer",
+        num_partitions=num_partitions,
+        left_schema=host_schema, right_schema=_HKC_SCHEMA,
+    ).map_batches(rn("auth_ppm"), batch_format="pyarrow")
+    joined = hash_join(
+        joined, hub, on="hkey", join_type="left_outer",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([
+            ("hkey", pa.int64()), ("host", pa.large_string()),
+            ("auth_ppm", pa.int64()),
+        ]),
+        right_schema=_HKC_SCHEMA,
+    ).map_batches(rn("hub_ppm"), batch_format="pyarrow")
+
+    def out(t: pa.Table) -> pa.Table:
+        return t.select(["host", "auth_ppm", "hub_ppm"])
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
+def _scale_vec_ppm(v: np.ndarray, mx: int) -> np.ndarray:
+    """Per-batch exact ``(v * PPM) // mx`` with the same int64-overflow
+    guard as :func:`_scale_ppm`, but against a PRE-COMPUTED global max
+    (the grouped path computes mx via Dataset.max)."""
+    mx = max(int(mx), 1)
+    if mx <= (2**63 - 1) // PPM and (len(v) == 0 or int(v.max()) <= (2**63 - 1) // PPM):
+        return (v * PPM) // mx
+    return np.array([(int(x) * PPM) // mx for x in v.tolist()], np.int64)
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     *,
     iters: int = 2,
     base: int = PPM,
     broadcast_limit: int = 50_000_000,
+    mode: str = "auto",
+    num_partitions: int = 64,
 ) -> pa.Table:
     """(host, pr_ppm) after ``iters`` integer power iterations over the
     (src_host, dst_host) edge dataset. Fixed-point contract (the SQL
@@ -456,10 +770,28 @@ def pagerank(
     Nodes = union of src and dst hosts; every node keeps the 150_000
     base even with no in-links. Rank vector + outdeg broadcast once per
     iteration; per-edge contributions pre-aggregate per batch and merge
-    driver-side (see module docstring) — zero shuffles."""
-    edges = edges.materialize()  # consumed iters+2 times
+    driver-side (see module docstring) — zero shuffles.
 
-    hosts, hashes = _host_index(edges, broadcast_limit)
+    ``mode``: 'broadcast' forces the zero-shuffle path (raises
+    HostVectorTooLarge above broadcast_limit), 'grouped' forces the
+    int-keyed groupby-sum path (returns a Dataset — the result itself
+    is cluster-sized in that regime), 'auto' (default) tries broadcast
+    and degrades to grouped automatically."""
+    if mode not in ("auto", "broadcast", "grouped"):
+        raise ValueError(f"mode must be auto|broadcast|grouped, got {mode!r}")
+    edges = edges.materialize()  # consumed iters+2 times
+    if mode == "grouped":
+        return _pagerank_grouped(
+            edges, iters=iters, base=base, num_partitions=num_partitions
+        )
+    try:
+        hosts, hashes = _host_index(edges, broadcast_limit)
+    except HostVectorTooLarge:
+        if mode == "broadcast":
+            raise
+        return _pagerank_grouped(
+            edges, iters=iters, base=base, num_partitions=num_partitions
+        )
     n_hosts = len(hosts)
     hosts_ref = ray.put(hashes)
 
@@ -500,6 +832,8 @@ def hits(
     *,
     base: int = PPM,
     broadcast_limit: int = 50_000_000,
+    mode: str = "auto",
+    num_partitions: int = 64,
 ) -> pa.Table:
     """(host, auth_ppm, hub_ppm) — one integer HITS round (Kleinberg
     1999) with fixed-point max-normalization so values stay bounded at
@@ -513,10 +847,19 @@ def hits(
 
     Hosts receiving/sending no links score 0 on that side. Same
     distributed shape as :func:`pagerank`: per-batch pre-aggregated
-    partials, driver merge, zero shuffles."""
+    partials, driver merge, zero shuffles; ``mode`` degrades to the
+    int-keyed groupby-sum path exactly as in :func:`pagerank`."""
+    if mode not in ("auto", "broadcast", "grouped"):
+        raise ValueError(f"mode must be auto|broadcast|grouped, got {mode!r}")
     edges = edges.materialize()  # consumed 3 times
-
-    hosts, hashes = _host_index(edges, broadcast_limit)
+    if mode == "grouped":
+        return _hits_grouped(edges, base=base, num_partitions=num_partitions)
+    try:
+        hosts, hashes = _host_index(edges, broadcast_limit)
+    except HostVectorTooLarge:
+        if mode == "broadcast":
+            raise
+        return _hits_grouped(edges, base=base, num_partitions=num_partitions)
     n_hosts = len(hosts)
     hosts_ref = ray.put(hashes)
 
