@@ -3505,6 +3505,74 @@ def _q_content_novelty(sf_dir: str):
     )
 
 
+def _q_novelty_sampled(sf_dir: str):
+    """Hash-Bernoulli-sampled content novelty (sample_ppm=250_000 = a 25%
+    gram sample): the 100-TB-affordable estimator for the exact-novelty
+    shuffle (round-3 verdict #4). The predicate is on the GRAM key, so a
+    kept gram is kept in every doc and its min-id owner is exact —
+    sampling only subsamples which grams are counted. Full value oracle:
+    the md5-u64 gram hash → splitmix64 → mod-10^6 chain is restated in
+    SQL, so this is NOT a rows-only check."""
+    from dupers_ray.stages.repetition import content_novelty
+
+    return content_novelty(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id", k=8, sample_ppm=250_000,
+    )
+
+
+def _novelty_sampled_oracle_sql(ppm: int = 250_000) -> str:
+    """_CONTENT_NOVELTY_ORACLE with the gram set filtered by the engine's
+    hash-Bernoulli predicate: splitmix64(md5_u64(gram)) % 10^6 < ppm
+    (same finalizer constants as _sample_hash_oracle_sql, applied to the
+    gram hash instead of doc_id; salt=0)."""
+
+    def mulmod(a: str, m: int) -> str:
+        return f"((({a})::UHUGEINT * {m}::UHUGEINT) % {_MOD64})::UBIGINT"
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id,
+                CASE
+                    WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN len(tk) < 8 THEN [array_to_string(tk, chr(31))]
+                    ELSE list_distinct([array_to_string(tk[i:i+7], chr(31))
+                                        FOR i IN range(1, len(tk) - 6)])
+                END AS grams
+            FROM toks
+        ), g0 AS (
+            SELECT doc_id, unnest(grams) AS gr FROM sh
+        ), sm AS (
+            SELECT doc_id, gr,
+                   ((('0x'||substr(md5(gr),1,16))::UBIGINT::UHUGEINT
+                     + 11400714819323198485::UHUGEINT) % {_MOD64})::UBIGINT AS x0,
+                   xor(x0, x0 >> 30) AS x1,
+                   {mulmod('x1', 13787848793156543929)} AS x2,
+                   xor(x2, x2 >> 27) AS x3,
+                   {mulmod('x3', 10723151780598845931)} AS x4,
+                   xor(x4, x4 >> 31) AS h
+            FROM g0
+        ), g AS (
+            SELECT doc_id, gr FROM sm WHERE h % 1000000 < {ppm}
+        ), own AS (
+            SELECT gr, min(doc_id) AS owner FROM g GROUP BY gr
+        ), nov AS (
+            SELECT g.doc_id, count(*) FILTER (g.doc_id = o.owner) AS n_novel
+            FROM g JOIN own o USING (gr) GROUP BY g.doc_id
+        ), cnt AS (
+            SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(c.n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+        FROM cnt c LEFT JOIN nov n USING (doc_id)
+    """
+
+
 _CONTENT_NOVELTY_ORACLE = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -5624,6 +5692,7 @@ _R4_WINDOW = [
     "dedup_method_venn",
     "paragraph_dedup",
     "content_novelty",
+    "novelty_sampled",
     "novelty_by_source",
     # verdict-named never-checked names
     "winnow_fingerprints",
@@ -5671,7 +5740,8 @@ _R4_WINDOW = [
     "bpe_pair_counts",
     "jsonld_extract",
     "template_keys",
-    "template_clusters",
+    # template_clusters slides to the round-5 window to make room for the
+    # new novelty_sampled entry (window cap is 50)
 ]
 
 
@@ -5812,6 +5882,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_venn": _q_dedup_method_venn,
         "edit_verified_pairs": _q_edit_verified_pairs,
         "content_novelty": _q_content_novelty,
+        "novelty_sampled": _q_novelty_sampled,
         "source_quality_report": _q_source_quality_report,
         "novelty_by_source": _q_novelty_by_source,
         "lexical_semantic_agreement": _q_lexical_semantic_agreement,
@@ -6572,6 +6643,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_venn": _dedup_method_venn_oracle_sql(),
         "edit_verified_pairs": _edit_verified_pairs_oracle_sql(),
         "content_novelty": _CONTENT_NOVELTY_ORACLE,
+        "novelty_sampled": _novelty_sampled_oracle_sql(),
         "source_quality_report": _source_quality_report_oracle_sql(),
         "novelty_by_source": f"""
             WITH nov AS ({_CONTENT_NOVELTY_ORACLE})

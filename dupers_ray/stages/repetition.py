@@ -172,6 +172,8 @@ def content_novelty(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    sample_ppm: int = 1_000_000,
+    salt: int = 0,
 ) -> "ray.data.Dataset":
     """Per-doc content novelty in arrival order: ``n_novel`` of the
     doc's ``n_grams`` distinct word-k-gram shingles appear in NO
@@ -184,7 +186,20 @@ def content_novelty(
     combiner pass, a (gram, doc) 16 B-row shuffle where each gram group
     partition resolves min-id owners in one vectorized pass, then
     one per-doc sum; text bytes never shuffle, nothing broadcasts.
-    Shingle-less docs are absent from the output (same contract)."""
+    Shingle-less docs are absent from the output (same contract).
+
+    ``sample_ppm`` (default 10^6 = exact) hash-Bernoulli-samples the GRAM
+    key — ``splitmix64(gram_hash ^ salt) % 10^6 < sample_ppm`` — before
+    the shuffle, so the 100-TB estimate costs sample_ppm/10^6 of the
+    exact all-gram exchange. Because the predicate is on the gram key, a
+    kept gram is kept in EVERY document: its min-id owner (the novelty
+    label) is computed exactly, and sampling only subsamples WHICH grams
+    are counted — n_novel/n_grams is an unbiased per-doc ratio estimate.
+    n_grams reports the SAMPLED gram count; docs whose every gram is
+    sampled out drop from the output (the shingle-less contract). The
+    whole chain (md5-u64 gram hash → splitmix64 → mod threshold) is
+    SQL-restatable, so the sampled variant carries a full value oracle."""
+    from dupers_ray.functions.hashing import splitmix64
     from dupers_ray.pipelines.decontam import _shingle_hashes
 
     def shingle_rows(t: pa.Table) -> pa.Table:
@@ -192,11 +207,17 @@ def content_novelty(
         hs = _shingle_hashes(t.column(text_col).to_pylist(), k)
         counts = np.fromiter((len(h) for h in hs), np.int64, len(hs))
         sh = np.concatenate(hs) if len(hs) else np.empty(0, np.uint64)
+        doc_idx = np.repeat(np.arange(len(hs), dtype=np.int64), counts)
+        keep = (
+            splitmix64(sh ^ np.uint64(salt)) % np.uint64(1_000_000)
+        ) < np.uint64(sample_ppm)
+        sh, doc_idx = sh[keep], doc_idx[keep]
+        counts = np.bincount(doc_idx, minlength=len(hs)).astype(np.int64)
         return pa.table(
             {
                 "gram": pa.array(sh.view(np.int64)),
-                id_col: pa.array(np.repeat(ids, counts)),
-                "n_grams": pa.array(np.repeat(counts, counts)),
+                id_col: pa.array(ids[doc_idx]),
+                "n_grams": pa.array(counts[doc_idx]),
             }
         )
 
@@ -247,6 +268,8 @@ def novelty_by_key(
     text_col: str = "text",
     key_col: str = "source",
     k: int = 8,
+    sample_ppm: int = 1_000_000,
+    salt: int = 0,
 ) -> "ray.data.Dataset":
     """Per-``key_col`` content-novelty rollup: (key, n_docs, sum_grams,
     sum_novel) — "which sources still add new content, which only
@@ -260,7 +283,8 @@ def novelty_by_key(
     from dupers_ray.pipelines.joins import hash_join
 
     nov = content_novelty(
-        docs, id_col=id_col, text_col=text_col, k=k
+        docs, id_col=id_col, text_col=text_col, k=k,
+        sample_ppm=sample_ppm, salt=salt,
     )
     keys = docs.select_columns([id_col, key_col])
     nov_schema = pa.schema([

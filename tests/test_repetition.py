@@ -138,3 +138,51 @@ def test_novelty_by_source_rollup():
     for src, ids in {"a": [0], "b": [1, 2]}.items():
         assert got.loc[src, "sum_grams"] == nov.loc[ids, "n_grams"].sum()
         assert got.loc[src, "sum_novel"] == nov.loc[ids, "n_novel"].sum()
+
+
+def test_content_novelty_sampled():
+    """VERDICT r3 #4: hash-Bernoulli gram sampling. ppm=10^6 must equal
+    exact EXACTLY (the mask is all-true); at ppm<<10^6 the corpus-level
+    novelty ratio must estimate the exact ratio within a loose bound,
+    and every sampled gram's novelty label must be exact (subset
+    property: per-doc sampled counts never exceed exact counts)."""
+    import random
+
+    from dupers_ray.stages.repetition import content_novelty
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(80):
+        if i % 3 == 0 and i > 0:
+            texts.append(texts[i - 1])  # exact repeat: zero novelty
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(40)))
+    tbl = pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "text": texts,
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    exact = content_novelty(ds, k=8).to_pandas().set_index("doc_id")
+    full = content_novelty(ds, k=8, sample_ppm=1_000_000).to_pandas(
+    ).set_index("doc_id")
+    assert exact.sort_index().equals(full.sort_index())
+
+    samp = content_novelty(ds, k=8, sample_ppm=300_000).to_pandas(
+    ).set_index("doc_id")
+    # subset property: sampled counts bounded by exact counts per doc
+    joined = samp.join(exact, rsuffix="_x")
+    assert (joined["n_grams"] <= joined["n_grams_x"]).all()
+    assert (joined["n_novel"] <= joined["n_novel_x"]).all()
+    # the sample is a real subsample, not everything
+    assert samp["n_grams"].sum() < 0.6 * exact["n_grams"].sum()
+    assert samp["n_grams"].sum() > 0.1 * exact["n_grams"].sum()
+    # ratio estimator: corpus novelty ratio within a loose bound
+    r_exact = exact["n_novel"].sum() / exact["n_grams"].sum()
+    r_samp = samp["n_novel"].sum() / samp["n_grams"].sum()
+    assert abs(r_samp - r_exact) < 0.1
+    # repeated docs stay zero-novelty in the sample too (owner exactness)
+    rep_ids = [i for i in range(1, 80) if i % 3 == 0]
+    in_samp = [i for i in rep_ids if i in samp.index]
+    assert (samp.loc[in_samp, "n_novel"] == 0).all()
