@@ -54,12 +54,18 @@ _N_PARTS = 64  # hash partitions for the tier-resolution groupbys
 
 
 def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
-                shingle, minhash) -> pa.Table:
+                shingle, minhash, with_simhash: bool = False) -> pa.Table:
     """One pass over the text: raw sha-256 words, normalized sha-256
     words, MinHash signature (null for token-less docs), node id.
     Empty/null raw text ⇒ txt_empty (excluded from the exact tier);
     empty normalized text ⇒ norm_empty (excluded from the normalized
-    tier) — both match the SQL oracle's ``length(..) > 0`` guards."""
+    tier) — both match the SQL oracle's ``length(..) > 0`` guards.
+
+    ``with_simhash`` adds (simhash: uint64, sim_tokens: int64) columns —
+    the Charikar signature from the SAME text pass, so the dedup-method
+    Venn shares this scan instead of re-reading the corpus (round-3
+    verdict #5). Off by default: tiers-incremental persists this schema
+    as its signature store."""
     import pyarrow.compute as pc
 
     from dupers_ray.functions.hashing import node_ids, sha256_u64_pairs
@@ -103,8 +109,18 @@ def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
         sig_arr = fsb.cast(pa.binary())
     else:
         sig_arr = pa.nulls(n_rows, pa.binary())
+    extra: dict = {}
+    if with_simhash:
+        from dupers_ray.stages.simhash import simhash_values
+
+        sim_sig, sim_n = simhash_values(texts)
+        extra = {
+            "simhash": pa.array(sim_sig),
+            "sim_tokens": pa.array(sim_n),
+        }
     return pa.table({
         id_col: ids,
+        **extra,
         "node": pa.array(node_ids([str(v) for v in ids.to_pylist()])),
         "sig": sig_arr,
         "n_shingles": pa.array(n_sh.astype(np.int64)),
@@ -155,14 +171,16 @@ def _resolve_exact_norm(g: pd.DataFrame, *, id_col: str) -> pd.DataFrame:
 
 
 def fused_tier_scan(
-    docs: "ray.data.Dataset", cfg: DedupConfig
+    docs: "ray.data.Dataset", cfg: DedupConfig, *, with_simhash: bool = False
 ) -> "ray.data.Dataset":
     """The tier cascade's one text scan, materialized — also the table
-    ``dedup_tiers_incremental`` persists/reuses as its store."""
+    ``dedup_tiers_incremental`` persists/reuses as its store (without
+    the optional simhash columns; see ``_fused_scan``)."""
     return docs.select_columns([cfg.id_col, cfg.text_col]).map_batches(
         _fused_scan,
         fn_kwargs={"id_col": cfg.id_col, "text_col": cfg.text_col,
-                   "shingle": cfg.shingle, "minhash": cfg.minhash},
+                   "shingle": cfg.shingle, "minhash": cfg.minhash,
+                   "with_simhash": with_simhash},
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 

@@ -49,10 +49,12 @@ NEAR_BIT = 4
 SIMHASH_BIT = 8
 
 
-def _flag_table(ids: pa.Array | pa.ChunkedArray, bit: int) -> pa.Table:
+def _flag_table(
+    ids: pa.Array | pa.ChunkedArray, bit: int, *, id_col: str = "doc_id"
+) -> pa.Table:
     n = len(ids)
     return pa.table({
-        "doc_id": ids,
+        id_col: ids,
         "bit": pa.array(np.full(n, bit, np.int64)),
     })
 
@@ -75,51 +77,105 @@ def dedup_method_venn(
     actually tuned on. Driver-side result is <= 16 rows by construction;
     the flagged (id, mask) set rides the driver/broadcast under the same
     dup-density bound as the pair sets (swap for a cogroup join if a
-    corpus's duplicated fraction explodes it)."""
+    corpus's duplicated fraction explodes it).
+
+    ONE corpus scan (round-3 verdict #5): the tiers fused scan with
+    ``with_simhash=True`` computes raw+norm sha-256 words, the MinHash
+    signature AND the Charikar simhash in a single text pass; all four
+    methods then reduce over that compact signature table — the text is
+    never re-read or re-tokenized per method (previously 4 independent
+    scans, measured 19.9 s → see BENCH)."""
+    import pandas as pd
+
     from dupers_ray.config import DedupConfig
-    from dupers_ray.pipelines.dupe import dupe_clusters
-    from dupers_ray.pipelines.exact_dedup import exact_dupe_pairs
-    from dupers_ray.stages.normalize import normalize_text
-    from dupers_ray.stages.simhash import simhash_pairs
+    from dupers_ray.pipelines.dupe import dupe_clusters_from_sigs
+    from dupers_ray.pipelines.tiers import _N_PARTS, fused_tier_scan
+    from dupers_ray.stages.simhash import hamming_pairs_from_sigs
 
-    # bit 1 — exact: every non-canonical member of a sha256(text) group
-    exact_f = exact_dupe_pairs(
-        docs, id_col=id_col, content_col=text_col
-    ).map_batches(
-        lambda t: _flag_table(t.column(f"match_{id_col}"), EXACT_BIT),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-
-    # bit 2 — normalized-exact
-    norm_docs = docs.map_batches(
-        normalize_text, batch_format="pyarrow", zero_copy_batch=True
-    )
-    norm_f = exact_dupe_pairs(
-        norm_docs, id_col=id_col, content_col="text_norm"
-    ).map_batches(
-        lambda t: _flag_table(t.column(f"match_{id_col}"), NORM_BIT),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-
-    # bit 4 — flagship near-dup clusters: flagged iff not the cluster's
-    # min-node anchor (singletons label themselves -> unflagged)
     cfg = DedupConfig(id_col=id_col, text_col=text_col)
-    assign = dupe_clusters(docs.select_columns([id_col, text_col]), cfg)
+    fused = fused_tier_scan(
+        docs.select_columns([id_col, text_col]), cfg, with_simhash=True
+    )
+
+    # bits 1+2 — ONE norm-key partition shuffle resolves BOTH independent
+    # keep-first rules: equal raw bytes imply equal normalization, so every
+    # raw-digest group arrives complete in its norm group's partition (the
+    # tiers _resolve_exact_norm co-location argument; here the norm rule is
+    # INDEPENDENT of the exact rule — each method flags as if it ran alone)
+    def part_of(t: pa.Table) -> pa.Table:
+        k = t.column("norm_u64").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__part",
+            pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                      % np.uint64(_N_PARTS)).astype(np.int64)),
+        )
+
+    def resolve_exact_norm_flags(g: pd.DataFrame) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        bits = np.zeros(len(g), np.int64)
+        for empty_col, key_cols, bit in (
+            ("txt_empty", ["digest_u64", "digest_u64b"], EXACT_BIT),
+            ("norm_empty", ["norm_u64", "norm_u64b"], NORM_BIT),
+        ):
+            ne = ~g[empty_col].to_numpy(bool)
+            sub = g[ne]
+            if len(sub):
+                mn = sub.groupby(key_cols)[id_col].transform("min").to_numpy()
+                flagged = sub[id_col].to_numpy() != mn
+                bits[np.flatnonzero(ne)[flagged]] |= bit
+        hit = bits > 0
+        # Arrow out: downstream union joins Arrow-block flag sets and the
+        # groupby sampler asserts on a mixed arrow/pandas block stream
+        return pa.table({
+            id_col: pa.array(ids[hit]),
+            "bit": pa.array(bits[hit]),
+        })
+
+    en_f = (
+        fused.select_columns([id_col, "digest_u64", "digest_u64b",
+                              "norm_u64", "norm_u64b",
+                              "txt_empty", "norm_empty"])
+        .map_batches(part_of, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(
+            lambda df: resolve_exact_norm_flags(df.drop(columns="__part")),
+            batch_format="pandas",
+        )
+    )
+
+    # bit 4 — flagship near-dup clusters over the STORED signatures:
+    # flagged iff not the cluster's min-node anchor (singletons label
+    # themselves -> unflagged; empty-text docs are excluded = unflagged,
+    # the flagship drop_empty parity)
+    import pyarrow.compute as pc
+
+    content = fused.map_batches(
+        lambda t: t.filter(pc.invert(t.column("txt_empty"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # consumed 3x: index ingest, verify, cluster mapping
+    assign = dupe_clusters_from_sigs(content, cfg, mapping_ds=content)
 
     def near_flags(t: pa.Table) -> pa.Table:
         node = _node_col(t, id_col)
         cl = np.asarray(t.column("cluster_id"), dtype=np.uint64)
         mask = cl != node
-        return _flag_table(t.column(id_col).filter(pa.array(mask)), NEAR_BIT)
+        return _flag_table(
+            t.column(id_col).filter(pa.array(mask)), NEAR_BIT, id_col=id_col
+        )
 
     near_f = assign.map_batches(
         near_flags, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    # bit 8 — simhash: larger-node end of any hamming<=3 pair
-    pairs = simhash_pairs(
-        docs.select_columns([id_col, text_col]), id_col=id_col,
-        text_col=text_col,
+    # bit 8 — simhash: larger-node end of any hamming<=3 pair, from the
+    # fused scan's simhash column (token-less docs carry no signature)
+    pairs = hamming_pairs_from_sigs(
+        fused.map_batches(
+            lambda t: t.filter(
+                pc.greater(t.column("sim_tokens"), 0)
+            ).select(["node", "simhash"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
     ).to_pandas()
     dst = (
         np.unique(pairs["dst"].to_numpy(np.uint64))
@@ -132,12 +188,15 @@ def dedup_method_venn(
     def sim_flags(t: pa.Table) -> pa.Table:
         block = ray.get(dst_ref)
         if not len(block) or not t.num_rows:
-            return _flag_table(t.column(id_col).slice(0, 0), SIMHASH_BIT)
+            return _flag_table(
+                t.column(id_col).slice(0, 0), SIMHASH_BIT, id_col=id_col
+            )
         node = _node_col(t, id_col)
         pos = np.searchsorted(block, node).clip(0, len(block) - 1)
         mask = block[pos] == node
         return _flag_table(
-            t.column(id_col).filter(pa.array(mask)), SIMHASH_BIT
+            t.column(id_col).filter(pa.array(mask)), SIMHASH_BIT,
+            id_col=id_col,
         )
 
     sim_f = docs.select_columns([id_col]).map_batches(
@@ -145,7 +204,7 @@ def dedup_method_venn(
     )
 
     flagged = (
-        exact_f.union(norm_f).union(near_f).union(sim_f)
+        en_f.union(near_f).union(sim_f)
         .groupby(id_col).sum("bit")
     ).to_pandas()
     if flagged.empty or id_col not in flagged.columns:
