@@ -364,22 +364,45 @@ def funnel_counts(
             "__part": pa.array((users.astype(np.uint64) % np.uint64(64)).astype(np.int64)),
         })
 
+    def _group_min(keys: np.ndarray, vals: np.ndarray):
+        """(sorted unique keys, per-key min val) via argsort + reduceat."""
+        if not len(keys):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], vals[order]
+        idx = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        return ks[idx], np.minimum.reduceat(vs, idx)
+
+    def _lookup(ks: np.ndarray, vs: np.ndarray, q: np.ndarray):
+        """(value, found) per query key against a sorted key table."""
+        if not len(ks):
+            return np.zeros(len(q), np.int64), np.zeros(len(q), bool)
+        pos = np.searchsorted(ks, q).clip(0, len(ks) - 1)
+        found = ks[pos] == q
+        return vs[pos], found
+
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         counts = np.zeros(k, np.int64)
         if len(g):
-            t0 = g[g["step_idx"] == 0].groupby(key_col)["ts_us"].min()
-            t_prev = t0
-            counts[0] = len(t_prev)
+            users = g[key_col].to_numpy(np.int64)
+            sidx = g["step_idx"].to_numpy(np.int64)
+            ts = g["ts_us"].to_numpy(np.int64)
+            m0 = sidx == 0
+            t0_k, t0_v = _group_min(users[m0], ts[m0])
+            prev_k, prev_v = t0_k, t0_v
+            counts[0] = len(prev_k)
             for i in range(1, k):
-                if not len(t_prev):
+                if not len(prev_k):
                     break
-                sub = g[g["step_idx"] == i]
-                tp = sub[key_col].map(t_prev)
-                ok = sub["ts_us"] > tp  # NaN (no prior step) compares False
+                mi = sidx == i
+                ui, ti = users[mi], ts[mi]
+                pv, found = _lookup(prev_k, prev_v, ui)
+                ok = found & (ti > pv)  # missing prior step -> False
                 if horizon_us is not None:
-                    ok &= sub["ts_us"] <= sub[key_col].map(t0) + horizon_us
-                t_prev = sub[ok].groupby(key_col)["ts_us"].min()
-                counts[i] = len(t_prev)
+                    t0pv, t0found = _lookup(t0_k, t0_v, ui)
+                    ok &= t0found & (ti <= t0pv + horizon_us)
+                prev_k, prev_v = _group_min(ui[ok], ti[ok])
+                counts[i] = len(prev_k)
         return pd.DataFrame({"step_idx": np.arange(k, dtype=np.int64),
                              "n_users": counts})
 

@@ -24,6 +24,7 @@ viewed as int64 for parquet/groupby friendliness.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -33,6 +34,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from dupers_ray.functions.hashing import hash_str_u64
+
+logger = logging.getLogger(__name__)
 
 DEFAULT_PARTITIONS = 64
 
@@ -336,11 +339,23 @@ def build_phrase_index(
 
     def occurrences(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and int(ids.max()) >= (1 << (63 - _POS_BITS)):
+            # packed (doc << 20 | pos) int64 keys would alias across docs
+            raise ValueError(
+                f"build_phrase_index requires {id_col} < 2**{63 - _POS_BITS} "
+                f"(got max {int(ids.max())}); remap ids before indexing"
+            )
         th, lens = _doc_tokens(t.column(text_col), ids)
         pos_in_doc = np.arange(len(th), dtype=np.int64) - np.repeat(
             np.cumsum(lens) - lens, lens
         )
         keep = pos_in_doc < (1 << _POS_BITS)
+        if not keep.all():
+            logger.warning(
+                "build_phrase_index: %d token occurrences beyond position "
+                "2**%d truncated (docs longer than the packing bound)",
+                int((~keep).sum()), _POS_BITS,
+            )
         doc_idx = np.repeat(np.arange(len(ids)), lens)[keep]
         th, pos_in_doc = th[keep], pos_in_doc[keep]
         return pa.table({

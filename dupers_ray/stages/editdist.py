@@ -322,8 +322,24 @@ def cluster_edit_profile(
         m = cl != node
         cl_m = cl[m]
         pos = np.searchsorted(cl_s, cl_m).clip(0, max(0, len(cl_s) - 1))
-        ok = len(cl_s) > 0
-        anchor = id_s[pos] if ok else np.empty(0, np.int64)
+        if len(cl_s):
+            if not (cl_s[pos] == cl_m).all():
+                # every member's cluster must have an anchor row (the anchor
+                # labels itself) — a miss means the upstream assignment is
+                # inconsistent; fail loudly rather than pair with an
+                # arbitrary clipped neighbor (round-3 ADVICE)
+                missing = np.unique(cl_m[cl_s[pos] != cl_m])
+                raise AssertionError(
+                    f"cluster_edit_profile: {len(missing)} cluster ids have "
+                    f"members but no anchor (first: {missing[0]})"
+                )
+            anchor = id_s[pos]
+        elif len(cl_m):
+            raise AssertionError(
+                "cluster_edit_profile: members present but anchor map is empty"
+            )
+        else:
+            anchor = np.empty(0, np.int64)
         ids = np.asarray(
             t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64
         )[m]

@@ -99,14 +99,23 @@ def _select_winnow(gh: np.ndarray, gram_doc: np.ndarray, w: int) -> np.ndarray:
             ridx = (w - 1) - np.argmin(wins[ok, ::-1], axis=1)
             sel.append(starts[ok] + ridx)
     # docs whose whole gram segment is shorter than w: one window = segment
+    # (vectorized rightmost-min over all short segments at once — a tiny-doc
+    # heavy web batch must not fall back to per-doc Python; round-3 ADVICE)
     counts_g = np.bincount(gram_doc)
     short_docs = np.nonzero((counts_g > 0) & (counts_g < w))[0]
     if short_docs.size:
         seg_starts = np.concatenate(([0], np.cumsum(counts_g)[:-1]))
-        for d in short_docs:
-            s, m = int(seg_starts[d]), int(counts_g[d])
-            seg = gh[s : s + m]
-            sel.append(np.array([s + (m - 1 - int(np.argmin(seg[::-1])))], np.int64))
+        s = seg_starts[short_docs]
+        m = counts_g[short_docs]
+        seg_off = np.cumsum(m) - m  # segment starts within the flat view
+        flat = np.repeat(s, m) + (np.arange(int(m.sum())) - np.repeat(seg_off, m))
+        vals = gh[flat]
+        segmin = np.minimum.reduceat(vals, seg_off)
+        is_min = vals == np.repeat(segmin, m)
+        # rightmost minimum = max flat index among the per-segment minima
+        sel.append(
+            np.maximum.reduceat(np.where(is_min, flat, -1), seg_off).astype(np.int64)
+        )
     if not sel:
         return np.empty(0, np.int64)
     return np.unique(np.concatenate(sel))
