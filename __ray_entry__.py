@@ -1862,6 +1862,34 @@ def _q_audio_dup_clusters(sf_dir: str):
     )
 
 
+def _q_mp3_metadata(sf_dir: str):
+    """MP3 container-metadata decode (stages/multimodal.parse_mp3_frames
+    — from-scratch ISO/IEC 11172-3 frame-header walk, the JPEG/T.81
+    precedent for the compressed-audio boundary): each doc's (doc_id,
+    n_chars) deterministically seeds an MPEG-1 Layer III frame stream
+    (synth.synth_doc_mp3 — CBR/VBR mode, sample rate and frame count by
+    id/char arithmetic, odd ids behind an ID3v2 tag), and the Ray path
+    must parse the binary headers to recover what the oracle states as
+    plain column arithmetic. PCM decode of compressed audio remains a
+    declared boundary (fingerprints require WAV)."""
+    from dupers_ray.stages.multimodal import Mp3HeaderParser
+    from dupers_ray.synth import synth_doc_mp3
+
+    media = _tbl(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        synth_doc_mp3, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256,
+    )
+    parsed = media.map_batches(
+        Mp3HeaderParser, fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256,
+        concurrency=(1, 4),
+    )
+    return parsed.select_columns([
+        "doc_id", "n_frames", "sample_rate", "n_samples",
+        "duration_ms_dec", "vbr", "layer",
+    ])
+
+
 def _q_video_dup_clusters(sf_dir: str):
     """Video leg of the multimodal triad: each doc's text-prefix sha256
     seeds a 3-scene DVID video rendered with DIFFERENT codecs, frame
@@ -5800,6 +5828,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _q_image_dup_clusters,
         "audio_dup_clusters": _q_audio_dup_clusters,
         "video_dup_clusters": _q_video_dup_clusters,
+        "mp3_metadata": _q_mp3_metadata,
         "dsir_weights": _q_dsir_weights,
         "dsir_topk": _q_dsir_topk,
         "link_edges": _q_link_edges,
@@ -6844,6 +6873,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) OVER (
                        PARTITION BY substr(text, 1, 40)
                    ) AS BIGINT) AS cluster_id
+            FROM documents
+        """,
+        "mp3_metadata": """
+            SELECT doc_id,
+                   CAST(3 + (n_chars % 8) AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END
+                        AS INTEGER) AS sample_rate,
+                   CAST((3 + (n_chars % 8)) * 1152 AS BIGINT) AS n_samples,
+                   CAST(ROUND((3 + (n_chars % 8)) * 1152000.0 /
+                        (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 32000 END))
+                        AS INTEGER) AS duration_ms_dec,
+                   (doc_id % 3 = 2) AS vbr,
+                   CAST(3 AS INTEGER) AS layer
             FROM documents
         """,
         "dsir_weights": f"""

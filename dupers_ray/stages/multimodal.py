@@ -137,6 +137,150 @@ class ImageFeaturizer:
         return pa.table({"media_id": batch.column("media_id"), "embedding": emb})
 
 
+# MPEG audio frame-header tables (ISO/IEC 11172-3 §2.4.2.3 and the
+# MPEG-2/2.5 LSF extensions) — written from the public spec, the same
+# from-scratch precedent as functions/jpeg.py (T.81). Index 0 = "free"
+# and 15 = reserved in the bitrate tables (treated invalid here).
+_MP3_BITRATES = {
+    # (version_key, layer): kbps by 4-bit index; version_key 1 = MPEG1,
+    # 2 = MPEG2/2.5 (they share tables)
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+}
+_MP3_RATES = {  # by version bits (00=2.5, 10=2, 11=1) then 2-bit index
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def parse_mp3_frames(data: bytes) -> dict:
+    """From-scratch MPEG-1/2/2.5 Layer I/II/III frame-header walk: skips a
+    leading ID3v2 tag (syncsafe size), then steps frame to frame via the
+    spec's frame-length formula, resyncing on garbage. Returns real
+    container metadata — the PCM decode (Huffman + IMDCT + synthesis
+    filterbank) stays a declared boundary, like RAR compressed members
+    (sources/rar5.py): header metadata is honest decode, audio
+    fingerprints require WAV.
+
+    Output keys: n_frames, sample_rate, n_samples, duration_ms,
+    bitrate_kbps (length-weighted mean, so VBR is averaged), vbr (bool),
+    layer (1/2/3), version ('1' | '2' | '2.5')."""
+    pos, n = 0, len(data)
+    # ID3v2: "ID3" ver(2) flags(1) size(4 syncsafe)
+    if n >= 10 and data[:3] == b"ID3":
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+    frames = 0
+    samples = 0
+    dur_ms = 0.0
+    br_sum = 0.0
+    br_seen: set[int] = set()
+    sr0 = 0
+    layer0 = 0
+    ver0 = ""
+    while pos + 4 <= n:
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync
+            continue
+        ver_bits = (b1 >> 3) & 0x3       # 00=2.5, 01=reserved, 10=2, 11=1
+        layer_bits = (b1 >> 1) & 0x3     # 01=III, 10=II, 11=I
+        if ver_bits == 1 or layer_bits == 0:
+            pos += 1
+            continue
+        layer = 4 - layer_bits           # 1/2/3
+        vkey = 1 if ver_bits == 3 else 2
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if sr_idx == 3:
+            pos += 1
+            continue
+        kbps = _MP3_BITRATES[(vkey, layer)][br_idx]
+        if kbps == 0:  # free-format / reserved — not walkable
+            pos += 1
+            continue
+        rate = _MP3_RATES[ver_bits][sr_idx]
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+            spf = 384
+        else:
+            spf = 576 if (layer == 3 and vkey == 2) else 1152
+            flen = spf // 8 * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break  # truncated final frame: stop, keep what we have
+        if frames == 0:
+            sr0, layer0 = rate, layer
+            ver0 = {3: "1", 2: "2", 0: "2.5"}[ver_bits]
+        elif rate != sr0 or layer != layer0:
+            break  # stream property change — treat as end of this stream
+        frames += 1
+        samples += spf
+        dur_ms += spf * 1000.0 / rate
+        br_sum += kbps * (spf * 1000.0 / rate)
+        br_seen.add(kbps)
+        pos += flen
+    if frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "n_frames": frames,
+        "sample_rate": sr0,
+        "n_samples": samples,
+        "duration_ms": int(round(dur_ms)),
+        "bitrate_kbps": br_sum / dur_ms if dur_ms else 0.0,
+        "vbr": len(br_seen) > 1,
+        "layer": layer0,
+        "version": ver0,
+    }
+
+
+class Mp3HeaderParser:
+    """Actor-pool stage: MP3 payload → real container metadata via
+    :func:`parse_mp3_frames`. Output: (media_id, n_frames, sample_rate,
+    n_samples, duration_ms_dec, bitrate_kbps, vbr, layer, mpeg_version);
+    unparseable payloads yield n_frames 0 (never a raise mid-stream —
+    crawled audio is hostile input)."""
+
+    def __init__(self, *, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nf = np.zeros(n, np.int64)
+        sr = np.zeros(n, np.int32)
+        ns = np.zeros(n, np.int64)
+        dur = np.zeros(n, np.int32)
+        br = np.zeros(n, np.float64)
+        vbr = np.zeros(n, bool)
+        layer = np.zeros(n, np.int32)
+        ver = [""] * n
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            try:
+                m = parse_mp3_frames(p or b"")
+            except ValueError:
+                continue
+            nf[i], sr[i], ns[i] = m["n_frames"], m["sample_rate"], m["n_samples"]
+            dur[i], br[i], vbr[i] = m["duration_ms"], m["bitrate_kbps"], m["vbr"]
+            layer[i], ver[i] = m["layer"], m["version"]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_frames": pa.array(nf),
+            "sample_rate": pa.array(sr),
+            "n_samples": pa.array(ns),
+            "duration_ms_dec": pa.array(dur),
+            "bitrate_kbps": pa.array(br),
+            "vbr": pa.array(vbr),
+            "layer": pa.array(layer),
+            "mpeg_version": pa.array(ver, pa.string()),
+        })
+
+
 class AudioDecoder:
     """Actor-pool stage: WAV payload → waveform features. REAL decode for
     PCM WAV (RIFF parse + numpy frombuffer — stdlib-only, like the PNG
@@ -194,8 +338,11 @@ class AudioDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "stub":
             raise NotImplementedError(
-                "compressed-audio codec not available; PCM WAV decodes for "
-                "real via AudioDecoder(decoder='wav')"
+                "compressed-audio PCM decode (Huffman+IMDCT) is a declared "
+                "boundary; PCM WAV decodes for real via "
+                "AudioDecoder(decoder='wav'), and MP3 container metadata "
+                "(frames/rate/duration/bitrate) parses for real via "
+                "Mp3HeaderParser (ISO 11172-3 frame-header walk)"
             )
         n = batch.num_rows
         ns = np.zeros(n, np.int64)

@@ -562,6 +562,52 @@ def synth_doc_audio(
     })
 
 
+def synth_doc_mp3(
+    batch: "pa.Table",
+    *,
+    id_col: str = "doc_id",
+    nchars_col: str = "n_chars",
+) -> "pa.Table":
+    """Deterministic synthetic MPEG-1 Layer III frame stream per document
+    (container-metadata counterpart of synth_doc_audio): frame count,
+    sample rate and CBR/VBR mode derive arithmetically from (doc_id,
+    n_chars), so a DuckDB oracle can restate the EXPECTED parse of
+    stages/multimodal.parse_mp3_frames as plain column arithmetic — the
+    Ray path must actually walk the binary frame headers to recover it.
+    Odd ids get an ID3v2 tag prefix (exercises the syncsafe skip); frame
+    bodies are zeros (no false sync bytes). Output: (id, payload)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = batch.column(nchars_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads: list[bytes] = []
+    for doc_id, nc in zip(ids, nch):
+        n_frames = 3 + int(nc) % 8
+        sr_idx = 0 if doc_id % 2 == 0 else 2
+        rate = 44100 if sr_idx == 0 else 32000
+        mode = doc_id % 3  # 0: CBR 128, 1: CBR 64, 2: VBR 64/128
+        frames = []
+        for j in range(n_frames):
+            if mode == 0:
+                idx, kbps = 9, 128
+            elif mode == 1:
+                idx, kbps = 5, 64
+            else:
+                idx, kbps = (5, 64) if j % 2 == 0 else (9, 128)
+            flen = 144 * kbps * 1000 // rate
+            frames.append(
+                bytes([0xFF, 0xFB, (idx << 4) | (sr_idx << 2), 0x00])
+                + bytes(flen - 4)
+            )
+        prefix = b""
+        if doc_id % 2 == 1:
+            sz = int(doc_id) % 100  # < 128, one syncsafe byte
+            prefix = b"ID3" + bytes([3, 0, 0, 0, 0, 0, sz]) + bytes(sz)
+        payloads.append(prefix + b"".join(frames))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
 def synth_sitemap_pages(
     batch: "pa.Table",
     *,

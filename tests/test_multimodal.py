@@ -282,3 +282,89 @@ def test_png_decode_any_filter_sequence(h, w, seed, filters):
         + _chunk(b"IEND", b"")
     )
     assert (decode_png(png) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header parser (ISO/IEC 11172-3 walk; round-3 verdict #8)
+# ---------------------------------------------------------------------------
+
+def _mp3_frame(kbps_idx: int, kbps: int, sr_idx: int, rate: int) -> bytes:
+    flen = 144 * kbps * 1000 // rate
+    return bytes([0xFF, 0xFB, (kbps_idx << 4) | (sr_idx << 2), 0]) + bytes(flen - 4)
+
+
+def test_parse_mp3_cbr_and_id3_skip():
+    from dupers_ray.stages.multimodal import parse_mp3_frames
+
+    body = _mp3_frame(9, 128, 0, 44100) * 5
+    tag = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 20]) + bytes(20)
+    m = parse_mp3_frames(tag + body)
+    assert m["n_frames"] == 5
+    assert m["sample_rate"] == 44100
+    assert m["n_samples"] == 5 * 1152
+    assert m["duration_ms"] == round(5 * 1152 * 1000 / 44100)
+    assert m["bitrate_kbps"] == pytest.approx(128.0)
+    assert not m["vbr"]
+    assert (m["layer"], m["version"]) == (3, "1")
+
+
+def test_parse_mp3_vbr_resync_and_truncation():
+    from dupers_ray.stages.multimodal import parse_mp3_frames
+
+    # garbage prefix (no sync), alternating 64/128 kbps, truncated tail
+    data = (
+        bytes([0x00, 0x12, 0x34])
+        + _mp3_frame(5, 64, 2, 32000)
+        + _mp3_frame(9, 128, 2, 32000)
+        + _mp3_frame(5, 64, 2, 32000)
+        + _mp3_frame(9, 128, 2, 32000)[:-10]  # truncated final frame
+    )
+    m = parse_mp3_frames(data)
+    assert m["n_frames"] == 3
+    assert m["sample_rate"] == 32000
+    assert m["vbr"]
+    # length-weighted mean over equal-duration frames = plain mean
+    assert m["bitrate_kbps"] == pytest.approx((64 + 128 + 64) / 3)
+    with pytest.raises(ValueError):
+        parse_mp3_frames(b"not audio at all")
+
+
+def test_mp3_header_parser_stage():
+    from dupers_ray.stages.multimodal import Mp3HeaderParser
+
+    tbl = pa.table({
+        "media_id": ["a", "b", "c"],
+        "payload": pa.array(
+            [_mp3_frame(9, 128, 0, 44100) * 4, b"garbage only", None],
+            pa.binary(),
+        ),
+    })
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(Mp3HeaderParser, batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=(1, 2))
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc["a", "n_frames"] == 4
+    assert out.loc["a", "duration_ms_dec"] == round(4 * 1152 * 1000 / 44100)
+    assert out.loc["b", "n_frames"] == 0  # hostile input -> zero row, no raise
+    assert out.loc["c", "n_frames"] == 0
+
+
+def test_synth_doc_mp3_matches_arithmetic_oracle():
+    from dupers_ray.stages.multimodal import parse_mp3_frames
+    from dupers_ray.synth import synth_doc_mp3
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "n_chars": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+    })
+    out = synth_doc_mp3(batch)
+    for doc_id, nc, payload in zip([0, 1, 2, 3, 4, 5], [10, 11, 12, 13, 14, 15],
+                                   out.column("payload").to_pylist()):
+        m = parse_mp3_frames(payload)
+        assert m["n_frames"] == 3 + nc % 8
+        assert m["sample_rate"] == (44100 if doc_id % 2 == 0 else 32000)
+        assert m["vbr"] == (doc_id % 3 == 2)
+        assert m["n_samples"] == (3 + nc % 8) * 1152
