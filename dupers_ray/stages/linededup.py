@@ -39,7 +39,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from dupers_ray.functions.hashing import hash_str_u64
 
@@ -96,15 +95,43 @@ def frequent_lines(
             }
         )
 
-    counts = docs.map_batches(
-        per_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("lh").aggregate(Sum("n", alias_name="n"))
-    freq = counts.filter(
-        expr=f"n >= {int(min_docs)}"
-    ).select_columns(["lh"]).to_pandas()  # column pull, not per-row take_all
+    freq = _partitioned_count_filter(
+        docs.map_batches(
+            per_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        min_docs=min_docs,
+    )
     if not len(freq):
         return np.empty(0, np.uint64)
     return np.sort(freq["lh"].to_numpy(np.int64).view(np.uint64))
+
+
+def _partitioned_count_filter(
+    partials: "ray.data.Dataset", *, min_docs: int
+) -> "pd.DataFrame":  # noqa: F821 (pandas via to_pandas)
+    """Global per-hash count over per-batch (lh, n) partials WITHOUT a
+    global sort: hash-partition on lh (equal keys co-locate), sum per key
+    with one argsort+reduceat per partition, and filter ``>= min_docs``
+    IN-PARTITION — only the frequent survivors (the tiny boilerplate set)
+    ever leave the cluster. Replaces ``groupby("lh").aggregate(Sum)``,
+    whose sort-based AllToAll dominated wall time at 13M distinct chunks
+    (round-3 verdict #6; same fix as functions/grouping.py)."""
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        h = g.column("lh").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ns = h[order], n[order]
+        idx = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]]) if len(hs) else \
+            np.empty(0, np.int64)
+        tot = np.add.reduceat(ns, idx) if len(idx) else np.empty(0, np.int64)
+        keep = tot >= min_docs
+        return pa.table({"lh": pa.array(hs[idx][keep], pa.int64())})
+
+    return keyed_partition_map_groups(
+        partials, "lh", reduce_part, batch_format="pyarrow"
+    ).to_pandas()
 
 
 def frequent_lines_by_key(
@@ -145,12 +172,12 @@ def frequent_lines_by_key(
             }
         )
 
-    counts = docs.map_batches(
-        per_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("lh").aggregate(Sum("n", alias_name="n"))
-    freq = counts.filter(
-        expr=f"n >= {int(min_docs)}"
-    ).select_columns(["lh"]).to_pandas()
+    freq = _partitioned_count_filter(
+        docs.map_batches(
+            per_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        min_docs=min_docs,
+    )
     if not len(freq):
         return np.empty(0, np.uint64)
     return np.sort(freq["lh"].to_numpy(np.int64).view(np.uint64))
@@ -295,7 +322,7 @@ def duplicated_paragraph_winners(
 
     Scale shape: ONE combiner pass (per-batch min-winner + count per
     hash via argsort + reduceat — 24 B/chunk rows leave the scan, text
-    bytes never shuffle) -> one small groupby(Min, Sum) -> only the
+    bytes never shuffle) -> hash-partitioned (Min, Sum) reduce -> only the
     DUPLICATED chunks (count > 1) come back to the driver; singleton
     chunks — the overwhelming mass of a web corpus — never leave the
     cluster. The packed winner bounds doc_id < 2^43 at 20 index bits;
@@ -306,8 +333,6 @@ def duplicated_paragraph_winners(
     could drop a unique chunk; the SQL oracle compares exact strings, so
     a collision surfaces as a driver mismatch rather than hiding
     (same contract as :func:`frequent_lines`)."""
-    from ray.data.aggregate import Min
-
     def per_batch(t: pa.Table) -> pa.Table:
         doc, li, h, _ = _flat_chunks(
             t, id_col=id_col, text_col=text_col,
@@ -328,12 +353,37 @@ def duplicated_paragraph_winners(
             "n": pa.array(counts.astype(np.int64)),
         })
 
-    agg = docs.map_batches(
-        per_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("lh").aggregate(
-        Min("mp", alias_name="mp"), Sum("n", alias_name="n")
-    )
-    dup = agg.filter(expr="n > 1").select_columns(["lh", "mp"]).to_pandas()
+    from dupers_ray.functions.grouping import keyed_partition_map_groups
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        # per-partition exact (min winner, total count) per hash — equal
+        # hashes co-locate, so the >1 filter is globally correct and only
+        # DUPLICATED chunks leave the partition (verdict r3 #6: replaces
+        # the sort-based groupby(Min, Sum) AllToAll over 13M rows)
+        h = g.column("lh").to_numpy(zero_copy_only=False)
+        p = g.column("mp").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ps, ns = h[order], p[order], n[order]
+        idx = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]]) if len(hs) else \
+            np.empty(0, np.int64)
+        if len(idx):
+            tot = np.add.reduceat(ns, idx)
+            mins = np.minimum.reduceat(ps, idx)
+        else:
+            tot = mins = np.empty(0, np.int64)
+        keep = tot > 1
+        return pa.table({
+            "lh": pa.array(hs[idx][keep], pa.int64()),
+            "mp": pa.array(mins[keep], pa.int64()),
+        })
+
+    dup = keyed_partition_map_groups(
+        docs.map_batches(
+            per_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "lh", reduce_part, batch_format="pyarrow",
+    ).to_pandas()
     if not len(dup):
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     h = dup["lh"].to_numpy(np.int64).view(np.uint64)
