@@ -192,12 +192,16 @@ def indexed_token_search(
         g = t.group_by([id_col]).aggregate([("th", "count")])
         return g.rename_columns([id_col, "n_hit"])
 
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
     hits = ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
-    agg = hits.groupby(id_col).sum("n_hit")
+    # hash-partitioned reduce: matched-doc cardinality is term-dependent
+    # (stopword queries match most of the corpus) — never a global sort
+    agg = partitioned_aggregate(hits, id_col, sums=("n_hit",))
     want = len(terms)
 
     def finish(t: pa.Table) -> pa.Table:
-        n = t.column("sum(n_hit)")
+        n = t.column("n_hit")
         mask = pc.greater_equal(n, 1) if mode == "any" else pc.equal(n, want)
         return pa.table({id_col: t.column(id_col).filter(mask)})
 
@@ -303,18 +307,13 @@ def bm25_scores(
             "score": pa.array(np.add.reduceat(w_s, starts)),
         })
 
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
     scored = rd.read_parquet(paths, columns=["th", id_col, "tf", "dl"]).map_batches(
         _score, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = scored.groupby(id_col).sum("score")
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: t.column(id_col),
-            "score": t.column("sum(score)"),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    # hash-partitioned reduce over matched doc ids (see indexed_search)
+    return partitioned_aggregate(scored, id_col, sums=("score",))
 
 
 _POS_BITS = 20  # positions pack into the low 20 bits of (doc << 20 | pos)

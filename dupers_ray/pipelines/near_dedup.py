@@ -769,9 +769,14 @@ def bucket_size_histogram(
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    sizes = bands.map_batches(
-        count_partial, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("bh").aggregate(Sum("n", alias_name="n"))
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    sizes = partitioned_aggregate(
+        bands.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "bh", sums=("n",),  # distinct band hashes are corpus-sized
+    )
 
     def hist_partial(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy(zero_copy_only=False)

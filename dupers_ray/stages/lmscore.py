@@ -86,12 +86,14 @@ def bigram_counts(
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    from ray.data.aggregate import Sum
+    from dupers_ray.functions.grouping import partitioned_aggregate
 
     partials = ds.select_columns([id_col, text_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.groupby("bh").aggregate(Sum("n", alias_name="n"))
+    # hash-partitioned reduce, not groupby().aggregate(): distinct-bigram
+    # cardinality is corpus-sized, and Ray's aggregate sorts every row
+    return partitioned_aggregate(partials, "bh", sums=("n",))
 
 
 def bigram_rarity(

@@ -36,7 +36,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def _as_string(col) -> pa.Array:
@@ -314,9 +313,12 @@ def sitemap_coverage(
         functools.partial(_flag_side, url_col=url_col, listed=0),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    per_url = listed.union(crawled).groupby("url").aggregate(
-        Sum("listed", alias_name="listed"),
-        Sum("crawled", alias_name="crawled"),
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    # hash-partitioned reduce on STRING urls — corpus-sized key set;
+    # groupby(url) would global-sort every url row
+    per_url = partitioned_aggregate(
+        listed.union(crawled), "url", sums=("listed", "crawled"),
     )
 
     def host_counts(t: pa.Table) -> pa.Table:
@@ -333,12 +335,11 @@ def sitemap_coverage(
         out = df.groupby("host", sort=False, as_index=False).sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    rolled = per_url.map_batches(
-        host_counts, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby("host").aggregate(
-        Sum("n_both", alias_name="n_both"),
-        Sum("n_listed_only", alias_name="n_listed_only"),
-        Sum("n_crawled_only", alias_name="n_crawled_only"),
+    rolled = partitioned_aggregate(
+        per_url.map_batches(
+            host_counts, batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        "host", sums=("n_both", "n_listed_only", "n_crawled_only"),
     )
 
     def add_listed(t: pa.Table) -> pa.Table:

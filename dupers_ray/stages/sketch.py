@@ -289,13 +289,16 @@ def global_value_ranks(
         .rename_columns([value_col, "cnt"]),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    hist = parts.groupby(value_col).sum("cnt")
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    # hash-partitioned reduce: distinct-value cardinality is data-sized
+    hist = partitioned_aggregate(parts, value_col, sums=("cnt",))
     rows = [ray.get(r) for r in hist.to_arrow_refs()]
     rows = [t for t in rows if t.num_rows]
     if rows:
         h = pa.concat_tables(rows)
         vals = h.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cnts = h.column(f"sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnts = h.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(vals)
         vals, cnts = vals[order], cnts[order]
         below = np.r_[0, np.cumsum(cnts)[:-1]]

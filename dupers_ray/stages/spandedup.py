@@ -35,7 +35,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 from dupers_ray.functions.hashing import hash_str_u64
 
@@ -89,13 +88,15 @@ def dup_gram_owners(
             "owner": pa.array(mn),
         })
 
-    g = docs.map_batches(
-        per_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("gh").aggregate(
-        Sum("n", alias_name="n"), Min("owner", alias_name="owner")
-    )
-    dup = g.filter(expr=f"n >= {int(min_docs)}").select_columns(
-        ["gh", "owner"]).to_pandas()  # column pull, not per-row take_all
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    dup = partitioned_aggregate(
+        docs.map_batches(
+            per_batch, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "gh", sums=("n",), mins=("owner",),
+        having_sum_ge=int(min_docs), having_col="n",
+    ).select_columns(["gh", "owner"]).to_pandas()
     if not len(dup):
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     gh = dup["gh"].to_numpy(np.int64).view(np.uint64)

@@ -119,8 +119,6 @@ def template_clusters(
     survivor rule, ``pkg/dupe/dupe.go:919-931``, applied per template).
     Combiner → small groupby: the shuffle moves one row per distinct
     template per batch, never the corpus."""
-    from ray.data.aggregate import Max, Min, Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         t = template_key(batch, html_col=html_col)
         df = t.select([id_col, "template_u64", "n_tags"]).to_pandas()
@@ -138,10 +136,12 @@ def template_clusters(
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partials.groupby("__tk").aggregate(
-        Sum("n_pages", alias_name="n_pages"),
-        Min("exemplar", alias_name="exemplar"),
-        Max("n_tags", alias_name="n_tags"),
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    # hash-partitioned reduce: distinct templates are data-sized
+    agg = partitioned_aggregate(
+        partials, "__tk",
+        sums=("n_pages",), mins=("exemplar",), maxs=("n_tags",),
     )
 
     def unsign(t: pa.Table) -> pa.Table:

@@ -237,10 +237,11 @@ def top_tokens(ds, *, k: int = 100, text_col: str = "text"):
         partial_token_counts, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col}, zero_copy_batch=True,
     )
-    agg = parts.groupby("token").sum("n")
-    agg = agg.map_batches(
-        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
-    )
+    from dupers_ray.functions.grouping import partitioned_aggregate
+
+    # hash-partitioned reduce: groupby on STRING tokens is a global string
+    # sort over every partial row; partitioning hashes the strings instead
+    agg = partitioned_aggregate(parts, "token", sums=("n",))
     return agg.repartition(2).sort(["n", "token"], descending=[True, False]).limit(k)
 
 
