@@ -87,10 +87,17 @@ def run_bench() -> dict:
     # headline: full dupe pipeline over the pages corpus
     def headline():
         # prune at the read: the dupe pipeline consumes only (url, text);
-        # reading html here would ship ~2x the bytes for nothing
+        # reading html here would ship ~2x the bytes for nothing.
+        # GRAFT_SIG_STORE=u2 stores uint16 signature folds (half the sig
+        # bytes through materialize/index/verify) for the bytes-vs-
+        # bandwidth scaling experiment (BASELINE.md); default u4.
+        from dupers_ray.config import MinHashConfig
+
+        cfg = DedupConfig(minhash=MinHashConfig(
+            sig_store=os.environ.get("GRAFT_SIG_STORE", "u4")))
         ds = rd.read_parquet(pages_path, columns=["url", "text"])
         ids_only = rd.read_parquet(pages_path, columns=["url"])
-        return dupe_clusters(ds, DedupConfig(), mapping_ds=ids_only).count()
+        return dupe_clusters(ds, cfg, mapping_ds=ids_only).count()
 
     n_docs = timed("dupe_pages", headline)
 

@@ -47,6 +47,15 @@ class MinHashConfig:
     # method: Li/Owen/Zhang 2012, Shrivastava&Li 2014). "universal": classic
     # (a*x+b) mod 2^31-1 family, kept as the cross-validation reference.
     method: str = "oph"
+    # Signature STORAGE width. "u4": full uint32 components (the oracle-
+    # restated default). "u2": store the low-uint16 folds — halves the
+    # signature table, the index scan and the verify gathers (the fold16
+    # verify compares uint16s either way, so verify is bit-identical);
+    # band buckets hash the folds, which can only ADD candidates (full
+    # equality implies fold equality), and every added candidate still
+    # passes the same fold16 verify gate — a strict-superset recall knob
+    # for bandwidth-bound deployments (BASELINE.md scaling budget).
+    sig_store: str = "u4"
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:
@@ -57,6 +66,8 @@ class MinHashConfig:
             raise ValueError("oph requires num_perm to be a power of two")
         if self.method not in ("oph", "universal"):
             raise ValueError(f"unknown minhash method {self.method!r}")
+        if self.sig_store not in ("u4", "u2"):
+            raise ValueError(f"unknown sig_store {self.sig_store!r}")
 
 
 @dataclass(frozen=True)

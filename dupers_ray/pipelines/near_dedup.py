@@ -81,7 +81,9 @@ def _minhash_digest_batch(batch, *, shingle, minhash, id_col, text_col):
     texts = [t if t is not None else "" for t in b.column(text_col).to_pylist()]
     sig, n_sh = mh.signatures(texts)
     keep = n_sh > 0
-    sig_le = np.ascontiguousarray(sig.astype("<u4"))
+    from dupers_ray.stages.minhash import pack_sig
+
+    sig_le = pack_sig(sig, minhash.sig_store if minhash else "u4")
     sig_bytes: list[bytes | None] = [None] * len(ids)
     ki = 0
     for i, k in enumerate(keep):
@@ -507,13 +509,14 @@ def verify_pairs(
                 {"src": pa.array([], pa.uint64()), "dst": pa.array([], pa.uint64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        from dupers_ray.functions.arrowview import binary_matrix
+        from dupers_ray.stages.minhash import fold16_matrix, sig_matrix
 
-        a = binary_matrix(t.column("sig_src"), "<u4")
-        b = binary_matrix(t.column("sig"), "<u4")
         if compare == "fold16":
-            a = (a & np.uint32(0xFFFF)).astype(np.uint16)
-            b = (b & np.uint32(0xFFFF)).astype(np.uint16)
+            a = fold16_matrix(t.column("sig_src"), cfg.num_perm)
+            b = fold16_matrix(t.column("sig"), cfg.num_perm)
+        else:
+            a = sig_matrix(t.column("sig_src"), cfg.num_perm)
+            b = sig_matrix(t.column("sig"), cfg.num_perm)
         jac = (a == b).mean(axis=1)
         keep = jac >= cfg.jaccard_threshold
         return pa.table(
@@ -549,8 +552,6 @@ def _verify_pairs_broadcast(
     ]
     tables = [t for t in tables if len(t)]
     if tables:
-        from dupers_ray.functions.arrowview import binary_matrix
-
         at = pa.concat_tables(tables)
         nodes = np.asarray(at.column("node"), dtype=np.uint64)
         # compare LOW uint16 HALVES: equality of uint16 folds adds a
@@ -558,11 +559,13 @@ def _verify_pairs_broadcast(
         # on the Jaccard estimate — round-1 ADVICE flagged the old uint8
         # fold's 1/256 bias as a strategy-boundary reproducibility wart)
         # while still halving the scoring loop's gather bandwidth vs u4.
-        # binary_matrix reinterprets the Arrow buffer in place — the old
+        # fold16_matrix reinterprets the Arrow buffer in place — the old
         # to_pylist+join here copied ~300 MB on the DRIVER, a measured
-        # ~2 s serial floor in the flagship at every CPU level
-        full = binary_matrix(at.column("sig"), "<u2")
-        mat = np.ascontiguousarray(full[:, ::2])
+        # ~2 s serial floor in the flagship at every CPU level; under a
+        # "u2" signature store the stored bytes ARE the folds (no slice)
+        from dupers_ray.stages.minhash import fold16_matrix
+
+        mat = np.ascontiguousarray(fold16_matrix(at.column("sig"), cfg.num_perm))
         order = np.argsort(nodes, kind="stable")
         nodes, mat = nodes[order], mat[order]
     else:

@@ -226,10 +226,11 @@ class MinHasher:
         keep = n_sh > 0
         kept_ids = [i for i, k in zip(ids, keep) if k]
         nodes = node_ids([str(i) for i in kept_ids])
-        # sig stored as binary (num_perm little-endian uint32s): Arrow hash
-        # joins support binary payloads but NOT (fixed_size_)list ones, and
-        # binary survives pandas/parquet round-trips without object dtype
-        sig_le = np.ascontiguousarray(sig.astype("<u4"))
+        # sig stored as binary (num_perm little-endian uint32s, or uint16
+        # folds under cfg.sig_store="u2"): Arrow hash joins support binary
+        # payloads but NOT (fixed_size_)list ones, and binary survives
+        # pandas/parquet round-trips without object dtype
+        sig_le = pack_sig(sig, self.cfg.sig_store)
         sig_bytes = pa.array(
             [sig_le[i].tobytes() for i in range(sig_le.shape[0])], pa.binary()
         )
@@ -241,6 +242,50 @@ class MinHasher:
                 "n_shingles": pa.array(n_sh[keep].astype(np.int64)),
             }
         )
+
+
+def pack_sig(sig: np.ndarray, sig_store: str) -> np.ndarray:
+    """uint32 signature matrix → contiguous little-endian storage matrix
+    per MinHashConfig.sig_store ("u4" full / "u2" low-half folds)."""
+    if sig_store == "u2":
+        return np.ascontiguousarray((sig & np.uint32(0xFFFF)).astype("<u2"))
+    return np.ascontiguousarray(sig.astype("<u4"))
+
+
+def sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Stored sig binary column → value matrix, width-detected: num_perm
+    uint32s ("u4" store) or num_perm uint16s ("u2"). Zero-copy view of
+    the Arrow buffer either way."""
+    from dupers_ray.functions.arrowview import binary_matrix
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), np.uint16)
+    width = None
+    for v in col:  # first non-null row sets the (uniform) byte width
+        if v.is_valid:
+            width = len(v.as_py())
+            break
+    if width is None:
+        return np.empty((0, num_perm), np.uint16)
+    if width == num_perm * 2:
+        return binary_matrix(col, "<u2")
+    if width == num_perm * 4:
+        return binary_matrix(col, "<u4")
+    raise ValueError(
+        f"sig width {width} B matches neither u4 nor u2 at num_perm={num_perm}"
+    )
+
+
+def fold16_matrix(col, num_perm: int) -> np.ndarray:
+    """Stored sig binary → uint16 fold matrix (the verify comparison
+    domain): the identity for a "u2" store, the low halves for "u4"."""
+    m = sig_matrix(col, num_perm)
+    if m.dtype == np.uint16:
+        return m
+    return (m & np.uint32(0xFFFF)).astype(np.uint16)
 
 
 def explode_bands(
@@ -266,9 +311,7 @@ def explode_bands(
                 "node": pa.array([], pa.uint64()),
             }
         )
-    from dupers_ray.functions.arrowview import binary_matrix
-
-    mat = binary_matrix(sig, "<u4").reshape(d, bands, rows).astype(np.uint64)
+    mat = sig_matrix(sig, bands * rows).reshape(d, bands, rows).astype(np.uint64)
     hashes = np.empty((d, bands), np.uint64)
     for b in range(bands):
         with np.errstate(over="ignore"):

@@ -183,3 +183,58 @@ def test_plan_lsh_properties():
     assert p1 >= p0
     # degenerate budgets still valid
     assert plan_lsh(0.5, 1) == (1, 1)
+
+
+def test_sig_store_u2_superset_and_verify_parity():
+    """"u2" stores uint16 folds: band candidates are a SUPERSET of the
+    u4 candidates (full equality implies fold equality) and the fold16
+    verify gate is bit-identical, so u4 clusters' merged pairs survive
+    in u2 and typical corpora produce identical assignments."""
+    import ray.data as rd
+
+    from dupers_ray.config import DedupConfig, MinHashConfig
+    from dupers_ray.pipelines.dupe import dupe_clusters
+
+    texts = []
+    for i in range(40):
+        base = " ".join(f"tok{i}w{j}" for j in range(30))
+        texts.append(base)
+        texts.append(base + " tail")  # near-dup partner
+    tbl = {"url": [f"u{i}" for i in range(len(texts))], "text": texts}
+    ds = rd.from_items(
+        [{"url": u, "text": t} for u, t in zip(tbl["url"], tbl["text"])]
+    )
+    out = {}
+    for store in ("u4", "u2"):
+        cfg = DedupConfig(minhash=MinHashConfig(sig_store=store))
+        df = dupe_clusters(ds, cfg).to_pandas().sort_values("url")
+        out[store] = dict(zip(df["url"], df["cluster_id"]))
+    assert out["u4"] == out["u2"]
+    # every u4-merged pair (same cluster) stays merged under u2
+    from collections import defaultdict
+    groups4 = defaultdict(set)
+    for u, c in out["u4"].items():
+        groups4[c].add(u)
+    groups2 = defaultdict(set)
+    for u, c in out["u2"].items():
+        groups2[c].add(u)
+    for members in groups4.values():
+        anyu = next(iter(members))
+        assert members <= groups2[out["u2"][anyu]]
+
+
+def test_pack_sig_and_matrix_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+
+    from dupers_ray.stages.minhash import fold16_matrix, pack_sig, sig_matrix
+
+    sig = np.arange(12, dtype=np.uint32).reshape(2, 6) * 70001
+    for store, width in (("u4", 4), ("u2", 2)):
+        packed = pack_sig(sig, store)
+        col = pa.array([packed[i].tobytes() for i in range(2)], pa.binary())
+        m = sig_matrix(col, 6)
+        assert m.shape == (2, 6) and m.dtype.itemsize == width
+        f = fold16_matrix(col, 6)
+        assert f.dtype == np.uint16
+        assert (f == (sig & 0xFFFF).astype(np.uint16)).all()
