@@ -263,13 +263,18 @@ def sig_matrix(col, num_perm: int) -> np.ndarray:
     n = len(col)
     if n == 0:
         return np.empty((0, num_perm), np.uint16)
-    width = None
-    for v in col:  # first non-null row sets the (uniform) byte width
-        if v.is_valid:
-            width = len(v.as_py())
-            break
-    if width is None:
+    import pyarrow.compute as pc
+
+    widths = pc.unique(pc.binary_length(col)).drop_null().to_pylist()
+    if not widths:
         return np.empty((0, num_perm), np.uint16)
+    if len(widths) > 1:
+        raise ValueError(
+            f"mixed signature widths {sorted(widths)} B in one table — a "
+            f"persisted store and a delta scan must use the same "
+            f"MinHashConfig.sig_store"
+        )
+    width = widths[0]
     if width == num_perm * 2:
         return binary_matrix(col, "<u2")
     if width == num_perm * 4:
