@@ -230,6 +230,31 @@ def run_bench() -> dict:
         rd.read_parquet(pages_path, columns=["url", "text"]),
         id_col="url", strategy="broadcast").count())
 
+    # round-4: first-occurrence paragraph dedup at bench scale — the
+    # hash-partitioned (Min, Sum) reduce replaced a 13M-row sort groupby
+    # (111 s -> ~6 s; BASELINE.md round-4 notes). Int ids via node-hash
+    # (the packed winner key needs doc_id < 2^43).
+    def paragraph_pages():
+        import numpy as np
+        import pyarrow as pa_
+
+        from dupers_ray.functions.hashing import node_ids
+        from dupers_ray.stages.linededup import dedup_paragraphs_first
+
+        def add_id(t):
+            ids = node_ids([str(v) for v in t.column("url").to_pylist()])
+            return t.append_column(
+                "doc_id",
+                pa_.array((ids >> np.uint64(22)).astype(np.int64)),
+            )
+
+        docs = rd.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            add_id, batch_format="pyarrow", zero_copy_batch=True)
+        return dedup_paragraphs_first(
+            docs, id_col="doc_id", text_col="text").count()
+
+    timed("paragraph_dedup_pages", paragraph_pages)
+
     # round-3 ops at bench scale: DSIR selection (two token scans + one
     # <=4096-key groupby) and link-graph PageRank (synthesized hrefs →
     # vectorized extraction → 2 integer power iterations over ~1.8M edges)
