@@ -787,6 +787,69 @@ def _q_tier_summary(sf_dir: str):
     return tier_summary(dedup_tiers(_tbl(sf_dir, "documents", ["doc_id", "text"]), cfg))
 
 
+def _q_tier_budget_plan(sf_dir: str):
+    """Budgeted tier planning (pipelines/tiers.tier_budget_plan): for
+    each cascade prefix (none → +exact → +normalized → +near), the
+    surviving docs and n_chars mass, the integer budget
+    total*600000//10^6, and whether the prefix fits it — the "which
+    tiers do I need for my token budget" readout. The removed set
+    (duplicates only) broadcasts; two streaming passes; 4-row output.
+    Oracle: the full tiers SQL as a CTE + windowed prefix sums."""
+    from dupers_ray.config import DedupConfig
+    from dupers_ray.pipelines.tiers import tier_budget_plan
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+    return tier_budget_plan(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "n_chars"]), cfg,
+        weight_col="n_chars", budget_ppm=600_000,
+    )
+
+
+def _tier_budget_plan_oracle_sql() -> str:
+    return f"""
+        WITH t AS ({_tiers_oracle_sql()}),
+        w AS (
+            SELECT t.doc_id, t.tier, d.n_chars
+            FROM t JOIN documents d ON d.doc_id = t.doc_id
+        ),
+        base AS (
+            SELECT CAST(count(*) AS BIGINT) nd,
+                   CAST(sum(n_chars) AS BIGINT) nc
+            FROM w
+        ),
+        o AS (
+            SELECT * FROM (VALUES ('exact', 1), ('normalized', 2),
+                                  ('near', 3)) AS v(tier, ord)
+        ),
+        rm AS (
+            SELECT o.ord, o.tier,
+                   CAST(count(w.doc_id) AS BIGINT) rd,
+                   CAST(COALESCE(sum(w.n_chars), 0) AS BIGINT) rc
+            FROM o LEFT JOIN w ON w.tier = o.tier
+            GROUP BY o.ord, o.tier
+        ),
+        cum AS (
+            SELECT ord, tier,
+                   sum(rd) OVER (ORDER BY ord) crd,
+                   sum(rc) OVER (ORDER BY ord) crc
+            FROM rm
+        )
+        SELECT CAST(0 AS BIGINT) AS tiers_applied, 'none' AS tier,
+               base.nd AS n_docs_surviving,
+               base.nc AS n_chars_surviving,
+               CAST(base.nc * 600000 // 1000000 AS BIGINT) AS budget,
+               base.nc <= base.nc * 600000 // 1000000 AS meets_budget
+        FROM base
+        UNION ALL
+        SELECT CAST(cum.ord AS BIGINT), cum.tier,
+               base.nd - cum.crd, base.nc - cum.crc,
+               CAST(base.nc * 600000 // 1000000 AS BIGINT),
+               (base.nc - cum.crc) <= base.nc * 600000 // 1000000
+        FROM cum, base
+        ORDER BY tiers_applied
+    """
+
+
 def _tier_summary_oracle_sql() -> str:
     """The full tiers oracle nested as a CTE + one GROUP BY."""
     return f"""
@@ -5787,6 +5850,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-2 queries not yet driver-verified (VERDICT.md item 1) ---
         "dedup_tiers": _q_dedup_tiers,
+        "tier_budget_plan": _q_tier_budget_plan,
         "tier_summary": _q_tier_summary,
         "tier_source_summary": _q_tier_source_summary,
         "tiers_incremental": _q_tiers_incremental,
@@ -7323,6 +7387,7 @@ def oracle_sql() -> dict[str, str]:
                   AND position(b.text IN d.text) > 0)
         """,
         "dedup_tiers": _tiers_oracle_sql(),
+        "tier_budget_plan": _tier_budget_plan_oracle_sql(),
         "tier_summary": _tier_summary_oracle_sql(),
         "tier_source_summary": f"""
             WITH t AS ({_tiers_oracle_sql()})

@@ -566,3 +566,145 @@ def tier_source_summary(
         lambda t: t.rename_columns(["tier", group_col, "n_docs"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted tier planning (round 4)
+# ---------------------------------------------------------------------------
+
+_TIER_ORDER = ("exact", "normalized", "near")
+
+
+def _plan_keys(col) -> np.ndarray:
+    """Join keys for the budget plan: int ids pass through (exact),
+    string ids hash (md5-u64 — collision surfaces as an oracle
+    mismatch, the library-wide contract)."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    from dupers_ray.functions.hashing import hash_str_u64
+
+    return hash_str_u64([str(v) for v in col.to_pylist()]).view(np.int64)
+
+
+def tier_budget_plan(
+    docs: "ray.data.Dataset",
+    cfg: DedupConfig | None = None,
+    *,
+    weight_col: str = "n_chars",
+    budget_ppm: int = 600_000,
+    broadcast_limit: int = 5_000_000,
+) -> pa.Table:
+    """Which prefix of the tier cascade meets a token budget? For each
+    cascade prefix (none → +exact → +normalized → +near) report the
+    surviving doc count and surviving ``weight_col`` mass, plus whether
+    that prefix already fits ``budget = total * budget_ppm / 10^6``
+    (integer arithmetic, so the oracle restates it exactly). The answer
+    a pipeline owner reads off: the FIRST row with meets_budget true is
+    the cheapest cascade that fits the budget; all-false means even the
+    full cascade overshoots and a quality/sampling stage must follow.
+
+    Scale shape: the tier assignment's REMOVED set (duplicates only —
+    the small side by mass) broadcasts under ``broadcast_limit`` and
+    one streaming pass over (id, weight) bins every doc into its
+    removing tier (0 = kept) — two corpus passes total, 4-row partials,
+    driver-side prefix arithmetic. Above the limit the removed set
+    joins via the cogroup path instead (same 4-row reduction)."""
+    import ray as _ray
+
+    cfg = cfg or DedupConfig()
+    id_col = cfg.id_col
+    code_of = {t: i + 1 for i, t in enumerate(_TIER_ORDER)}
+
+    assign = dedup_tiers(
+        docs.select_columns([id_col, cfg.text_col]), cfg,
+        broadcast_limit=broadcast_limit,
+    )
+    import pyarrow.compute as pc
+
+    removed = assign.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("tier"), "kept")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    weights = docs.select_columns([id_col, weight_col])
+    if removed.count() <= broadcast_limit:
+        rt = pa.concat_tables(
+            [t for t in _ray.get(removed.to_arrow_refs()) if len(t)]
+        ) if removed.count() else None
+        if rt is not None:
+            keys = _plan_keys(rt.column(id_col))
+            codes = np.array(
+                [code_of[v] for v in rt.column("tier").to_pylist()], np.int64
+            )
+            order = np.argsort(keys)
+            keys, codes = keys[order], codes[order]
+        else:
+            keys = np.empty(0, np.int64)
+            codes = np.empty(0, np.int64)
+        ref = _ray.put((keys, codes))
+
+        def partial(t: pa.Table) -> pa.Table:
+            k_s, c_s = _ray.get(ref)
+            bk = _plan_keys(t.column(id_col))
+            if len(k_s):
+                pos = np.searchsorted(k_s, bk).clip(0, len(k_s) - 1)
+                code = np.where(k_s[pos] == bk, c_s[pos], 0)
+            else:
+                code = np.zeros(len(bk), np.int64)
+            w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "code": pa.array(np.arange(4, dtype=np.int64)),
+                "nd": pa.array(np.bincount(code, minlength=4)[:4].astype(np.int64)),
+                "wc": pa.array(
+                    np.bincount(code, weights=w, minlength=4)[:4].astype(np.int64)
+                ),
+            })
+
+        parts = weights.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    else:
+        from dupers_ray.pipelines.joins import hash_join
+
+        sch = docs.schema()
+        idt = (sch.base_schema if hasattr(sch, "base_schema") else sch) \
+            .field(id_col).type
+        joined = hash_join(
+            assign, weights, on=id_col,
+            left_schema=pa.schema([(id_col, idt), ("tier", pa.string())]),
+            right_schema=pa.schema([(id_col, idt), (weight_col, pa.int64())]),
+        )
+
+        def jpartial(t: pa.Table) -> pa.Table:
+            codes = np.array(
+                [code_of.get(v, 0) for v in t.column("tier").to_pylist()],
+                np.int64,
+            )
+            w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "code": pa.array(np.arange(4, dtype=np.int64)),
+                "nd": pa.array(np.bincount(codes, minlength=4)[:4].astype(np.int64)),
+                "wc": pa.array(
+                    np.bincount(codes, weights=w, minlength=4)[:4].astype(np.int64)
+                ),
+            })
+
+        parts = joined.map_batches(jpartial, batch_format="pyarrow").to_pandas()
+
+    agg = parts.groupby("code")[["nd", "wc"]].sum().reindex(range(4), fill_value=0)
+    nd = agg["nd"].to_numpy(np.int64)
+    wc = agg["wc"].to_numpy(np.int64)
+    total_d, total_w = int(nd.sum()), int(wc.sum())
+    budget = total_w * int(budget_ppm) // 1_000_000
+    cum_d = np.cumsum(np.r_[0, nd[1:]])   # removed docs after k tiers
+    cum_w = np.cumsum(np.r_[0, wc[1:]])
+    surv_d = total_d - cum_d
+    surv_w = total_w - cum_w
+    return pa.table({
+        "tiers_applied": pa.array(np.arange(4, dtype=np.int64)),
+        "tier": pa.array(["none", *_TIER_ORDER], pa.string()),
+        "n_docs_surviving": pa.array(surv_d.astype(np.int64)),
+        "n_chars_surviving": pa.array(surv_w.astype(np.int64)),
+        "budget": pa.array(np.full(4, budget, np.int64)),
+        "meets_budget": pa.array(surv_w <= budget),
+    })

@@ -186,3 +186,44 @@ def test_tier_source_summary(ray_session):
         k = (tier, f"s{i % 2}")
         exp_counter[k] = exp_counter.get(k, 0) + 1
     assert got == exp_counter
+
+
+def test_tier_budget_plan_arithmetic_and_join_parity(ray_session):
+    """4-row plan: survivors after each cascade prefix, integer budget,
+    meets flags; the forced-join fallback (broadcast_limit=0) must equal
+    the broadcast path exactly."""
+    from dupers_ray.pipelines.tiers import tier_budget_plan
+
+    tbl = _corpus()
+    w = pa.array(
+        [len(t) if t is not None else 0 for t in tbl.column("text").to_pylist()],
+        pa.int64(),
+    )
+    tbl = tbl.append_column("n_chars", w)
+    cfg = DedupConfig(id_col="doc_id", text_col="text")
+
+    out = tier_budget_plan(
+        rd.from_arrow(tbl), cfg, weight_col="n_chars", budget_ppm=500_000,
+    ).to_pandas()
+    wv = dict(zip(tbl.column("doc_id").to_pylist(), w.to_pylist()))
+    total_w = sum(wv.values())
+    removed_by = {"exact": [1, 9], "normalized": [2, 3], "near": [4]}
+    exp_surv_d = [10, 8, 6, 5]
+    cut = 0
+    exp_surv_w = [total_w]
+    for t in ("exact", "normalized", "near"):
+        cut += sum(wv[i] for i in removed_by[t])
+        exp_surv_w.append(total_w - cut)
+    assert list(out["tiers_applied"]) == [0, 1, 2, 3]
+    assert list(out["tier"]) == ["none", "exact", "normalized", "near"]
+    assert list(out["n_docs_surviving"]) == exp_surv_d
+    assert list(out["n_chars_surviving"]) == exp_surv_w
+    budget = total_w * 500_000 // 1_000_000
+    assert (out["budget"] == budget).all()
+    assert list(out["meets_budget"]) == [s <= budget for s in exp_surv_w]
+
+    forced = tier_budget_plan(
+        rd.from_arrow(tbl), cfg, weight_col="n_chars", budget_ppm=500_000,
+        broadcast_limit=0,
+    ).to_pandas()
+    assert forced.equals(out)
