@@ -237,16 +237,30 @@ def cmd_near(a) -> int:
 
 def cmd_tiers(a) -> int:
     """Tiered dedup attribution (exact → normalized → near), optionally
-    incremental against a persisted fused store (--store)."""
+    incremental against a persisted fused store (--store) or a budget
+    plan (--budget-ppm): which cascade prefix fits the token budget."""
     from dupers_ray.config import DedupConfig
     from dupers_ray.pipelines.tiers import (
         _tiers_from_fused,
         dedup_tiers,
         dedup_tiers_incremental,
         fused_tier_scan,
+        tier_budget_plan,
     )
 
     cfg = DedupConfig(id_col=a.id_col)
+    if getattr(a, "budget_ppm", None):
+        plan = tier_budget_plan(
+            _read(a.corpus).select_columns(
+                [a.id_col, "text", a.weight_col]),
+            cfg, weight_col=a.weight_col, budget_ppm=a.budget_ppm,
+        )
+        for r in plan.to_pylist():
+            mark = "<= budget" if r["meets_budget"] else "over"
+            print(f"{r['tiers_applied']}\t{r['tier']:<10}\t"
+                  f"{r['n_docs_surviving']} docs\t"
+                  f"{r['n_chars_surviving']} chars\t{mark}")
+        return 0
     corpus = _read(a.corpus).select_columns([a.id_col, "text"])
     if a.store and os.path.isdir(a.store):
         from dupers_ray.state.manifest import _atomic_write_parquet
@@ -564,6 +578,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out")
     s.add_argument("--store", help="fused store dir: reuse stored digests/"
                    "signatures (incremental) and persist the updated store")
+    s.add_argument("--budget-ppm", type=int, help="print the 4-row budget "
+                   "plan (survivors per cascade prefix vs total*ppm/1e6) "
+                   "instead of per-doc tiers")
+    s.add_argument("--weight-col", default="n_chars",
+                   help="weight column for --budget-ppm (default n_chars)")
     s.set_defaults(fn=cmd_tiers)
 
     s = idx(sub.add_parser("search", help="substring search over the index"))
