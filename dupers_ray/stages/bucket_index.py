@@ -179,6 +179,17 @@ def _dedup_pairs(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return unique_pairs(src, dst)
 
 
+def _new_shard(spill_rows: int) -> "ray.actor.ActorHandle":
+    """Shard constructor: SPREAD scheduling so on a multi-node cluster the
+    shards land on distinct nodes — each then ingests/emits against its
+    OWN memory controllers, which is precisely the resource the measured
+    single-box 8→32 plateau saturates (BASELINE.md bandwidth budget).
+    On a single node SPREAD is a no-op."""
+    return BucketIndexShard.options(
+        scheduling_strategy="SPREAD"
+    ).remote(spill_rows)
+
+
 @ray.remote
 class BucketIndexShard:
     """Bucket key = (key, optional subkey) — subkey lets exact dedup bucket
@@ -315,7 +326,7 @@ def candidate_pairs_index(
     cfg = minhash or MinHashConfig()
     if n_shards is None:
         n_shards = _default_n_shards()
-    shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
+    shards = [_new_shard(spill_rows) for _ in range(n_shards)]
 
     from dupers_ray.stages.minhash import explode_bands
 
@@ -359,7 +370,7 @@ def exact_node_pairs_index(
     output is identical either way since cluster ids are min-node)."""
     if n_shards is None:
         n_shards = _default_n_shards()
-    shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
+    shards = [_new_shard(spill_rows) for _ in range(n_shards)]
 
     def ingest(t: pa.Table) -> pa.Table:
         k = np.asarray(t.column("digest_u64"), dtype=np.uint64)
@@ -405,8 +416,8 @@ def all_candidate_pairs_index(
     # the digest index holds 1 row/doc (vs bands/doc for LSH) — a handful
     # of shards suffices and halves the fused path's actor count
     n_dg = max(2, min(8, n_shards))
-    lsh_shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_shards)]
-    dg_shards = [BucketIndexShard.remote(spill_rows) for _ in range(n_dg)]
+    lsh_shards = [_new_shard(spill_rows) for _ in range(n_shards)]
+    dg_shards = [_new_shard(spill_rows) for _ in range(n_dg)]
 
     from dupers_ray.stages.minhash import explode_bands
 
