@@ -83,7 +83,12 @@ def stage_bench(ncpu: int) -> dict:
     from bench import ensure_pages_corpus
 
     pages = ensure_pages_corpus()  # the identical corpus bench.py times
-    cfg = DedupConfig()
+    from dupers_ray.config import MinHashConfig
+
+    # GRAFT_SIG_STORE=u2 measures the half-width signature store
+    # (BASELINE.md round-4 bytes-cut experiment)
+    cfg = DedupConfig(minhash=MinHashConfig(
+        sig_store=os.environ.get("GRAFT_SIG_STORE", "u4")))
 
     input_bytes = sum(
         os.path.getsize(os.path.join(pages, f))
