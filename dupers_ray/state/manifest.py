@@ -116,9 +116,11 @@ def run_partitioned(
             skipped.append(key)
             total_rows += man.get("rows", 0)
             continue
+        t0 = time.perf_counter()
         ds = pipeline_fn(rd.read_parquet(list(files)))
         ds = ds.materialize()
         rows = ds.count()
+        out_bytes = ds.size_bytes()
         _atomic_write_parquet(ds, part_dir)
         _write_manifest(
             out_dir,
@@ -130,6 +132,10 @@ def run_partitioned(
                 "input_fingerprint": fp,
                 "config_fingerprint": config_fingerprint,
                 "rows": rows,
+                # per-partition metrics (north-rule lineage+metrics): wall
+                # covers pipeline+materialize+write for this partition
+                "out_bytes": int(out_bytes or 0),
+                "wall_s": round(time.perf_counter() - t0, 3),
                 "completed_at": time.time(),
             },
         )
@@ -226,9 +232,11 @@ def run_phased(
         ):
             outputs[name] = phase_dir
             continue
+        t0 = time.perf_counter()
         ds = fn(dict(outputs))
         ds = ds.materialize()
         rows = ds.count()
+        out_bytes = ds.size_bytes()
         _atomic_write_parquet(ds, phase_dir)
         _write_manifest(
             workdir,
@@ -239,6 +247,8 @@ def run_phased(
                 "config_fingerprint": config_fingerprint,
                 "upstream_fingerprint": upstream_fingerprint,
                 "rows": rows,
+                "out_bytes": int(out_bytes or 0),
+                "wall_s": round(time.perf_counter() - t0, 3),
                 "completed_at": time.time(),
             },
         )
