@@ -101,6 +101,18 @@ def hash_str_u64(values: Sequence[str]) -> np.ndarray:
     )
 
 
+def key_i64(col) -> np.ndarray:
+    """int64 join/lookup keys for an Arrow id column: integer ids pass
+    through exactly; string ids hash (md5-u64 — a collision surfaces as
+    an oracle mismatch, the library-wide contract). Both sides of a
+    lookup must use this same function."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_str_u64([str(v) for v in col.to_pylist()]).view(np.int64)
+
+
 def node_ids(urls: Sequence[str]) -> np.ndarray:
     """Stable uint64 node id per url for graph stages. Derived from SHA-256
     (prefix) so collisions are birthday-bound only; at 10^12 docs a 64-bit id

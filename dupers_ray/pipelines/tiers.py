@@ -576,14 +576,10 @@ _TIER_ORDER = ("exact", "normalized", "near")
 
 
 def _plan_keys(col) -> np.ndarray:
-    """Join keys for the budget plan: int ids pass through (exact),
-    string ids hash (md5-u64 — collision surfaces as an oracle
-    mismatch, the library-wide contract)."""
-    if pa.types.is_integer(col.type):
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    from dupers_ray.functions.hashing import hash_str_u64
+    """Join keys for the budget plan (functions/hashing.key_i64)."""
+    from dupers_ray.functions.hashing import key_i64
 
-    return hash_str_u64([str(v) for v in col.to_pylist()]).view(np.int64)
+    return key_i64(col)
 
 
 def tier_budget_plan(

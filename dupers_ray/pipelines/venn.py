@@ -207,11 +207,13 @@ def dedup_method_venn(
         en_f.union(near_f).union(sim_f)
         .groupby(id_col).sum("bit")
     ).to_pandas()
+    from dupers_ray.functions.hashing import key_i64
+
     if flagged.empty or id_col not in flagged.columns:
         f_ids = np.empty(0, np.int64)
         f_masks = np.empty(0, np.int64)
     else:
-        f_ids = flagged[id_col].to_numpy(np.int64)
+        f_ids = key_i64(pa.Array.from_pandas(flagged[id_col]))
         f_masks = flagged["sum(bit)"].to_numpy(np.int64)
         order = np.argsort(f_ids)
         f_ids, f_masks = f_ids[order], f_masks[order]
@@ -222,8 +224,10 @@ def dedup_method_venn(
     # one weighted streaming pass: every doc resolves its mask (0 if
     # unflagged) and contributes (count, weight) — <= 16 rows per batch
     def weigh(t: pa.Table) -> pa.Table:
+        from dupers_ray.functions.hashing import key_i64 as _keys
+
         ids_s, masks_s = ray.get(flag_ref)
-        ids = np.asarray(t.column(id_col), dtype=np.int64)
+        ids = _keys(t.column(id_col))
         if len(ids_s):
             pos = np.searchsorted(ids_s, ids).clip(0, len(ids_s) - 1)
             mk = np.where(ids_s[pos] == ids, masks_s[pos], 0)
