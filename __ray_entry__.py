@@ -5777,6 +5777,11 @@ def _cluster_split_oracle_sql() -> str:
 # whose pipelines this round refactored (venn fused scan, paragraph combiner,
 # novelty) so the driver re-proves them.  Everything else keeps its previous
 # relative order; tools/check_oracle.py still value-checks every entry locally.
+#
+# ROUND-5 ROTATION (mechanical): after CORRECTNESS_r04 lands, re-run the
+# ledger — the ~33 remaining never-checked names (incl. the round-4 additions
+# mp3_metadata and tier_budget_plan) all fit one final 50-entry window with
+# ~17 slots left for re-verification picks.
 _R4_WINDOW = [
     "simhash_pairs",
     # refactored this round — driver should re-prove them
