@@ -398,10 +398,13 @@ def cmd_rank(a) -> int:
         corpus, id_col=a.id_col, html_col=a.html_col, host_col=a.host_col
     ).select_columns(["src_host", "dst_host"])
     if a.algo == "pagerank":
-        tbl = pagerank(edges, iters=a.iters)
+        res = pagerank(edges, iters=a.iters)
     else:
-        tbl = hits(edges)
-    _emit(rd.from_arrow(tbl), a.out, "rank")
+        res = hits(edges)
+    # mode='auto' returns a pa.Table in the broadcast regime and a
+    # Dataset when it degrades to the grouped path above broadcast_limit
+    out = res if isinstance(res, rd.Dataset) else rd.from_arrow(res)
+    _emit(out, a.out, "rank")
     return 0
 
 

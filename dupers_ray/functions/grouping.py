@@ -40,12 +40,19 @@ def keyed_partition_map_groups(
     fix)."""
 
     def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         kcol = t.column(key_col)
         if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
             from dupers_ray.pipelines.maintenance import hash_str_keys
 
             keys = hash_str_keys(kcol)
         else:
+            # null int keys co-locate in key-0's partition (they stay a
+            # DISTINCT group in the per-partition reduce — dropna=False);
+            # without the fill np.asarray raises on null-bearing columns
+            if kcol.null_count:
+                kcol = pc.fill_null(kcol, 0)
             keys = np.asarray(kcol, dtype=np.uint64)
         return t.append_column(
             "__kp",
@@ -98,7 +105,11 @@ def partitioned_aggregate(
     agg_map.update({c: "max" for c in maxs})
 
     def reduce_part(df):
-        out = df.groupby(key_col, sort=False, as_index=False).agg(agg_map)
+        # dropna=False: a null key is a real group (SQL GROUP BY / Ray
+        # aggregate parity) — pandas' default silently deletes those rows
+        out = df.groupby(
+            key_col, sort=False, as_index=False, dropna=False
+        ).agg(agg_map)
         if having_sum_ge is not None:
             out = out[out[having_col] >= having_sum_ge]
         return out

@@ -517,6 +517,13 @@ def verify_pairs(
         else:
             a = sig_matrix(t.column("sig_src"), cfg.num_perm)
             b = sig_matrix(t.column("sig"), cfg.num_perm)
+            if a.dtype == np.uint16 or b.dtype == np.uint16:
+                # a u2 store only holds the folds — comparing them would
+                # silently BE the fold16 estimate under a 'full' contract
+                raise ValueError(
+                    "compare='full' requires sig_store='u4' signatures; "
+                    "this table stores uint16 folds"
+                )
         jac = (a == b).mean(axis=1)
         keep = jac >= cfg.jaccard_threshold
         return pa.table(

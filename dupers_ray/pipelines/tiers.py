@@ -90,15 +90,20 @@ def _fused_scan(batch: pa.Table, *, id_col: str, text_col: str,
     dg_a, dg_b = sha256_u64_pairs(t.encode("utf-8") for t in texts)
     nm_a, nm_b = sha256_u64_pairs(t.encode("utf-8") for t in norm_texts)
     sig, n_sh = mh.signatures(texts)
-    sig_le = np.ascontiguousarray(sig.astype("<u4"))
+    from dupers_ray.stages.minhash import pack_sig
+
+    # honor MinHashConfig.sig_store here too — otherwise the u2 bandwidth
+    # knob would silently no-op on the cascade/Venn paths (and a u2 delta
+    # against a u4 store trips sig_matrix's loud mixed-width error)
+    sig_le = pack_sig(sig, minhash.sig_store if minhash else "u4")
     # scatter signatures into a full-batch FixedSizeBinary (one buffer
     # build; nulls for token-less docs) — the former per-row tobytes loop
     # was the hottest scan's Python residue (round-2 VERDICT 'wrong' #5)
     n_rows = len(texts)
     mask = n_sh > 0
     if sig_le.size and mask.any():
-        width = sig_le.shape[1] * 4
-        full = np.zeros((n_rows, sig_le.shape[1]), "<u4")
+        width = sig_le.shape[1] * sig_le.dtype.itemsize
+        full = np.zeros((n_rows, sig_le.shape[1]), sig_le.dtype)
         full[mask] = sig_le
         fsb = pa.Array.from_buffers(
             pa.binary(width), n_rows,

@@ -125,9 +125,13 @@ def dedup_method_venn(
                 bits[np.flatnonzero(ne)[flagged]] |= bit
         hit = bits > 0
         # Arrow out: downstream union joins Arrow-block flag sets and the
-        # groupby sampler asserts on a mixed arrow/pandas block stream
+        # groupby sampler asserts on a mixed arrow/pandas block stream.
+        # Pin the id type explicitly: an EMPTY object array would infer
+        # Arrow type null, giving dup-free partitions a different block
+        # schema than dup-bearing ones (string-id corpora break downstream)
+        id_type = pa.string() if ids.dtype == object else None
         return pa.table({
-            id_col: pa.array(ids[hit]),
+            id_col: pa.array(ids[hit], type=id_type),
             "bit": pa.array(bits[hit]),
         })
 

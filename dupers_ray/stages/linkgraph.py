@@ -347,33 +347,51 @@ def _host_index(
         )
         return pa.table({"host": u})
 
-    # stream Arrow batches to the driver — take_all() would materialize
-    # one Python dict per row
-    chunks = [
-        np.asarray(t.column("host"))
-        for t in edges.map_batches(
-            uniq_hosts, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow")
-        if t.num_rows
-    ]
-    if not chunks:
+    # stream Arrow batches to the driver with INCREMENTAL dedup + an
+    # early abort: the old concatenate-then-check materialized EVERY host
+    # string before testing broadcast_limit, so a far-over-limit corpus
+    # (the regime 'auto' exists for) could OOM the driver before the
+    # HostVectorTooLarge that routes to the grouped path ever fired.
+    # Buffered rows stay bounded at ~1.5x broadcast_limit + one batch.
+    hash_chunks: list[np.ndarray] = []
+    host_chunks: list[np.ndarray] = []
+    acc = 0
+
+    def compress() -> tuple[np.ndarray, np.ndarray]:
+        nonlocal hash_chunks, host_chunks, acc
+        hs = np.concatenate(hash_chunks)
+        ho = np.concatenate(host_chunks)
+        order = np.argsort(hs, kind="stable")
+        hs, ho = hs[order], ho[order]
+        keep = np.ones(len(hs), bool)
+        keep[1:] = hs[1:] != hs[:-1]
+        dup = np.flatnonzero(~keep)
+        if len(dup) and (ho[dup] != ho[dup - 1]).any():
+            raise ValueError("host md5-u64 hash collision — two distinct "
+                             "hosts share a 64-bit hash")
+        hs, ho = hs[keep], ho[keep]
+        if len(hs) > broadcast_limit:
+            raise HostVectorTooLarge(
+                f"rank vector ({len(hs)} hosts) exceeds broadcast_limit"
+            )
+        hash_chunks, host_chunks, acc = [hs], [ho], len(hs)
+        return ho, hs
+
+    slack = max(1_000_000, broadcast_limit // 2)
+    for t in edges.map_batches(
+        uniq_hosts, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if not t.num_rows:
+            continue
+        arr = np.asarray(t.column("host"))
+        hash_chunks.append(hash_str_u64([str(h) for h in arr.tolist()]))
+        host_chunks.append(arr)
+        acc += len(arr)
+        if acc > broadcast_limit + slack:
+            compress()  # raises HostVectorTooLarge once distinct > limit
+    if not acc:
         return np.array([], dtype=object), np.array([], np.uint64)
-    hosts = np.concatenate(chunks)  # may repeat across batches
-    hashes = hash_str_u64([str(h) for h in hosts.tolist()])
-    order = np.argsort(hashes, kind="stable")
-    hs, ho = hashes[order], hosts[order]
-    keep = np.ones(len(hs), bool)
-    keep[1:] = hs[1:] != hs[:-1]
-    dup = np.flatnonzero(~keep)
-    if len(dup) and (ho[dup] != ho[dup - 1]).any():
-        raise ValueError("host md5-u64 hash collision — two distinct "
-                         "hosts share a 64-bit hash")
-    hosts, hashes = ho[keep], hs[keep]
-    if len(hosts) > broadcast_limit:
-        raise HostVectorTooLarge(
-            f"rank vector ({len(hosts)} hosts) exceeds broadcast_limit"
-        )
-    return hosts, hashes
+    return compress()
 
 
 class HostVectorTooLarge(ValueError):
@@ -758,7 +776,7 @@ def pagerank(
     broadcast_limit: int = 50_000_000,
     mode: str = "auto",
     num_partitions: int = 64,
-) -> pa.Table:
+) -> "pa.Table | ray.data.Dataset":
     """(host, pr_ppm) after ``iters`` integer power iterations over the
     (src_host, dst_host) edge dataset. Fixed-point contract (the SQL
     oracle restates it verbatim):
@@ -834,7 +852,7 @@ def hits(
     broadcast_limit: int = 50_000_000,
     mode: str = "auto",
     num_partitions: int = 64,
-) -> pa.Table:
+) -> "pa.Table | ray.data.Dataset":
     """(host, auth_ppm, hub_ppm) — one integer HITS round (Kleinberg
     1999) with fixed-point max-normalization so values stay bounded at
     any corpus size. Contract (the SQL oracle restates it verbatim):

@@ -227,3 +227,21 @@ def test_tier_budget_plan_arithmetic_and_join_parity(ray_session):
         broadcast_limit=0,
     ).to_pandas()
     assert forced.equals(out)
+
+
+def test_fused_scan_honors_sig_store_u2(ray_session):
+    """The u2 bandwidth knob must not silently no-op on the cascade path
+    (round-4 review): fused sig binaries carry num_perm uint16s."""
+    from dupers_ray.config import MinHashConfig
+    from dupers_ray.pipelines.tiers import fused_tier_scan
+
+    cfg = DedupConfig(id_col="doc_id", text_col="text",
+                      minhash=MinHashConfig(sig_store="u2"))
+    fused = fused_tier_scan(rd.from_arrow(_corpus()), cfg, with_simhash=False)
+    widths = {
+        len(v) for v in fused.to_pandas()["sig"] if v is not None
+    }
+    assert widths == {cfg.minhash.num_perm * 2}
+    # and the labels still match the planted expectation (fold16 verify)
+    out = dedup_tiers(rd.from_arrow(_corpus()), cfg).to_pandas()
+    assert dict(zip(out.doc_id, out.tier)) == EXPECTED

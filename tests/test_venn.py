@@ -93,3 +93,22 @@ def test_venn_flag_split_follows_key_orders():
     bits = _bit_counts(hist)
     assert bits == {EXACT_BIT: 1, NORM_BIT: 1, NEAR_BIT: 1, SIMHASH_BIT: 1}
     assert int(hist["n_docs"].sum()) == 2
+
+
+def test_venn_string_ids_schema_stable():
+    """String-id corpora: dup-free resolve partitions must emit string-
+    typed (not null-typed) id columns so the flag union keeps one schema
+    (round-4 review)."""
+    import ray.data as rd
+
+    from dupers_ray.pipelines.venn import dedup_method_venn
+
+    docs = rd.from_items([
+        {"url": f"u{i}",
+         "text": ("dup dup dup alpha beta gamma delta epsilon" if i < 2
+                  else f"unique {i} " + " ".join(f"w{i}{j}" for j in range(25)))}
+        for i in range(12)
+    ]).repartition(6)
+    out = dedup_method_venn(docs, id_col="url", text_col="text").to_pandas()
+    assert int(out.loc[out["mask"] == 0, "n_docs"].iloc[0]) >= 10
+    assert out["n_docs"].sum() == 12
