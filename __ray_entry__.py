@@ -1135,8 +1135,8 @@ def _simhash_oracle_sql(thr: int = 3) -> str:
                    ('0x'||substr(sha256(CAST(doc_id AS VARCHAR)),1,16))::UBIGINT AS node
             FROM votes
         )
-        SELECT least(a.node, b.node) AS src,
-               greatest(a.node, b.node) AS dst,
+        SELECT CAST(least(a.node, b.node) AS UBIGINT) AS src,
+               CAST(greatest(a.node, b.node) AS UBIGINT) AS dst,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {thr}
@@ -5841,9 +5841,79 @@ _R4_WINDOW = [
 ]
 
 
+# ROUND-5 WINDOW (final): the 2 oracle-fixed reds first (simhash_pairs /
+# edit_verified_pairs — the DuckDB least/greatest UBIGINT->HUGEINT->float64
+# promotion is now CAST back to UBIGINT, VERDICT r4 item 1), then the 33
+# remaining never-driver-checked names (ledger:
+# `python tools/check_oracle.py --never-driver-checked` after r4), then 15
+# re-verification picks covering every pipeline round 5 refactors:
+# repetition partitioned-reduce (dup_ngram_coverage/novelty*), vocab top-k
+# combiner (top_tokens/bpe_pair_counts), SemDeDup typed-empty blocks
+# (semantic_dedup/text_semantic_dedup), hamming __dropped accounting
+# (image_dup_clusters/audio_dup_clusters/multimodal_consensus), key_i64
+# null guard (dedup_method_venn), tier weight-col rename (dedup_tiers),
+# grouping API assert (paragraph_dedup), plus the flagship
+# (near_dup_clusters).  This closes driver coverage of all 183 entries.
+_R5_WINDOW = [
+    # oracle-fixed reds (r1/r3/r4 hash-red; engine was already value-correct)
+    "simhash_pairs",
+    "edit_verified_pairs",
+    # the final 33 never-driver-checked names, ledger order
+    "tier_budget_plan",
+    "mp3_metadata",
+    "dup_recall_report",
+    "bpe_merges",
+    "bpe_token_counts",
+    "template_clusters",
+    "mirror_hosts",
+    "mirror_clusters",
+    "cluster_split",
+    "script_stats",
+    "source_dup_stats",
+    "cluster_agreement",
+    "bucket_histogram",
+    "meta_refresh_chains",
+    "recrawl_queue",
+    "feed_links",
+    "chunk_docs",
+    "lsh_threshold_sweep",
+    "lm_rarity",
+    "lm_rarity_join",
+    "ccnet_buckets",
+    "canonical_dup_groups",
+    "hreflang_edges",
+    "props_k_stats",
+    "jsonl_roundtrip",
+    "c4_clean",
+    "blocklist_filter",
+    "url_templates",
+    "og_cards",
+    "amp_unify",
+    "segment_revenue",
+    "nation_revenue",
+    "pricing_summary",
+    # re-verification picks: every round-5-refactored pipeline re-proved
+    "dup_ngram_coverage",
+    "content_novelty",
+    "novelty_sampled",
+    "novelty_by_source",
+    "top_tokens",
+    "bpe_pair_counts",
+    "semantic_dedup",
+    "text_semantic_dedup",
+    "image_dup_clusters",
+    "audio_dup_clusters",
+    "multimodal_consensus",
+    "dedup_method_venn",
+    "dedup_tiers",
+    "paragraph_dedup",
+    "near_dup_clusters",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     all_q = _all_queries()
-    out = {name: all_q[name] for name in _R4_WINDOW}
+    out = {name: all_q[name] for name in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 
