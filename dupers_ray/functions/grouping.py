@@ -100,6 +100,12 @@ def partitioned_aggregate(
     the bound are dropped IN-partition — the reduction output leaves the
     cluster, the raw keys don't. Works for int AND string keys (string
     keys hash-partition without a global string sort)."""
+    specs = list(sums) + list(mins) + list(maxs)
+    if len(set(specs)) != len(specs):
+        raise ValueError(
+            "partitioned_aggregate: sums/mins/maxs column sets must be "
+            f"pairwise disjoint, got sums={sums} mins={mins} maxs={maxs}"
+        )
     agg_map = {c: "sum" for c in sums}
     agg_map.update({c: "min" for c in mins})
     agg_map.update({c: "max" for c in maxs})

@@ -30,8 +30,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Max, Sum
 
+from dupers_ray.functions.grouping import partitioned_aggregate
 from dupers_ray.stages.textstats import _TOKEN_RE
 
 
@@ -159,9 +159,16 @@ def dup_ngram_coverage(
     tagged = _by_gram_partition(gram_rows).groupby("__part").map_groups(
         tag_shared_part, batch_format="pyarrow"
     )
-    out = tagged.groupby(id_col).aggregate(Max("n_grams"), Sum("shared"))
+    # per-doc fold of the <=_GRAM_PARTITIONS partials/doc: hash-partitioned
+    # reduce, not Ray's sort-based aggregate — the doc key is unbounded
+    # (~150M partial rows at 600k docs; VERDICT r4 item 3)
+    out = partitioned_aggregate(
+        tagged, id_col, sums=("shared",), maxs=("n_grams",)
+    )
     return out.map_batches(
-        lambda t: t.rename_columns([id_col, "n_grams", "n_dup_grams"]),
+        lambda t: t.select([id_col, "n_grams", "shared"]).rename_columns(
+            [id_col, "n_grams", "n_dup_grams"]
+        ),
         batch_format="pyarrow",
     )
 
@@ -254,9 +261,14 @@ def content_novelty(
     tagged = _by_gram_partition(gram_rows).groupby("__part").map_groups(
         tag_novel_part, batch_format="pyarrow"
     )
-    out = tagged.groupby(id_col).aggregate(Max("n_grams"), Sum("novel"))
+    # hash-partitioned per-doc fold (see dup_ngram_coverage)
+    out = partitioned_aggregate(
+        tagged, id_col, sums=("novel",), maxs=("n_grams",)
+    )
     return out.map_batches(
-        lambda t: t.rename_columns([id_col, "n_grams", "n_novel"]),
+        lambda t: t.select([id_col, "n_grams", "novel"]).rename_columns(
+            [id_col, "n_grams", "n_novel"]
+        ),
         batch_format="pyarrow",
     )
 

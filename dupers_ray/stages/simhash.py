@@ -13,6 +13,7 @@ cosine-ish similarity), MinHash estimates set Jaccard.
 
 from __future__ import annotations
 
+import logging
 import re
 
 import numpy as np
@@ -155,7 +156,9 @@ def hamming_pairs_from_sigs(
     """(src, dst, hamming) pairs with hamming <= threshold over ANY
     (node uint64, 64-bit signature) dataset — the pigeonhole band
     machinery shared by text SimHash and perceptual image hashes
-    (stages/imagehash.py). Bands default to threshold+1 (complete)."""
+    (stages/imagehash.py). Bands default to threshold+1 (complete).
+    Buckets over ``max_bucket`` keep a deterministic min-node prefix;
+    the drop count is logged (never silent — flagship contract)."""
     n_bands = n_bands or (hamming_threshold + 1)
     width = 64 // n_bands
     thr = hamming_threshold
@@ -186,6 +189,7 @@ def hamming_pairs_from_sigs(
 
     def pairs_in_bucket(g: pd.DataFrame, max_bucket: int = max_bucket) -> pd.DataFrame:
         out_s, out_d, out_h = [], [], []
+        dropped = 0
         for _, sub in g.groupby("bkey", sort=False):
             sub = sub.drop_duplicates(subset=["node"])
             if len(sub) < 2:
@@ -195,6 +199,7 @@ def hamming_pairs_from_sigs(
             order = np.argsort(nodes)
             nodes, sigs_ = nodes[order], sigs_[order]
             if len(nodes) > max_bucket:  # skew cap, deterministic prefix
+                dropped += len(nodes) - max_bucket
                 nodes, sigs_ = nodes[:max_bucket], sigs_[:max_bucket]
             # FULL pairwise compare: the pigeonhole guarantee is per-pair
             # (a close pair shares SOME band) — a star compare against the
@@ -206,6 +211,13 @@ def hamming_pairs_from_sigs(
             out_s.extend(nodes[bi].tolist())
             out_d.extend(nodes[bj].tolist())
             out_h.extend(pop[bi, bj].tolist())
+        if dropped:
+            # no-silent-truncation contract (near_dedup.py docstring):
+            # surface the skew-cap drop count instead of a silent prefix
+            logging.getLogger(__name__).warning(
+                "hamming bucket cap dropped %d members (skew guard, "
+                "max_bucket=%d)", dropped, max_bucket,
+            )
         return pd.DataFrame(
             {
                 "src": pd.Series(out_s, dtype=np.uint64),

@@ -59,3 +59,23 @@ def test_simhash_pairs_finds_near_identical():
     d_nodes = set(node_ids([f"d{i:02d}" for i in range(30)]).tolist())
     for s, d in zip(pairs["src"].astype(np.uint64), pairs["dst"].astype(np.uint64)):
         assert int(s) in d_nodes and int(d) in d_nodes
+
+
+def test_hamming_bucket_cap_deterministic_prefix():
+    """Buckets over max_bucket keep the min-node prefix (and log the
+    drop — the no-silent-truncation contract): 10 identical sigs with
+    max_bucket=4 must yield exactly C(4,2)=6 pairs over the 4 smallest
+    nodes, not C(10,2)=45."""
+    from dupers_ray.stages.simhash import hamming_pairs_from_sigs
+
+    nodes = np.arange(1, 11, dtype=np.uint64)
+    sigs = rd.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "simhash": pa.array(np.full(10, 0xDEAD, np.uint64)),
+    }))
+    pairs = hamming_pairs_from_sigs(
+        sigs, hamming_threshold=0, max_bucket=4
+    ).to_pandas()
+    got = {(int(s), int(d)) for s, d in zip(pairs["src"], pairs["dst"])}
+    want = {(i, j) for i in range(1, 5) for j in range(i + 1, 5)}
+    assert got == want
