@@ -230,19 +230,20 @@ def top_tokens(ds, *, k: int = 100, text_col: str = "text"):
     vocabulary rows) → deterministic top-k ordered by (count desc, token
     asc) so cutoff ties are stable across runs and engines.
 
-    The post-aggregation table is vocabulary-sized (≪ corpus); the final
-    sort+limit runs on few coalesced blocks (sort cost scales with block
-    count on this Ray build — see BASELINE.md notes)."""
+    The post-aggregation table is vocabulary-sized (≪ corpus) but still
+    unbounded (10^8+ distinct tokens at web scale), so the top-k is a
+    per-block combiner → one k·n_blocks-row merge, never a global sort."""
     parts = ds.map_batches(
         partial_token_counts, batch_format="pyarrow",
         fn_kwargs={"text_col": text_col}, zero_copy_batch=True,
     )
     from dupers_ray.functions.grouping import partitioned_aggregate
+    from dupers_ray.stages.filters import global_top_k
 
     # hash-partitioned reduce: groupby on STRING tokens is a global string
     # sort over every partial row; partitioning hashes the strings instead
     agg = partitioned_aggregate(parts, "token", sums=("n",))
-    return agg.repartition(2).sort(["n", "token"], descending=[True, False]).limit(k)
+    return global_top_k(agg, by=[("n", False), ("token", True)], k=k)
 
 
 # ---------------------------------------------------------------- scripts
