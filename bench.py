@@ -245,7 +245,8 @@ def run_bench() -> dict:
             ids = node_ids([str(v) for v in t.column("url").to_pylist()])
             return t.append_column(
                 "doc_id",
-                pa_.array((ids >> np.uint64(22)).astype(np.int64)),
+                # full 43 bits the packed winner key allows (doc_id < 2^43)
+                pa_.array((ids >> np.uint64(21)).astype(np.int64)),
             )
 
         docs = rd.read_parquet(pages_path, columns=["url", "text"]).map_batches(
@@ -253,6 +254,22 @@ def run_bench() -> dict:
         return dedup_paragraphs_first(
             docs, id_col="doc_id", text_col="text").count()
 
+    # untimed guard: the 43-bit truncated hash must not collide, or two
+    # urls' paragraph streams silently merge in the benchmark numbers
+    # (birthday bound is ~15% at the 2.4M-doc scaling corpus)
+    def _assert_unique_doc_ids():
+        import numpy as np
+
+        from dupers_ray.functions.hashing import node_ids
+
+        urls = rd.read_parquet(pages_path, columns=["url"]).to_pandas()["url"]
+        ids = node_ids([str(u) for u in urls]) >> np.uint64(21)
+        if len(np.unique(ids)) != len(ids):
+            raise RuntimeError(
+                "43-bit doc_id collision in paragraph bench corpus — "
+                "widen the id or drop the offending urls")
+
+    _assert_unique_doc_ids()
     timed("paragraph_dedup_pages", paragraph_pages)
 
     # round-3 ops at bench scale: DSIR selection (two token scans + one

@@ -259,7 +259,7 @@ def cmd_tiers(a) -> int:
             mark = "<= budget" if r["meets_budget"] else "over"
             print(f"{r['tiers_applied']}\t{r['tier']:<10}\t"
                   f"{r['n_docs_surviving']} docs\t"
-                  f"{r['n_chars_surviving']} chars\t{mark}")
+                  f"{r[a.weight_col + '_surviving']} {a.weight_col}\t{mark}")
         return 0
     corpus = _read(a.corpus).select_columns([a.id_col, "text"])
     if a.store and os.path.isdir(a.store):

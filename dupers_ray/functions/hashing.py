@@ -105,9 +105,17 @@ def key_i64(col) -> np.ndarray:
     """int64 join/lookup keys for an Arrow id column: integer ids pass
     through exactly; string ids hash (md5-u64 — a collision surfaces as
     an oracle mismatch, the library-wide contract). Both sides of a
-    lookup must use this same function."""
+    lookup must use this same function. Null ids raise: a null join key
+    is a data bug worth surfacing loudly — an int column with nulls
+    round-trips through float NaN (garbage keys), a string null becomes
+    'None' and collides with the literal string."""
     import pyarrow as pa
 
+    if col.null_count:
+        raise ValueError(
+            f"key_i64: id column has {col.null_count} null(s); ids are "
+            "join keys and must be non-null"
+        )
     if pa.types.is_integer(col.type):
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
     return hash_str_u64([str(v) for v in col.to_pylist()]).view(np.int64)

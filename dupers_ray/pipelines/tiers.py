@@ -705,7 +705,10 @@ def tier_budget_plan(
         "tiers_applied": pa.array(np.arange(4, dtype=np.int64)),
         "tier": pa.array(["none", *_TIER_ORDER], pa.string()),
         "n_docs_surviving": pa.array(surv_d.astype(np.int64)),
-        "n_chars_surviving": pa.array(surv_w.astype(np.int64)),
+        # named after the weight column so --weight-col n_tokens doesn't
+        # report its mass under a 'chars' label (default stays
+        # n_chars_surviving — the oracle's name)
+        f"{weight_col}_surviving": pa.array(surv_w.astype(np.int64)),
         "budget": pa.array(np.full(4, budget, np.int64)),
         "meets_budget": pa.array(surv_w <= budget),
     })

@@ -117,3 +117,20 @@ def test_extract_empty():
     assert extract_text_one(b"") == ""
     assert extract_text_one(None) == ""
     assert extract_text_one(b"<body>  \n </body>") == ""
+
+
+def test_key_i64_rejects_null_ids():
+    """Null ids are join keys gone wrong: ints round-trip through float
+    NaN (garbage keys) and string nulls collide with literal 'None' —
+    both must raise loudly instead of silently mis-joining."""
+    import pyarrow as pa
+    import pytest
+
+    from dupers_ray.functions.hashing import key_i64
+
+    with pytest.raises(ValueError, match="null"):
+        key_i64(pa.array([1, None, 3], pa.int64()))
+    with pytest.raises(ValueError, match="null"):
+        key_i64(pa.array(["a", None], pa.string()))
+    # non-null columns still pass through / hash
+    assert key_i64(pa.array([1, 2], pa.int64())).tolist() == [1, 2]

@@ -245,3 +245,26 @@ def test_fused_scan_honors_sig_store_u2(ray_session):
     # and the labels still match the planted expectation (fold16 verify)
     out = dedup_tiers(rd.from_arrow(_corpus()), cfg).to_pandas()
     assert dict(zip(out.doc_id, out.tier)) == EXPECTED
+
+
+def test_tier_budget_plan_weight_col_names_output(ray_session):
+    """--weight-col n_tokens must label the surviving-mass column after
+    the weight column, not 'n_chars' (ADVICE r4)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dupers_ray.pipelines.tiers import tier_budget_plan
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+        "text": pa.array([f"doc body {i % 4} words here" for i in range(8)]),
+        "n_tokens": pa.array(np.full(8, 5, np.int64)),
+    }))
+    from dupers_ray.config import DedupConfig
+
+    plan = tier_budget_plan(
+        docs, DedupConfig(id_col="doc_id"), weight_col="n_tokens"
+    )
+    assert "n_tokens_surviving" in plan.column_names
+    assert "n_chars_surviving" not in plan.column_names
