@@ -272,6 +272,26 @@ def run_bench() -> dict:
     _assert_unique_doc_ids()
     timed("paragraph_dedup_pages", paragraph_pages)
 
+    # round-5: exact arrival-order novelty at bench scale — the per-doc
+    # partial fold moved from Ray's sort-based aggregate to the hash-
+    # partitioned reduce (388 s -> ~25 s at this corpus; BASELINE.md r5)
+    def novelty_pages():
+        import numpy as np
+        import pyarrow as pa_
+
+        from dupers_ray.functions.hashing import node_ids
+        from dupers_ray.stages.repetition import content_novelty
+
+        def add_id(t):
+            ids = node_ids([str(v) for v in t.column("url").to_pylist()])
+            return t.append_column("doc_id", pa_.array(ids.view(np.int64)))
+
+        docs = rd.read_parquet(pages_path, columns=["url", "text"]).map_batches(
+            add_id, batch_format="pyarrow", zero_copy_batch=True)
+        return content_novelty(docs, id_col="doc_id", text_col="text").count()
+
+    timed("content_novelty_pages", novelty_pages)
+
     # round-3 ops at bench scale: DSIR selection (two token scans + one
     # <=4096-key groupby) and link-graph PageRank (synthesized hrefs →
     # vectorized extraction → 2 integer power iterations over ~1.8M edges)
