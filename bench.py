@@ -377,9 +377,18 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_ONLY="headline")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.environ.get("GRAFT_SCALING_AFFINITY") == "1":
+            # Bind the WHOLE process tree (driver, raylet, object store,
+            # workers) to ncpu physical CPUs: ray.init(num_cpus=N) only
+            # caps task-slot parallelism, so Ray's auxiliary processes
+            # otherwise run on extra host cores — small-N levels get free
+            # CPU a real N-core node wouldn't have, deflating measured
+            # N→4N efficiency. Affinity makes each level a faithful
+            # N-core-node simulation.
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
