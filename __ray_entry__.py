@@ -842,7 +842,12 @@ def _tier_budget_plan_oracle_sql() -> str:
         FROM base
         UNION ALL
         SELECT CAST(cum.ord AS BIGINT), cum.tier,
-               base.nd - cum.crd, base.nc - cum.crc,
+               -- windowed sum(BIGINT) promotes to HUGEINT (-> float64 in
+               -- pandas, breaking the driver's dtype-sensitive hash on
+               -- value-identical rows — same class as the simhash red);
+               -- cast the subtractions back so UNION keeps BIGINT
+               CAST(base.nd - cum.crd AS BIGINT),
+               CAST(base.nc - cum.crc AS BIGINT),
                CAST(base.nc * 600000 // 1000000 AS BIGINT),
                (base.nc - cum.crc) <= base.nc * 600000 // 1000000
         FROM cum, base

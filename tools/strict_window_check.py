@@ -108,7 +108,7 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    window = list(qs)[:50]
+    window = list(qs) if "--all" in sys.argv else list(qs)[:50]
     failures = 0
     for name in window:
         if name not in oracles:
