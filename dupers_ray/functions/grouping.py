@@ -79,6 +79,28 @@ def keyed_partition_map_groups(
     return out.groupby("__kp").map_groups(wrapped, batch_format=batch_format)
 
 
+def coalesce_for_group_sort(
+    ds: "ray.data.Dataset", num_keys: int
+) -> "ray.data.Dataset":
+    """Repartition before a sort-based ``groupby(key)`` so every output
+    partition is non-empty and TYPED. Ray's sort emits one output
+    partition per INPUT block; when reducers approach (or exceed) the
+    distinct-key count the sampled range boundaries duplicate and the
+    empty ranges materialize as schema-less blocks — the benign-but-noisy
+    `RefBundle with a different schema` executor warnings, and a schema
+    hazard for downstream unions. Coalescing to ~>=4 keys per reducer
+    (capped at 2 blocks/CPU) removes duplicate boundaries unless one key
+    holds >25% of all rows. ``num_keys``: the (approximate) distinct-key
+    cardinality, e.g. the fan-out constant of a __part-style key."""
+    try:
+        import ray as _r
+
+        ncpu = int(_r.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        ncpu = 8
+    return ds.repartition(max(2, min(2 * ncpu, num_keys // 4)))
+
+
 def partitioned_aggregate(
     ds: "ray.data.Dataset",
     key_col: str,

@@ -190,9 +190,15 @@ def sessionize(
             "__part", pa.array((v % np.uint64(64)).astype(np.int64))
         )
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     return (
-        ds.select_columns([ts_col, key_col])
-        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            ds.select_columns([ts_col, key_col])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+            64,
+        )
         .groupby("__part")
         .map_groups(per_key, batch_format="pandas")
     )
@@ -240,9 +246,14 @@ def window_distinct(
             "n_distinct": vc.to_numpy().astype(np.int64),
         })
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     out = (
-        ds.select_columns([ts_col, key_col])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            ds.select_columns([ts_col, key_col])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            64,
+        )
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
     )
@@ -305,13 +316,20 @@ def cohort_retention(
         return (out.groupby(["cohort_period", "offset_periods"], sort=False)
                    .size().rename("n").reset_index())
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     partials = (
-        ds.select_columns([ts_col, key_col])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            ds.select_columns([ts_col, key_col])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            64,
+        )
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
     )
-    final = partials.groupby(["cohort_period", "offset_periods"]).sum("n")
+    final = partials.repartition(2).groupby(
+        ["cohort_period", "offset_periods"]
+    ).sum("n")
     return final.map_batches(
         lambda t: t.rename_columns(
             ["cohort_period", "offset_periods", "n_users"]
@@ -406,13 +424,19 @@ def funnel_counts(
         return pd.DataFrame({"step_idx": np.arange(k, dtype=np.int64),
                              "n_users": counts})
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     partials = (
-        ds.select_columns([ts_col, key_col, type_col])
-        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            ds.select_columns([ts_col, key_col, type_col])
+            .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+            64,
+        )
         .groupby("__part")
         .map_groups(per_part, batch_format="pandas")
     )
-    final = partials.groupby("step_idx").sum("n_users")
+    # k-row partials; 2 blocks keep the k-key sum's sort ranges non-empty
+    final = partials.repartition(2).groupby("step_idx").sum("n_users")
 
     names = pa.array(list(steps), pa.string())
 

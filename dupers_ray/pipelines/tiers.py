@@ -299,9 +299,14 @@ def _tiers_from_fused(
     # punctuation-only doc shares sha256('') as its norm key and lands in
     # one partition — bounded by such docs' count, and their rows are
     # 40 B projections, not text.
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     t12 = (
-        proj.map_batches(part_of, fn_kwargs={"col": "norm_u64"},
-                         batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            proj.map_batches(part_of, fn_kwargs={"col": "norm_u64"},
+                             batch_format="pyarrow", zero_copy_batch=True),
+            _N_PARTS,
+        )
         .groupby("__part")
         .map_groups(_resolve_exact_norm, fn_kwargs={"id_col": id_col},
                     batch_format="pandas")
@@ -361,9 +366,14 @@ def _tiers_from_fused(
             "tier": pd.Series(["near"] * len(sub), dtype="string"),
         })
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     r3 = (
-        clusters.map_batches(near_part, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        coalesce_for_group_sort(
+            clusters.map_batches(near_part, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            _N_PARTS,
+        )
         .groupby("__part")
         .map_groups(near_removed, batch_format="pandas")
     )

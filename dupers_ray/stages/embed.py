@@ -104,7 +104,12 @@ def topk_cosine(
         g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
         return g.head(k)[["query_id", id_col, "score"]]
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
+    # >=4 query ids per sort reducer: typed non-empty partitions
+    return coalesce_for_group_sort(partials, len(qids)).groupby(
+        "query_id"
+    ).map_groups(merge, batch_format="pandas")
 
 
 def quantize_sq8(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -194,7 +199,11 @@ def topk_cosine_sq8(
                           kind="mergesort")
         return g.head(k)[["query_id", id_col, "score"]]
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
+    return coalesce_for_group_sort(partials, len(qids)).groupby(
+        "query_id"
+    ).map_groups(merge, batch_format="pandas")
 
 
 def knn_graph(
@@ -845,4 +854,9 @@ def topk_cosine_ivf(
         g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
         return g.head(k)[["query_id", id_col, "score"]]
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
+    # >=4 query ids per sort reducer: typed non-empty partitions
+    return coalesce_for_group_sort(partials, len(qids)).groupby(
+        "query_id"
+    ).map_groups(merge, batch_format="pandas")

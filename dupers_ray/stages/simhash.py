@@ -226,8 +226,15 @@ def hamming_pairs_from_sigs(
             }
         )
 
+    from dupers_ray.functions.grouping import coalesce_for_group_sort
+
     pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        coalesce_for_group_sort(
+            sigs.map_batches(
+                explode, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            num_partitions,
+        )
         .groupby("__part")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
@@ -247,7 +254,10 @@ def hamming_pairs_from_sigs(
         ]
 
     return (
-        pairs.map_batches(pair_part, batch_format="pyarrow")
+        coalesce_for_group_sort(
+            pairs.map_batches(pair_part, batch_format="pyarrow"),
+            num_partitions,
+        )
         .groupby("__part")
         .map_groups(dedup, batch_format="pandas")
     )
