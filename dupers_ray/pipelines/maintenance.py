@@ -51,7 +51,9 @@ def counts_by_bucket(ds: "ray.data.Dataset", *, bucket_col: str = "bucket",
     aggs2 = [Sum("n", alias_name="n")]
     if size_col:
         aggs2.append(Sum("total_bytes", alias_name="total_bytes"))
-    return partials.groupby(bucket_col).aggregate(*aggs2)
+    # bucket cardinality ~ sources (tens); 2 blocks keep the aggregate's
+    # sort ranges non-empty and typed (functions/grouping rationale)
+    return partials.repartition(2).groupby(bucket_col).aggregate(*aggs2)
 
 
 def anti_join_broadcast(
