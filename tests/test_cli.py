@@ -358,3 +358,26 @@ def test_split_and_identity_verbs(tmp_path):
     assert main(["identity", pages, red, "--out", out2]) == 0
     ident = pq.read_table(out2).to_pandas().sort_values("doc_id")
     assert ident.cluster.tolist() == [i - i % 12 for i in range(24)]
+
+
+def test_tiers_budget_plan_weight_col(tmp_path, capsys):
+    """--budget-ppm with a non-default --weight-col prints the surviving
+    mass under the weight column's own name (ADVICE r4: 'chars' labels
+    misdescribed --weight-col n_tokens numbers)."""
+    corpus = str(tmp_path / "wc.parquet")
+    pq.write_table(
+        pa.table({
+            "url": [f"http://w/{i}" for i in range(6)],
+            "text": ["same body text here"] * 3
+                    + ["other page", "third page", "fourth page"],
+            "n_tokens": pa.array([4] * 6, pa.int64()),
+        }),
+        corpus,
+    )
+    assert main(["tiers", corpus, "--budget-ppm", "600000",
+                 "--weight-col", "n_tokens"]) == 0
+    out = capsys.readouterr().out
+    assert "n_tokens" in out          # labeled by weight col, not 'chars'
+    assert "chars" not in out
+    # 4 cascade-prefix rows: none / exact / normalized / near
+    assert len([ln for ln in out.strip().splitlines() if "\t" in ln]) == 4
